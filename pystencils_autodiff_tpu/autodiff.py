@@ -1,0 +1,335 @@
+"""Reverse-mode adjoint derivation for stencil assignment collections.
+
+This is the algorithmic core of the framework — the TPU-native rebuild of the
+reference's ``_autodiff.py`` (SURVEY.md §2.1 #2, call stack §3.1):
+``create_backward_assignments`` symbolically transposes a (possibly
+nonlinear, variable-coefficient) stencil operator, and ``AutoDiffOp`` bundles
+forward+backward assignment collections with field classification and
+lowering entry points.
+
+The key correctness invariant (SURVEY.md §5.2): transposition turns the
+backward *scatter* into a *gather* — every adjoint output cell is written by
+exactly one assignment, so the generated backward kernels are
+embarrassingly parallel and need no atomics (which TPUs don't have anyway).
+
+Mathematical statement.  For forward assignments ``w_a[0] := rhs_a`` with
+read accesses ``f[o]``, the adjoint of input field ``f`` at the cell centre
+is the gather
+
+    f̂[0] = Σ_a Σ_o  shift(∂rhs_a/∂f[o], −o) · ŵ_a[−o]
+
+where ``shift(e, s)`` translates every field access in ``e`` by ``s``
+(reference ``_autodiff.py`` ≈L150, SURVEY.md §3.1).  Nonlinear and
+variable-coefficient terms are handled because ∂rhs/∂f[o] may itself contain
+field accesses, which are shifted along.
+
+Diff modes (parity with the reference's ``DiffModes``):
+
+* ``transposed`` — shift each Jacobian entry immediately and multiply by the
+  shifted adjoint access (operator-transposition order).
+* ``transposed-forward`` (``TF_MAD``) — differentiate first in the *forward*
+  frame (per-assignment products ``∂rhs_a/∂f[o] · ŵ_a[0]``), then transpose
+  each complete product term by ``−o`` to read it as a forward stencil.
+
+Both constructions are exact (including variable coefficients); the upstream
+equivalence tests ("both modes produce equivalent backward operators",
+SURVEY.md §4 test_tfmad) are preserved as acceptance tests in
+``tests/test_tfmad.py``.
+"""
+
+from __future__ import annotations
+
+import collections
+from enum import Enum
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import sympy as sp
+
+from .adjoint_field import DEFAULT_DIFF_PREFIX, AdjointField
+from .assignment import Assignment, AssignmentCollection, AssignmentsLike
+from .field import Field
+
+__all__ = [
+    "DiffModes",
+    "create_backward_assignments",
+    "get_jacobian_of_assignments",
+    "AutoDiffOp",
+    "AutoDiffKernelPair",
+]
+
+
+class DiffModes(str, Enum):
+    """How the backward assignments are constructed (reference ≈L20)."""
+
+    TRANSPOSED = "transposed"
+    TF_MAD = "transposed-forward"
+
+    @staticmethod
+    def coerce(mode) -> "DiffModes":
+        if isinstance(mode, DiffModes):
+            return mode
+        return DiffModes(str(mode))
+
+
+def shift_expr(expr: sp.Expr, shift: Tuple[int, ...]) -> sp.Expr:
+    """Translate every field access in ``expr`` by ``shift``."""
+    if all(s == 0 for s in shift):
+        return expr
+    mapping = {a: a.shifted(shift) for a in expr.atoms(Field.Access)}
+    return expr.xreplace(mapping)
+
+
+def _neg(offsets: Tuple[int, ...]) -> Tuple[int, ...]:
+    return tuple(-o for o in offsets)
+
+
+def _coerce_fields(fields: Iterable) -> List[Field]:
+    out = []
+    for f in fields or ():
+        if isinstance(f, Field.Access):
+            f = f.field
+        if not isinstance(f, Field):
+            raise TypeError(f"expected Field, got {type(f)}")
+        out.append(f)
+    return out
+
+
+def create_backward_assignments(
+    forward_assignments: AssignmentsLike,
+    diff_fields_prefix: str = DEFAULT_DIFF_PREFIX,
+    time_constant_fields: Sequence[Field] = (),
+    constant_fields: Sequence[Field] = (),
+    diff_mode: "DiffModes | str" = DiffModes.TRANSPOSED,
+    do_common_subexpression_elimination: bool = True,
+) -> AssignmentCollection:
+    """Derive the adjoint (backward) assignments of a forward stencil.
+
+    Parameters mirror the reference's ``create_backward_assignments``
+    (``_autodiff.py`` ≈L40, SURVEY.md §3.1):
+
+    * ``constant_fields`` — fields to *not* differentiate (no adjoint).
+    * ``time_constant_fields`` — fields constant across a time loop whose
+      adjoint assignments accumulate (``+=``) instead of overwrite, so the
+      gradient sums over time steps.
+    * ``diff_mode`` — ``'transposed'`` or ``'transposed-forward'``; see
+      module docstring.
+    """
+    mode = DiffModes.coerce(diff_mode)
+    coll = AssignmentCollection.normalize(forward_assignments)
+    main = coll.inlined_main_assignments()
+    if not main:
+        raise ValueError("no field assignments to differentiate")
+
+    constant = set(_coerce_fields(constant_fields))
+    time_constant = set(_coerce_fields(time_constant_fields))
+    written_fields = {a.lhs.field for a in main}
+
+    # Adjoint fields for outputs (read by bwd) and inputs (written by bwd).
+    adjoint: Dict[Field, AdjointField] = {}
+
+    def adj(field: Field) -> AdjointField:
+        if field not in adjoint:
+            adjoint[field] = AdjointField(field, diff_fields_prefix)
+        return adjoint[field]
+
+    # Group contribution terms per adjoint unknown (field, index component).
+    contributions: "collections.OrderedDict[Tuple[Field, Tuple[int, ...]], List[sp.Expr]]" = (
+        collections.OrderedDict()
+    )
+
+    for fwd in main:
+        w_acc = fwd.lhs  # centre access of the written field
+        read_accesses = sorted(fwd.rhs.atoms(Field.Access), key=sp.default_sort_key)
+        for ra in read_accesses:
+            if ra.field in constant:
+                continue
+            if ra.field in written_fields and ra.field != w_acc.field:
+                # Reading another *output* field is fine only if it is not
+                # also an input elsewhere; chained outputs would need
+                # assignment-level reverse propagation. Keep the reference's
+                # model: outputs are written once, inputs are distinct.
+                pass
+            jac = sp.diff(fwd.rhs, ra)
+            if jac == 0:
+                continue
+            inv = _neg(ra.offsets)
+            if mode is DiffModes.TRANSPOSED:
+                # shift Jacobian entry into the adjoint (gather) frame, then
+                # multiply by the transposed adjoint read.
+                term = shift_expr(jac, inv) * Field.Access(
+                    adj(w_acc.field), inv, w_acc.index)
+            else:  # TF_MAD: build the product in the forward frame, then
+                # transpose the complete term to read it as a forward stencil.
+                fwd_frame = jac * Field.Access(
+                    adj(w_acc.field), (0,) * len(inv), w_acc.index)
+                term = shift_expr(fwd_frame, inv)
+            key = (ra.field, ra.index)
+            contributions.setdefault(key, []).append(term)
+
+    backward = []
+    for (field, index), terms in contributions.items():
+        lhs = Field.Access(adj(field), (0,) * field.spatial_dimensions, index)
+        rhs = sp.Add(*terms)
+        backward.append(Assignment(lhs, rhs,
+                                   is_accumulation=field in time_constant))
+
+    result = AssignmentCollection(backward)
+    if do_common_subexpression_elimination:
+        result = result.new_with_cse()
+    return result
+
+
+def get_jacobian_of_assignments(assignments: AssignmentsLike,
+                                diff_variables: Sequence[sp.Symbol]) -> sp.Matrix:
+    """sympy Matrix Jacobian of all RHSs w.r.t. ``diff_variables``
+    (reference ``_autodiff.py`` ≈L530)."""
+    coll = AssignmentCollection.normalize(assignments)
+    rhs = sp.Matrix([a.rhs for a in coll.inlined_main_assignments()])
+    return rhs.jacobian(sp.Matrix(list(diff_variables)))
+
+
+class AutoDiffOp:
+    """Forward stencil + symbolically derived adjoint, with lowering hooks.
+
+    The TPU-native analog of the reference's ``AutoDiffOp``
+    (``_autodiff.py`` ≈L100, SURVEY.md §3.2/§3.3): where the reference lowers
+    to generated C/CUDA wrapped as torch/TF custom ops, this lowers to a
+    jnp reference evaluator, Pallas TPU kernels, or a generated-C CPU backend,
+    and exposes the pair through ``jax.custom_vjp`` (``jax_function()``).
+    """
+
+    def __init__(
+        self,
+        forward_assignments: AssignmentsLike,
+        op_name: str = "autodiff_op",
+        constant_fields: Sequence[Field] = (),
+        time_constant_fields: Sequence[Field] = (),
+        diff_mode: "DiffModes | str" = DiffModes.TRANSPOSED,
+        diff_fields_prefix: str = DEFAULT_DIFF_PREFIX,
+        do_common_subexpression_elimination: bool = True,
+    ):
+        self.forward_assignments = AssignmentCollection.normalize(forward_assignments)
+        self.op_name = op_name
+        self.constant_fields = _coerce_fields(constant_fields)
+        self.time_constant_fields = _coerce_fields(time_constant_fields)
+        self.diff_mode = DiffModes.coerce(diff_mode)
+        self.diff_fields_prefix = diff_fields_prefix
+        self.do_cse = do_common_subexpression_elimination
+        self._backward: Optional[AssignmentCollection] = None
+
+    # -- symbolic ------------------------------------------------------------
+
+    @property
+    def backward_assignments(self) -> AssignmentCollection:
+        if self._backward is None:
+            self._backward = create_backward_assignments(
+                self.forward_assignments,
+                diff_fields_prefix=self.diff_fields_prefix,
+                time_constant_fields=self.time_constant_fields,
+                constant_fields=self.constant_fields,
+                diff_mode=self.diff_mode,
+                do_common_subexpression_elimination=self.do_cse,
+            )
+        return self._backward
+
+    def jacobian(self) -> sp.Matrix:
+        accesses = self.forward_assignments.accesses()
+        diff_vars = [a for a in accesses if a.field not in set(self.constant_fields)]
+        return get_jacobian_of_assignments(self.forward_assignments, diff_vars)
+
+    # -- field classification (reference ≈L110, SURVEY.md §3.2) --------------
+
+    @property
+    def forward_output_fields(self) -> List[Field]:
+        return self.forward_assignments.fields_written
+
+    @property
+    def forward_input_fields(self) -> List[Field]:
+        written = set(self.forward_output_fields)
+        return [f for f in self.forward_assignments.fields_read if f not in written]
+
+    @property
+    def forward_fields(self) -> List[Field]:
+        return self.forward_input_fields + self.forward_output_fields
+
+    @property
+    def diff_fields(self) -> List[Field]:
+        """Non-constant forward input fields: those that get adjoints."""
+        constant = set(self.constant_fields)
+        return [f for f in self.forward_input_fields if f not in constant]
+
+    @property
+    def backward_output_fields(self) -> List[Field]:
+        """Adjoints of the (non-constant) forward inputs."""
+        return self.backward_assignments.fields_written
+
+    @property
+    def backward_input_fields(self) -> List[Field]:
+        """Adjoints of forward outputs, plus any primal fields the backward
+        RHS still reads (nonlinear / variable-coefficient terms)."""
+        written = set(self.backward_output_fields)
+        return [f for f in self.backward_assignments.fields_read if f not in written]
+
+    @property
+    def saved_fields(self) -> List[Field]:
+        """Primal forward fields re-read by the backward pass — the residuals
+        a ``custom_vjp`` forward rule must save."""
+        fwd = set(self.forward_fields)
+        return [f for f in self.backward_input_fields
+                if not isinstance(f, AdjointField) and f in fwd]
+
+    # -- lowering entry points ----------------------------------------------
+
+    def jax_forward(self, lowering: str = "jnp", **kwargs):
+        """Compiled forward: ``f(**{field.name: array}) -> dict of outputs``."""
+        from .ops import lower_forward
+        return lower_forward(self, lowering=lowering, **kwargs)
+
+    def jax_backward(self, lowering: str = "jnp", **kwargs):
+        from .ops import lower_backward
+        return lower_backward(self, lowering=lowering, **kwargs)
+
+    def jax_function(self, lowering: str = "jnp", **kwargs):
+        """The flagship API: a jit-compatible function over jax arrays with a
+        ``jax.custom_vjp`` whose backward rule runs the symbolically derived
+        adjoint kernel.  Replaces the reference's ``create_pytorch_op`` /
+        ``create_tensorflow_op`` native paths (SURVEY.md §2.2)."""
+        from .ops import build_custom_vjp
+        return build_custom_vjp(self, lowering=lowering, **kwargs)
+
+    # -- framework bridges (parity with reference backends, SURVEY.md §2.1) --
+
+    def create_pytorch_op(self, **kwargs):
+        from .backends._torch import create_autograd_function
+        return create_autograd_function(self, **kwargs)
+
+    def create_tensorflow_op(self, **kwargs):
+        from .backends._tensorflow import tensorflow_function
+        return tensorflow_function(self, **kwargs)
+
+    def create_native_op(self, **kwargs):
+        """Generated-C CPU kernel pair (the reference's codegen+JIT path,
+        SURVEY.md §2.1 #5/#6/#11, rebuilt on g++ + ctypes)."""
+        from .backends._c_native import create_native_function_pair
+        return create_native_function_pair(self, **kwargs)
+
+    def kernel_pair(self, lowering: str = "jnp", **kwargs) -> "AutoDiffKernelPair":
+        return AutoDiffKernelPair(self, lowering=lowering, **kwargs)
+
+    def __repr__(self):
+        return (f"AutoDiffOp({self.op_name!r}, in={[f.name for f in self.forward_input_fields]}, "
+                f"out={[f.name for f in self.forward_output_fields]}, mode={self.diff_mode.value})")
+
+
+class AutoDiffKernelPair:
+    """Bundled compiled forward+backward (reference ``AutoDiffAstPair``,
+    ``_autodiff.py`` ≈L460): ``__call__`` runs the forward; ``.backward``
+    runs the adjoint."""
+
+    def __init__(self, op: AutoDiffOp, lowering: str = "jnp", **kwargs):
+        self.op = op
+        self.forward = op.jax_forward(lowering=lowering, **kwargs)
+        self.backward = op.jax_backward(lowering=lowering, **kwargs)
+
+    def __call__(self, **field_arrays):
+        return self.forward(**field_arrays)

@@ -1,0 +1,59 @@
+"""Lowering backends: symbolic assignment collections → executable kernels.
+
+Replaces the reference's L3–L5 stack (generated C/CUDA + subprocess JIT +
+torch/TF binding modules, SURVEY.md §1): here the "generated native code"
+path is Pallas→Mosaic (XLA is the JIT), the oracle path is pure jax.numpy,
+and a generated-C CPU path lives in backends/_c_native.py for
+oracle/parity purposes.
+"""
+
+from __future__ import annotations
+
+from .common import StencilProgram, backward_program, forward_program, make_program
+from .jnp_ref import make_jnp_stencil
+from .vjp import build_custom_vjp
+
+__all__ = [
+    "StencilProgram",
+    "make_program",
+    "forward_program",
+    "backward_program",
+    "make_jnp_stencil",
+    "build_custom_vjp",
+    "lower_forward",
+    "lower_backward",
+    "get_lowering",
+]
+
+_LOWERINGS = {}
+
+
+def register_lowering(name: str, factory):
+    _LOWERINGS[name] = factory
+
+
+def get_lowering(name: str):
+    if name not in _LOWERINGS:
+        # lazy import of optional backends
+        if name == "pallas":
+            from .pallas_kernel import make_pallas_stencil
+            register_lowering("pallas", make_pallas_stencil)
+        elif name == "c_native":
+            from ..backends._c_native import make_c_stencil
+            register_lowering("c_native", make_c_stencil)
+        else:
+            raise ValueError(f"unknown lowering {name!r}; have {sorted(_LOWERINGS)}")
+    return _LOWERINGS[name]
+
+
+register_lowering("jnp", make_jnp_stencil)
+
+
+def lower_forward(op, lowering: str = "jnp", **kwargs):
+    prog = forward_program(op)
+    return get_lowering(lowering)(prog, full_domain=False, **kwargs)
+
+
+def lower_backward(op, lowering: str = "jnp", full_domain: bool = False, **kwargs):
+    prog = backward_program(op)
+    return get_lowering(lowering)(prog, full_domain=full_domain, **kwargs)

@@ -1,0 +1,201 @@
+"""Shared stencil-program representation used by every lowering backend.
+
+A ``StencilProgram`` is the compiled-once symbolic form of an
+``AssignmentCollection``: ordered evaluation steps (subexpressions then main
+assignments), the access atoms each step reads, ghost-layer geometry, and the
+field signature (ordered inputs/outputs).  The jnp oracle (jnp_ref.py), the
+Pallas kernels (pallas_kernel.py) and the generated-C backend (codegen/) all
+lower from this one structure, which keeps the ghost-layer bookkeeping in one
+place (SURVEY.md §7 "Hard parts" #2).
+
+Domain semantics
+----------------
+``interior`` mode (the reference's kernel semantics, SURVEY.md §3.5): all
+arrays share a spatial shape ``S``; the kernel writes cells
+``lo_d <= i_d < S_d - hi_d`` and leaves the ghost frame untouched (zeros for
+freshly allocated outputs).
+
+``full`` mode (used by the exact VJP, ops/vjp.py): inputs are padded by the
+ghost widths (zeros for adjoint fields, edge-replication for primal fields so
+divisions stay finite), the kernel's interior then covers the *entire*
+original domain and outputs come back full-shaped.  This is how the adjoint
+writes correct gradients into the ghost cells of the primal inputs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import sympy as sp
+
+from ..adjoint_field import AdjointField
+from ..assignment import Assignment, AssignmentCollection
+from ..field import Field
+
+__all__ = ["Step", "StencilProgram", "make_program", "forward_program", "backward_program"]
+
+
+@dataclass
+class Step:
+    """One evaluation step: ``target ← fn(*atom_values)``."""
+
+    target: object  # Field.Access (main) or sp.Symbol (subexpression)
+    atoms: List[object]  # Field.Access and bound sp.Symbols read by rhs
+    fn: Callable  # compiled scalar/elementwise function of the atoms
+    rhs: sp.Expr
+    is_accumulation: bool = False
+
+    @property
+    def is_main(self) -> bool:
+        return isinstance(self.target, Field.Access)
+
+
+@dataclass
+class StencilProgram:
+    collection: AssignmentCollection
+    input_fields: List[Field]
+    output_fields: List[Field]
+    steps: List[Step]
+    ghost: Tuple[Tuple[int, int], ...]  # (lo, hi) per spatial dim
+    ndim: int
+    accum_fields: List[Field] = dc_field(default_factory=list)
+    name: str = "stencil"
+
+    @property
+    def input_names(self) -> List[str]:
+        return [f.name for f in self.input_fields]
+
+    @property
+    def output_names(self) -> List[str]:
+        return [f.name for f in self.output_fields]
+
+    def interior_slices(self, shift: Tuple[int, ...] = ()) -> Tuple[slice, ...]:
+        """Spatial slices selecting the interior, optionally shifted (for a
+        read access with offsets ``shift``): ``lo+o : S-hi+o`` per dim."""
+        if not shift:
+            shift = (0,) * self.ndim
+        out = []
+        for (lo, hi), o in zip(self.ghost, shift):
+            stop = -(hi - o) if hi - o > 0 else None
+            out.append(slice(lo + o, stop))
+        return tuple(out)
+
+    def interior_shape(self, spatial_shape: Sequence[int]) -> Tuple[int, ...]:
+        return tuple(s - lo - hi for s, (lo, hi) in zip(spatial_shape, self.ghost))
+
+
+def _compile_rhs(rhs: sp.Expr, atoms: List[object], modules) -> Callable:
+    """Lambdify ``rhs`` over ``atoms`` with identifier-safe dummies."""
+    dummies = [sp.Dummy(f"a{i}") for i in range(len(atoms))]
+    expr = rhs.xreplace(dict(zip(atoms, dummies)))
+    if not dummies:
+        # Constant rhs: wrap so callers can still invoke with no args.
+        const = expr
+        return sp.lambdify((), const, modules=modules)
+    return sp.lambdify(dummies, expr, modules=modules)
+
+
+def make_program(
+    collection: AssignmentCollection,
+    input_fields: Sequence[Field],
+    output_fields: Sequence[Field],
+    name: str = "stencil",
+    modules="jax",
+    extra_ghost: Optional[Tuple[Tuple[int, int], ...]] = None,
+) -> StencilProgram:
+    """Compile an assignment collection into an ordered step program."""
+    input_fields = list(input_fields)
+    output_fields = list(output_fields)
+    ndim = output_fields[0].spatial_dimensions if output_fields else (
+        input_fields[0].spatial_dimensions)
+    ghost = collection.ghost_layers()
+    if len(ghost) < ndim:
+        ghost = ghost + tuple((0, 0) for _ in range(ndim - len(ghost)))
+    if extra_ghost is not None:
+        ghost = tuple((max(a, b), max(c, d))
+                      for (a, c), (b, d) in zip(ghost, extra_ghost))
+
+    bound = set()
+    steps: List[Step] = []
+    for a in collection.all_assignments:
+        accesses = sorted(a.rhs.atoms(Field.Access), key=sp.default_sort_key)
+        symbols = sorted((s for s in a.rhs.free_symbols
+                          if not isinstance(s, Field.Access) and s in bound),
+                         key=sp.default_sort_key)
+        free = {s for s in a.rhs.free_symbols
+                if not isinstance(s, Field.Access) and s not in bound}
+        if free:
+            raise ValueError(
+                f"free symbols {free} in {a}; bind them as fields or subexpressions")
+        atoms = list(accesses) + list(symbols)
+        steps.append(Step(target=a.lhs, atoms=atoms,
+                          fn=_compile_rhs(a.rhs, atoms, modules), rhs=a.rhs,
+                          is_accumulation=a.is_accumulation))
+        if not a.is_field_assignment:
+            bound.add(a.lhs)
+
+    accum = []
+    for a in collection.main_assignments:
+        if a.is_accumulation and a.lhs.field not in accum:
+            accum.append(a.lhs.field)
+
+    # Sanity: every access must be over a declared input field.
+    declared = {f.name for f in input_fields}
+    for s in steps:
+        for at in s.atoms:
+            if isinstance(at, Field.Access) and at.field.name not in declared:
+                raise ValueError(
+                    f"{name}: access {at} reads undeclared field {at.field.name!r}; "
+                    f"inputs are {sorted(declared)}")
+
+    return StencilProgram(
+        collection=collection,
+        input_fields=input_fields,
+        output_fields=output_fields,
+        steps=steps,
+        ghost=ghost,
+        ndim=ndim,
+        accum_fields=accum,
+        name=name,
+    )
+
+
+def forward_program(op, modules="jax") -> StencilProgram:
+    """Program for an ``AutoDiffOp``'s forward collection."""
+    return make_program(
+        op.forward_assignments,
+        input_fields=op.forward_input_fields,
+        output_fields=op.forward_output_fields,
+        name=f"{op.op_name}_fwd",
+        modules=modules,
+    )
+
+
+def backward_program(op, modules="jax") -> StencilProgram:
+    """Program for an ``AutoDiffOp``'s backward collection.
+
+    Inputs: adjoints of forward outputs + the saved primal fields; for
+    accumulation (``time_constant_fields``) adjoint outputs the previous
+    adjoint array is an additional input.
+    """
+    coll = op.backward_assignments
+    inputs = list(op.backward_input_fields)
+    accum_prev = [f for f in coll.fields_written
+                  if any(a.is_accumulation and a.lhs.field == f
+                         for a in coll.main_assignments)]
+    return make_program(
+        coll,
+        input_fields=inputs + [f for f in accum_prev if f not in inputs],
+        output_fields=op.backward_output_fields,
+        name=f"{op.op_name}_bwd",
+        modules=modules,
+    )
+
+
+def pad_widths(program: StencilProgram) -> Tuple[Tuple[int, int], ...]:
+    return program.ghost
+
+
+def is_adjoint(f: Field) -> bool:
+    return isinstance(f, AdjointField)

@@ -1,0 +1,138 @@
+"""jax.numpy reference lowering: shifted-slice evaluation of a stencil program.
+
+This is the executable correctness oracle standing in for the reference's
+pystencils CPU backend (SURVEY.md §4 "Rebuild test plan", oracle 1): run it
+on CPU with ``jax_enable_x64`` for float64 ground truth, and `jax.grad` of it
+is the gradcheck oracle the Pallas custom_vjp kernels are verified against.
+
+It is also a perfectly good production path on TPU for stencils XLA fuses
+well — everything here is pure jnp slicing and arithmetic, jit/vmap/shard_map
+compatible, with no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..field import Field
+from .common import StencilProgram, is_adjoint
+
+__all__ = ["make_jnp_stencil", "evaluate_program"]
+
+
+def _spatial_shape(program: StencilProgram, inputs: Dict[str, jax.Array]) -> Tuple[int, ...]:
+    for f in program.input_fields:
+        arr = inputs[f.name]
+        return tuple(arr.shape[: f.spatial_dimensions])
+    raise ValueError("program has no inputs")
+
+
+def _access_view(program: StencilProgram, arrays: Dict[str, jax.Array], acc) -> jax.Array:
+    sl = program.interior_slices(acc.offsets)
+    view = arrays[acc.field.name][sl]
+    if acc.index:
+        view = view[(Ellipsis,) + tuple(acc.index)]
+    elif acc.field.index_dimensions:
+        # whole-component read of an index field without component selection
+        raise ValueError(f"access {acc} to index field must select components")
+    return view
+
+
+def evaluate_program(
+    program: StencilProgram,
+    arrays: Dict[str, jax.Array],
+    interior_shape: Tuple[int, ...],
+    dtype,
+) -> Dict[str, jax.Array]:
+    """Run the step list on interior-shaped views; returns per-(field)
+    interior value arrays keyed by output field name (with index dims)."""
+    env: Dict[object, jax.Array] = {}
+    out_vals: Dict[str, jax.Array] = {}
+    for f in program.output_fields:
+        if f.index_shape:
+            out_vals[f.name] = jnp.zeros(interior_shape + f.index_shape, dtype)
+        else:
+            out_vals[f.name] = jnp.zeros(interior_shape, dtype)
+
+    for step in program.steps:
+        vals = []
+        for at in step.atoms:
+            if isinstance(at, Field.Access):
+                vals.append(_access_view(program, arrays, at))
+            else:
+                vals.append(env[at])
+        res = step.fn(*vals)
+        res = jnp.broadcast_to(jnp.asarray(res, dtype), interior_shape)
+        if step.is_main:
+            tgt = step.target
+            name = tgt.field.name
+            if tgt.index:
+                out_vals[name] = out_vals[name].at[(Ellipsis,) + tuple(tgt.index)].set(res)
+            else:
+                out_vals[name] = res
+        else:
+            env[step.target] = res
+    return out_vals
+
+
+def _pad_input(f: Field, arr: jax.Array, ghost) -> jax.Array:
+    """Pad spatial dims by the ghost widths.  Adjoint fields pad with zeros
+    (mathematically required — no contributions from outside the domain);
+    primal fields edge-replicate so e.g. divisions by a coefficient stay
+    finite (the padded values are always multiplied by a zero adjoint)."""
+    pads = tuple(ghost) + ((0, 0),) * f.index_dimensions
+    mode = "constant" if is_adjoint(f) else "edge"
+    return jnp.pad(arr, pads, mode=mode)
+
+
+def make_jnp_stencil(program: StencilProgram, full_domain: bool = False,
+                     dtype=None):
+    """Build ``fn(inputs: dict[str, Array]) -> dict[str, Array]``.
+
+    ``full_domain=False``: reference kernel semantics — outputs are zero on
+    the ghost frame, interior holds the stencil result; accumulation outputs
+    add into the provided previous array.
+
+    ``full_domain=True``: exact-VJP semantics — inputs are ghost-padded and
+    the result covers the entire original domain (see ops/common.py
+    docstring and ops/vjp.py).
+    """
+
+    def fn(inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        out_dtype = dtype or inputs[program.input_fields[0].name].dtype
+        if full_domain:
+            orig_shape = _spatial_shape(program, inputs)
+            arrays = {f.name: _pad_input(f, inputs[f.name], program.ghost)
+                      for f in program.input_fields}
+            interior = orig_shape
+        else:
+            arrays = {f.name: inputs[f.name] for f in program.input_fields}
+            shape = _spatial_shape(program, inputs)
+            interior = program.interior_shape(shape)
+        vals = evaluate_program(program, arrays, interior, out_dtype)
+
+        outputs: Dict[str, jax.Array] = {}
+        for f in program.output_fields:
+            val = vals[f.name]
+            accum = f in program.accum_fields
+            if full_domain:
+                if accum:
+                    prev = inputs.get(f.name)
+                    outputs[f.name] = val if prev is None else prev + val
+                else:
+                    outputs[f.name] = val
+            else:
+                shape = _spatial_shape(program, inputs) + f.index_shape
+                sl = program.interior_slices()
+                if accum and f.name in inputs:
+                    outputs[f.name] = inputs[f.name].at[sl].add(val)
+                else:
+                    outputs[f.name] = jnp.zeros(shape, out_dtype).at[sl].set(val)
+        return outputs
+
+    fn.program = program
+    fn.__name__ = f"jnp_{program.name}"
+    return fn

@@ -1,0 +1,131 @@
+"""custom_vjp assembly: the TPU-native replacement for the reference's
+torch/TF custom-op wrapping (SURVEY.md §2.2, §3.3).
+
+``build_custom_vjp(op)`` returns a jit/vmap/shard_map-compatible function
+``f(*inputs) -> outputs`` (ordered by ``op.forward_input_fields`` /
+``op.forward_output_fields``) registered with ``jax.custom_vjp`` so that
+``jax.grad`` invokes the *symbolically derived* backward kernel instead of
+XLA's autodiff.
+
+Boundary-exactness (SURVEY.md §7 hard-part #2): the forward writes only the
+ghost-shrunk interior, so its exact VJP must (a) mask incoming cotangents to
+that interior — cells the forward never wrote contribute nothing — and
+(b) evaluate the backward gather over the *full* domain with ghost-padded
+reads, so gradients land in the primal ghost cells that the forward's
+interior reads touched.  The backward lowering's ``full_domain=True`` mode
+implements exactly this; gradcheck-style tests against ``jax.grad`` of the
+jnp oracle then agree to float64 round-off everywhere, including boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..adjoint_field import AdjointField
+from .common import StencilProgram, backward_program, forward_program
+
+__all__ = ["build_custom_vjp", "build_custom_vjp_from_programs"]
+
+
+def _interior_mask_set(program: StencilProgram, cot: jax.Array) -> jax.Array:
+    """Zero the cotangent outside the forward interior."""
+    sl = program.interior_slices()
+    return jnp.zeros_like(cot).at[sl].set(cot[sl])
+
+
+def build_custom_vjp_from_programs(
+    op,
+    fwd_fn: Callable[[Dict[str, jax.Array]], Dict[str, jax.Array]],
+    bwd_full_fn: Callable[[Dict[str, jax.Array]], Dict[str, jax.Array]],
+    fwd_prog: StencilProgram,
+    bwd_prog: StencilProgram,
+):
+    """Wire lowered forward/backward dict-functions into a custom_vjp."""
+    in_names = [f.name for f in op.forward_input_fields]
+    out_names = [f.name for f in op.forward_output_fields]
+    saved_names = [f.name for f in op.saved_fields]
+    grad_names = [f.corresponding_forward_field.name for f in op.backward_output_fields]
+    # adjoint inputs of the bwd program, in program order
+    bwd_input_fields = bwd_prog.input_fields
+
+    def apply(*arrays):
+        inputs = dict(zip(in_names, arrays))
+        outputs = fwd_fn(inputs)
+        return tuple(outputs[n] for n in out_names)
+
+    def fwd_rule(*arrays):
+        inputs = dict(zip(in_names, arrays))
+        outputs = fwd_fn(inputs)
+        residuals = tuple(inputs[n] for n in saved_names)
+        return tuple(outputs[n] for n in out_names), residuals
+
+    def bwd_rule(residuals, cotangents):
+        saved = dict(zip(saved_names, residuals))
+        # All fields share the spatial shape; recover it from a cotangent.
+        out0_field = op.forward_output_fields[0]
+        cot0 = cotangents[0]
+        spatial = (cot0.shape[: out0_field.spatial_dimensions]
+                   if out0_field.index_shape else cot0.shape)
+        in_dtype = cot0.dtype
+        cots = dict(zip(out_names, cotangents))
+        bwd_inputs: Dict[str, jax.Array] = {}
+        for f in bwd_input_fields:
+            if isinstance(f, AdjointField):
+                primal_name = f.corresponding_forward_field.name
+                if primal_name in cots:
+                    # mask to the forward interior: exact VJP of the
+                    # "write-interior-only" forward map
+                    bwd_inputs[f.name] = _interior_mask_set(fwd_prog, cots[primal_name])
+                else:
+                    raise ValueError(f"no cotangent for adjoint input {f.name}")
+            else:
+                bwd_inputs[f.name] = saved[f.name]
+        grads = bwd_full_fn(bwd_inputs)
+        grad_by_primal = dict(zip(grad_names, (grads[f.name] for f in op.backward_output_fields)))
+        out = []
+        for f in op.forward_input_fields:
+            if f.name in grad_by_primal:
+                out.append(grad_by_primal[f.name])
+            else:  # constant field: zero cotangent
+                out.append(jnp.zeros(tuple(spatial) + f.index_shape, in_dtype))
+        return tuple(out)
+
+    wrapped = jax.custom_vjp(apply)
+    wrapped.defvjp(fwd_rule, bwd_rule)
+
+    def user_fn(*arrays, **kw_arrays):
+        if kw_arrays:
+            if arrays:
+                raise TypeError("pass fields either positionally or by name, not both")
+            unknown = set(kw_arrays) - set(in_names)
+            if unknown:
+                raise TypeError(f"unknown field(s) {sorted(unknown)}; inputs are {in_names}")
+            missing = set(in_names) - set(kw_arrays)
+            if missing:
+                raise TypeError(f"missing field(s) {sorted(missing)}; inputs are {in_names}")
+            arrays = tuple(kw_arrays[n] for n in in_names)
+        if len(arrays) != len(in_names):
+            raise TypeError(f"expected {len(in_names)} inputs {in_names}, got {len(arrays)}")
+        result = wrapped(*arrays)
+        return result[0] if len(result) == 1 else result
+
+    user_fn.input_names = in_names
+    user_fn.output_names = out_names
+    user_fn.op = op
+    user_fn.forward_program = fwd_prog
+    user_fn.backward_program = bwd_prog
+    user_fn.__name__ = op.op_name
+    return user_fn
+
+
+def build_custom_vjp(op, lowering: str = "jnp", **kwargs):
+    from . import get_lowering
+    lower = get_lowering(lowering)
+    fwd_prog = forward_program(op)
+    bwd_prog = backward_program(op)
+    fwd_fn = lower(fwd_prog, full_domain=False, **kwargs)
+    bwd_full_fn = lower(bwd_prog, full_domain=True, **kwargs)
+    return build_custom_vjp_from_programs(op, fwd_fn, bwd_full_fn, fwd_prog, bwd_prog)
