@@ -1,0 +1,137 @@
+"""Pallas lowering tests: interpret mode on CPU (CI-safe), exactness vs the
+jnp oracle lowering, and custom_vjp gradients through the Pallas kernels
+(SURVEY.md §4 rebuild test plan: Pallas kernels tested interpret=True on
+CPU, re-run natively when a TPU is present)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pystencils_autodiff_tpu import Assignment, AutoDiffOp, fields
+from pystencils_autodiff_tpu.ops import forward_program, backward_program
+from pystencils_autodiff_tpu.ops.jnp_ref import make_jnp_stencil
+from pystencils_autodiff_tpu.ops.pallas_kernel import make_pallas_stencil
+
+RTOL, ATOL = 1e-12, 1e-12
+
+
+def rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype=jnp.float64)
+
+
+def _laplacian_op():
+    x, y = fields("x, y", 2)
+    return AutoDiffOp(
+        [Assignment(y.center, x[1, 0] + x[-1, 0] + x[0, 1] + x[0, -1] - 4 * x[0, 0])],
+        op_name="lap2d")
+
+
+@pytest.mark.parametrize("full_domain", [False, True])
+def test_whole_array_matches_jnp(full_domain):
+    op = _laplacian_op()
+    prog = forward_program(op)
+    ref = make_jnp_stencil(prog, full_domain=full_domain)
+    pal = make_pallas_stencil(prog, full_domain=full_domain, interpret=True,
+                              strategy="whole")
+    x = rand(0, (16, 24))
+    np.testing.assert_allclose(pal({"x": x})["y"], ref({"x": x})["y"],
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_multi_field_nonlinear_whole():
+    x, y, k = fields("x, y, k", 2)
+    op = AutoDiffOp([Assignment(
+        y.center, k[0, 0] * (x[1, 0] + x[-1, 0] - 2 * x[0, 0]) + x[0, 1] ** 2)],
+        op_name="mix")
+    prog = forward_program(op)
+    ref = make_jnp_stencil(prog)
+    pal = make_pallas_stencil(prog, interpret=True, strategy="whole")
+    arrs = {"x": rand(1, (12, 18)), "k": rand(2, (12, 18))}
+    np.testing.assert_allclose(pal(arrs)["y"], ref(arrs)["y"], rtol=RTOL, atol=ATOL)
+
+
+def test_backward_program_whole():
+    op = _laplacian_op()
+    prog = backward_program(op)
+    ref = make_jnp_stencil(prog, full_domain=True)
+    pal = make_pallas_stencil(prog, full_domain=True, interpret=True,
+                              strategy="whole")
+    arrs = {"diffy": rand(3, (10, 14))}
+    np.testing.assert_allclose(pal(arrs)["diffx"], ref(arrs)["diffx"],
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_vjp_through_pallas_matches_oracle():
+    op = _laplacian_op()
+    f_pal = op.jax_function(lowering="pallas", interpret=True)
+    f_ref = op.jax_function(lowering="jnp")
+    x = rand(4, (16, 16))
+    np.testing.assert_allclose(f_pal(x), f_ref(x), rtol=RTOL, atol=ATOL)
+    g_pal = jax.grad(lambda x: jnp.sum(jnp.sin(f_pal(x))))(x)
+    g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(f_ref(x))))(x)
+    np.testing.assert_allclose(g_pal, g_ref, rtol=RTOL, atol=ATOL)
+
+
+def test_vector_field_pallas():
+    vel = fields("vel(2)", 2)
+    div = fields("div", 2)
+    op = AutoDiffOp([Assignment(
+        div.center,
+        vel[1, 0](0) - vel[-1, 0](0) + vel[0, 1](1) - vel[0, -1](1))],
+        op_name="divp")
+    prog = forward_program(op)
+    ref = make_jnp_stencil(prog)
+    pal = make_pallas_stencil(prog, interpret=True, strategy="whole")
+    arrs = {"vel": rand(5, (9, 11, 2))}
+    np.testing.assert_allclose(pal(arrs)["div"], ref(arrs)["div"],
+                               rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("full_domain", [False, True])
+def test_row_tiled_matches_jnp_interpret(full_domain):
+    """Tiled double-buffered DMA kernel vs oracle, interpreter mode."""
+    op = _laplacian_op()
+    prog = forward_program(op)
+    ref = make_jnp_stencil(prog, full_domain=full_domain)
+    pal = make_pallas_stencil(prog, full_domain=full_domain, interpret=True,
+                              strategy="tiled", tile_rows=8)
+    x = rand(6, (40, 24))  # 5 tiles of 8 rows
+    np.testing.assert_allclose(pal({"x": x})["y"], ref({"x": x})["y"],
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_row_tiled_ragged_tiles():
+    op = _laplacian_op()
+    prog = forward_program(op)
+    ref = make_jnp_stencil(prog)
+    pal = make_pallas_stencil(prog, interpret=True, strategy="tiled", tile_rows=8)
+    x = rand(7, (37, 24))  # non-multiple of tile
+    np.testing.assert_allclose(pal({"x": x})["y"], ref({"x": x})["y"],
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_row_tiled_3d_varcoeff():
+    x, y, k = fields("x, y, k", 3)
+    op = AutoDiffOp([Assignment(
+        y.center,
+        k[0, 0, 0] * (x[1, 0, 0] + x[-1, 0, 0] + x[0, 1, 0] + x[0, -1, 0]
+                      + x[0, 0, 1] + x[0, 0, -1] - 6 * x[0, 0, 0]))],
+        op_name="d3")
+    prog = forward_program(op)
+    ref = make_jnp_stencil(prog)
+    pal = make_pallas_stencil(prog, interpret=True, strategy="tiled", tile_rows=4)
+    arrs = {"x": rand(8, (12, 10, 11)), "k": rand(9, (12, 10, 11))}
+    np.testing.assert_allclose(pal(arrs)["y"], ref(arrs)["y"], rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.tpu
+def test_pallas_native_tpu():
+    """Compiled (non-interpret) run on real TPU, float32 tolerance."""
+    op = _laplacian_op()
+    prog = forward_program(op)
+    ref = make_jnp_stencil(prog)
+    pal = make_pallas_stencil(prog, interpret=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (256, 256), dtype=jnp.float32)
+    np.testing.assert_allclose(pal({"x": x})["y"], ref({"x": x})["y"],
+                               rtol=1e-6, atol=1e-5)
