@@ -1,0 +1,20 @@
+"""Model library: the five BASELINE benchmark configurations as reusable
+differentiable stencil definitions (BASELINE.md)."""
+
+from .diffusion import diffusion3d_op, sharded_diffusion3d
+from .elastic import anisotropic27_op, elastic_stress_op, elastic_velocity_op
+from .heat import heat_step_op, laplacian_op
+from .wave import fwi_gradient, wave_simulate, wave_step_op
+
+__all__ = [
+    "laplacian_op",
+    "heat_step_op",
+    "diffusion3d_op",
+    "sharded_diffusion3d",
+    "wave_step_op",
+    "wave_simulate",
+    "fwi_gradient",
+    "anisotropic27_op",
+    "elastic_velocity_op",
+    "elastic_stress_op",
+]

@@ -1,0 +1,40 @@
+"""2D heat equation / Laplacian models (BASELINE config #1).
+
+The canonical demo op of the reference (its README example is a Laplacian-
+style stencil wrapped for torch/TF); here: 5-point Laplacian and explicit
+Euler heat step, fwd + symbolically derived adjoint.
+"""
+
+from __future__ import annotations
+
+import sympy as sp
+
+from ..assignment import Assignment
+from ..autodiff import AutoDiffOp
+from ..field import Field
+
+__all__ = ["laplacian_op", "heat_step_op"]
+
+
+def laplacian_op(dtype="float32") -> AutoDiffOp:
+    """y = ∇²x (5-point, unit grid spacing)."""
+    x = Field("x", 2, dtype=dtype)
+    y = Field("y", 2, dtype=dtype)
+    return AutoDiffOp(
+        [Assignment(y.center,
+                    x[1, 0] + x[-1, 0] + x[0, 1] + x[0, -1] - 4 * x[0, 0])],
+        op_name="laplacian2d")
+
+
+def heat_step_op(dt: float = 0.1, kappa_field: bool = False,
+                 dtype="float32") -> AutoDiffOp:
+    """u' = u + dt·κ·∇²u — explicit Euler step; κ a field if requested."""
+    u = Field("u", 2, dtype=dtype)
+    out = Field("u_next", 2, dtype=dtype)
+    lap = u[1, 0] + u[-1, 0] + u[0, 1] + u[0, -1] - 4 * u[0, 0]
+    if kappa_field:
+        k = Field("kappa", 2, dtype=dtype)
+        rhs = u[0, 0] + dt * k[0, 0] * lap
+    else:
+        rhs = u[0, 0] + dt * lap
+    return AutoDiffOp([Assignment(out.center, rhs)], op_name="heat_step2d")

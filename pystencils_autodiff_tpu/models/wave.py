@@ -1,0 +1,75 @@
+"""2D acoustic wave equation with FWI-style checkpointed adjoint
+(BASELINE config #3).
+
+Leapfrog discretisation of  u_tt = c² ∇²u :
+
+    u_next = 2·u_curr − u_prev + (dt·c)² ∇²u_curr
+
+``c`` (the velocity model) is a ``time_constant_field``: its gradient
+accumulates over all time steps (the reference's hook, SURVEY.md §5.4).
+``fwi_gradient`` computes ∂‖seismogram − observed‖²/∂c with the adjoint
+state method materialised automatically by JAX's scan transpose over the
+checkpointed time loop — the modern functional form of "store/recompute the
+forward history" that the reference leaves to the torch/TF tape.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..assignment import Assignment
+from ..autodiff import AutoDiffOp
+from ..field import Field
+from ..timeloop import make_time_stepper, run_timeloop
+
+__all__ = ["wave_step_op", "wave_simulate", "fwi_gradient"]
+
+
+def wave_step_op(dt: float = 0.001, dx: float = 1.0,
+                 dtype="float32") -> AutoDiffOp:
+    u = Field("u_curr", 2, dtype=dtype)
+    up = Field("u_prev", 2, dtype=dtype)
+    c = Field("c", 2, dtype=dtype)
+    out = Field("u_next", 2, dtype=dtype)
+    lap = (u[1, 0] + u[-1, 0] + u[0, 1] + u[0, -1] - 4 * u[0, 0]) / (dx * dx)
+    rhs = 2 * u[0, 0] - up[0, 0] + (dt * c[0, 0]) ** 2 * lap
+    return AutoDiffOp([Assignment(out.center, rhs)], op_name="wave_step2d",
+                      time_constant_fields=[c])
+
+
+def wave_simulate(c: jax.Array, u0: jax.Array, n_steps: int,
+                  dt: float = 0.001, dx: float = 1.0,
+                  checkpoint: str = "sqrt",
+                  record: Optional[Callable[[Dict], jax.Array]] = None,
+                  lowering: str = "jnp", **kwargs):
+    """Run the leapfrog loop from rest (u_prev = u_curr = u0)."""
+    op = wave_step_op(dt=dt, dx=dx, dtype=str(c.dtype))
+    step = make_time_stepper(op, {"u_curr": "u_next", "u_prev": "u_curr"},
+                             lowering=lowering, **kwargs)
+    state = {"u_curr": u0, "u_prev": u0, "c": c}
+    return run_timeloop(step, state, n_steps, checkpoint=checkpoint,
+                        record=record)
+
+
+def fwi_gradient(c: jax.Array, u0: jax.Array, observed: jax.Array,
+                 receiver_row: int, n_steps: int, dt: float = 0.001,
+                 dx: float = 1.0, checkpoint: str = "sqrt",
+                 lowering: str = "jnp", **kwargs):
+    """Value and gradient of the FWI misfit w.r.t. the velocity model ``c``.
+
+    ``observed``: (n_steps, width) reference seismogram at ``receiver_row``.
+    """
+
+    def record(state):
+        return state["u_curr"][receiver_row, :]
+
+    def misfit(c_):
+        _, seis = wave_simulate(c_, u0, n_steps, dt=dt, dx=dx,
+                                checkpoint=checkpoint, record=record,
+                                lowering=lowering, **kwargs)
+        return 0.5 * jnp.sum((seis - observed) ** 2)
+
+    return jax.value_and_grad(misfit)(c)

@@ -80,7 +80,13 @@ def build_custom_vjp_from_programs(
                     # "write-interior-only" forward map
                     bwd_inputs[f.name] = _interior_mask_set(fwd_prog, cots[primal_name])
                 else:
-                    raise ValueError(f"no cotangent for adjoint input {f.name}")
+                    # previous-adjoint input of an accumulation
+                    # (time_constant_fields) assignment: within a single
+                    # custom_vjp step the accumulator starts at zero — JAX's
+                    # scan/loop transpose performs the cross-step summation.
+                    primal = f.corresponding_forward_field
+                    bwd_inputs[f.name] = jnp.zeros(
+                        tuple(spatial) + primal.index_shape, in_dtype)
             else:
                 bwd_inputs[f.name] = saved[f.name]
         grads = bwd_full_fn(bwd_inputs)
