@@ -231,6 +231,8 @@ def _run_row_tiled(program: StencilProgram, inputs: Dict[str, jax.Array],
         denom = 2 * row_bytes + 2 * out_row_bytes
         tile_rows = max(8, min(512, budget // max(denom, 1)))
         tile_rows = max(tile_rows, lo0 + hi0 + 1)
+        # output blocks must have sublane-divisible leading extent
+        tile_rows = max(8, (tile_rows // 8) * 8)
     t = int(tile_rows)
 
     # --- pad inputs so every read is in bounds: leading dim by

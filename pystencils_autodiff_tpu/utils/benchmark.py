@@ -1,0 +1,54 @@
+"""Benchmark timing utilities for the relay-attached TPU.
+
+``block_until_ready()`` does not reliably block on the experimental axon
+relay backend, and ≤VMEM working sets never touch HBM — so honest kernel
+timing must (a) force completion with a host scalar fetch and (b) subtract
+the measured RTT baseline (see .claude/skills/verify/SKILL.md).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["fetch_timed", "rtt_baseline", "roofline_gbps"]
+
+# v5e (TPU v5 lite) HBM STREAM-class bandwidth, GB/s
+V5E_HBM_GBPS = 819.0
+
+
+def _force(out) -> float:
+    """Fetch a scalar derived from the (pytree) output — forces completion."""
+    leaf = jax.tree.leaves(out)[0]
+    idx = tuple(0 for _ in leaf.shape)
+    return float(leaf[idx])
+
+
+def fetch_timed(fn: Callable, *args, repeats: int = 5) -> float:
+    """min wall time of fn(*args) with forced materialisation (seconds)."""
+    _force(fn(*args))  # warmup/compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _force(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def rtt_baseline(repeats: int = 5) -> float:
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda a: a + 1)
+    return fetch_timed(f, tiny, repeats=repeats)
+
+
+def roofline_gbps() -> float:
+    try:
+        d = jax.devices()[0]
+        if d.platform == "tpu":
+            return V5E_HBM_GBPS
+    except Exception:
+        pass
+    return 100.0  # rough host-DRAM figure for CPU fallback runs
