@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Full benchmark harness: the five BASELINE configs, fwd and fwd+adjoint,
+grid-points/s and GB/s vs the HBM roofline (SURVEY.md §5.1 rebuild plan).
+
+Usage:  python benchmarks/run_all.py [--small]
+
+Prints a markdown table; honest timing on the relay TPU (host-fetch forced
+completion, RTT subtracted, in-jit dependency chains).  ``--small`` runs
+CPU-sized problems for smoke-testing the harness itself.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def chain(f, iters):
+    @jax.jit
+    def g(x):
+        def body(c, _):
+            return f(c) * 0.999 + c * 0.001, None
+        return jax.lax.scan(body, x, None, length=iters)[0]
+    return g
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    from pystencils_autodiff_tpu.models import (
+        anisotropic27_op, diffusion3d_op, laplacian_op, wave_step_op)
+    from pystencils_autodiff_tpu.utils import (
+        fetch_timed, roofline_gbps, rtt_baseline)
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    small = args.small or not on_tpu
+    n2 = 1024 if small else 8192
+    n3 = 64 if small else 512
+    iters = 5 if small else args.iters
+    dtype = jnp.float32
+    lowering = "pallas" if on_tpu else "jnp"
+    rtt = rtt_baseline()
+    peak = roofline_gbps()
+
+    rows = []
+
+    def bench(name, f, x, n_arrays):
+        t = (fetch_timed(chain(f, iters), x) - rtt) / iters
+        t = max(t, 1e-9)
+        ab = x.size * x.dtype.itemsize
+        gbps = n_arrays * ab / t / 1e9
+        pts = x.size / t
+        rows.append((name, t * 1e3, pts / 1e9, gbps, gbps / peak))
+
+    key = jax.random.PRNGKey(0)
+
+    # config 1: 2D Laplacian
+    op = laplacian_op()
+    f = op.jax_function(lowering=lowering)
+    x2 = jax.random.normal(key, (n2, n2), dtype)
+    bench("1 lap2d fwd", lambda a: f(a), x2, 2)
+    bench("1 lap2d fwd+adj", lambda a: jax.grad(
+        lambda b: jnp.sum(f(b) * b))(a), x2, 4)
+
+    # config 2: 3D variable-kappa diffusion
+    op = diffusion3d_op()
+    f = op.jax_function(lowering=lowering)
+    x3 = jax.random.normal(key, (n3, n3, n3), dtype)
+    k3 = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (n3, n3, n3), dtype) ** 2
+    bench("2 diff3d fwd", lambda a: f(kappa=k3, u=a), x3, 3)
+    bench("2 diff3d fwd+adj", lambda a: jax.grad(
+        lambda b: jnp.sum(f(kappa=k3, u=b) * b))(a), x3, 6)
+
+    # config 3: wave step (the FWI kernel)
+    op = wave_step_op()
+    f = op.jax_function(lowering=lowering)
+    c2 = 2.0 + jnp.zeros((n2, n2), dtype)
+    bench("3 wave fwd", lambda a: f(c=c2, u_curr=a, u_prev=a), x2, 4)
+    bench("3 wave fwd+adj", lambda a: jax.grad(
+        lambda b: jnp.sum(f(c=c2, u_curr=b, u_prev=b) * b))(a), x2, 8)
+
+    # config 4: anisotropic 27-point
+    op = anisotropic27_op()
+    f = op.jax_function(lowering=lowering)
+    bench("4 aniso27 fwd", lambda a: f(a), x3, 2)
+    bench("4 aniso27 fwd+adj", lambda a: jax.grad(
+        lambda b: jnp.sum(f(b) * b))(a), x3, 4)
+
+    dev = jax.devices()[0].device_kind
+    print(f"\n### Benchmarks ({dev}, {'small' if small else 'full'} sizes, "
+          f"lowering={lowering}, peak={peak:.0f} GB/s)\n")
+    print("| config | ms/iter | Gpts/s | GB/s | frac peak |")
+    print("|---|---|---|---|---|")
+    for name, ms, gpts, gbps, frac in rows:
+        print(f"| {name} | {ms:.3f} | {gpts:.2f} | {gbps:.0f} | {frac:.2f} |")
+
+
+if __name__ == "__main__":
+    main()

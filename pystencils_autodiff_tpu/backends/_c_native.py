@@ -85,7 +85,7 @@ class NativeKernel:
 
 
 def make_c_stencil(program: StencilProgram, full_domain: bool = False,
-                   dtype=None, **_ignored):
+                   dtype=None, adjoint_mask_ghost=None, **_ignored):
     """Lowering-registry adapter: numpy-calling stencil function.
 
     Note: unlike the jnp/pallas lowerings this is not jax-traceable — it is
@@ -95,6 +95,15 @@ def make_c_stencil(program: StencilProgram, full_domain: bool = False,
 
     def fn(inputs):
         arrs = {k: np.asarray(v) for k, v in inputs.items()}
+        if adjoint_mask_ghost is not None:
+            for f in program.input_fields:
+                if isinstance(f, AdjointField):
+                    a = arrs[f.name]
+                    sl = tuple(slice(lo, a.shape[d] - hi)
+                               for d, (lo, hi) in enumerate(adjoint_mask_ghost))
+                    m = np.zeros_like(a)
+                    m[sl + (Ellipsis,)] = a[sl + (Ellipsis,)]
+                    arrs[f.name] = m
         dt = np.dtype(dtype) if dtype else arrs[program.input_fields[0].name].dtype
         if dt not in kern:
             kern[dt] = NativeKernel(program, full_domain, dt)

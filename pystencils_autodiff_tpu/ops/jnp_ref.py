@@ -88,8 +88,23 @@ def _pad_input(f: Field, arr: jax.Array, ghost) -> jax.Array:
     return jnp.pad(arr, pads, mode=mode)
 
 
+def _mask_adjoint_inputs(program, inputs, ghost_spec):
+    """Zero adjoint-field inputs outside the given (forward) interior via
+    slice+pad (the exact-VJP cotangent mask; no scatter)."""
+    out = dict(inputs)
+    for f in program.input_fields:
+        if is_adjoint(f):
+            arr = inputs[f.name]
+            nd = program.ndim
+            sl = tuple(slice(lo, arr.shape[d] - hi)
+                       for d, (lo, hi) in enumerate(ghost_spec))
+            pads = tuple(ghost_spec) + ((0, 0),) * (arr.ndim - nd)
+            out[f.name] = jnp.pad(arr[sl + (Ellipsis,)], pads)
+    return out
+
+
 def make_jnp_stencil(program: StencilProgram, full_domain: bool = False,
-                     dtype=None):
+                     dtype=None, adjoint_mask_ghost=None):
     """Build ``fn(inputs: dict[str, Array]) -> dict[str, Array]``.
 
     ``full_domain=False``: reference kernel semantics — outputs are zero on
@@ -103,6 +118,8 @@ def make_jnp_stencil(program: StencilProgram, full_domain: bool = False,
 
     def fn(inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         out_dtype = dtype or inputs[program.input_fields[0].name].dtype
+        if adjoint_mask_ghost is not None:
+            inputs = _mask_adjoint_inputs(program, inputs, adjoint_mask_ghost)
         if full_domain:
             orig_shape = _spatial_shape(program, inputs)
             arrays = {f.name: _pad_input(f, inputs[f.name], program.ghost)

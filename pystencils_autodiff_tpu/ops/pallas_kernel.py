@@ -189,6 +189,229 @@ def _run_whole_array(program: StencilProgram, inputs: Dict[str, jax.Array],
 
 
 # ---------------------------------------------------------------------------
+# Strategy "blocked": auto-pipelined row blocks + halo strips + in-register
+# shifts.  The fast path: measured at pallas copy speed on v5e (shifted
+# reads inside a kernel are free; wrapper pads/scatters are not — so this
+# strategy has none).  Cross-block row halos come from two small strip
+# tensors built with cheap XLA slices; lateral (non-leading-dim) shifts are
+# value-level concats; cotangent interior masking (exact VJP) is fused into
+# the kernel via ``adjoint_mask_ghost``.
+# ---------------------------------------------------------------------------
+
+
+def _shift_lateral(v, offset: int, axis: int, zero_fill: bool,
+                   interpret: bool):
+    """Shift value ``v`` by ``offset`` along ``axis``: ``result[i] =
+    v[i+offset]``; cells beyond the edge are zero (adjoint semantics) or
+    edge-replicated (primal; replicated values are always multiplied by
+    masked-zero factors but must stay finite).
+
+    Implemented as a circular roll + iota mask: Mosaic lowers ``pltpu.roll``
+    to a cheap lane/sublane rotate (measured at copy speed), whereas
+    lane-dim concatenates of odd-width pieces hit layout-offset
+    restrictions.  Interpret mode falls back to ``jnp.roll``.
+    """
+    if offset == 0:
+        return v
+    w = v.shape[axis]
+    if interpret:
+        rolled = jnp.roll(v, -offset, axis=axis)
+    else:
+        rolled = pltpu.roll(v, (-offset) % w, axis)
+    ids = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+    mask = (ids < w - offset) if offset > 0 else (ids >= -offset)
+    if zero_fill:
+        return jnp.where(mask, rolled, 0)
+    edge = jax.lax.slice_in_dim(v, w - 1, w, axis=axis) if offset > 0 \
+        else jax.lax.slice_in_dim(v, 0, 1, axis=axis)
+    return jnp.where(mask, rolled, jnp.broadcast_to(edge, v.shape))
+
+
+def _pick_divisor_tile(s0: int, lo0: int, hi0: int, row_bytes: int,
+                       vmem_limit: int) -> Optional[int]:
+    """Largest multiple-of-8 divisor of s0 whose slabs fit the VMEM budget;
+    None if s0 has no multiple-of-8 divisor (fallback to other strategies)."""
+    budget_rows = max(8, vmem_limit // (6 * max(row_bytes, 1)))
+    best = None
+    for t in range(8, s0 + 1, 8):
+        if s0 % t == 0 and t <= max(budget_rows, 8) and t >= lo0 + hi0:
+            best = t
+    if best is None:
+        for t in range(8, s0 + 1, 8):
+            if s0 % t == 0 and t >= lo0 + hi0:
+                return t  # smallest fitting divisor even if over budget guess
+    return best
+
+
+def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
+                 spatial, dtype, full_domain: bool, interpret: bool,
+                 tile_rows: Optional[int] = None,
+                 adjoint_mask_ghost=None,
+                 vmem_limit_bytes: int = 100 * 1024 * 1024):
+    nd = program.ndim
+    ghost = program.ghost
+    lo0, hi0 = ghost[0]
+    rest = tuple(spatial[1:])
+    s0 = spatial[0]
+    itemsize = jnp.dtype(dtype).itemsize
+    row_bytes = int(np.prod(rest, dtype=np.int64)) * itemsize if rest else itemsize
+    n_fields = len(program.input_fields) + len(program.output_fields)
+
+    if tile_rows is None:
+        t = _pick_divisor_tile(s0, lo0, hi0,
+                               row_bytes * max(n_fields, 1), vmem_limit_bytes)
+    else:
+        t = int(tile_rows)
+        if s0 % t:
+            t = None
+    if t is None:
+        raise ValueError(f"blocked strategy needs a multiple-of-8 row-tile "
+                         f"dividing {s0}")
+    nb = s0 // t
+
+    arrays, ups, downs = [], [], []
+    for f in program.input_fields:
+        arr = inputs[f.name].astype(dtype)
+        zero_fill = is_adjoint(f)
+        xr = arr.reshape((nb, t) + rest + f.index_shape)
+        if lo0:
+            first = (jnp.zeros((1, lo0) + rest + f.index_shape, dtype)
+                     if zero_fill else
+                     jnp.broadcast_to(xr[:1, :1],
+                                      (1, lo0) + rest + f.index_shape))
+            ups.append(jnp.concatenate([first, xr[:-1, t - lo0:]], axis=0))
+        if hi0:
+            last = (jnp.zeros((1, hi0) + rest + f.index_shape, dtype)
+                    if zero_fill else
+                    jnp.broadcast_to(xr[-1:, -1:],
+                                     (1, hi0) + rest + f.index_shape))
+            downs.append(jnp.concatenate([xr[1:, :hi0], last], axis=0))
+        arrays.append(arr)
+
+    n_in = len(program.input_fields)
+    n_up = len(ups)
+    n_dn = len(downs)
+    input_pos = {f.name: i for i, f in enumerate(program.input_fields)}
+    block_shape_of = {f.name: (t,) + rest + f.index_shape
+                      for f in program.input_fields + program.output_fields}
+    interior_shape = (t,) + rest
+    adj_ghost = adjoint_mask_ghost
+
+    def kernel(*refs):
+        xs = refs[:n_in]
+        up_refs = refs[n_in:n_in + n_up]
+        dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
+        outs = refs[n_in + n_up + n_dn:]
+        i = pl.program_id(0)
+
+        # build halo-extended, (optionally) adjoint-masked value per input
+        ext: Dict[str, jax.Array] = {}
+        for f in program.input_fields:
+            k = input_pos[f.name]
+            parts = []
+            if lo0:
+                parts.append(up_refs[k][0])
+            parts.append(xs[k][...])
+            if hi0:
+                parts.append(dn_refs[k][0])
+            v = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            del k
+            if adj_ghost is not None and is_adjoint(f):
+                # fused exact-VJP cotangent masking: zero cells outside the
+                # *forward* interior, in global coordinates
+                glo, ghi = adj_ghost[0]
+                rows = (jax.lax.broadcasted_iota(jnp.int32, v.shape[:nd], 0)
+                        + i * t - lo0)
+                m = (rows >= glo) & (rows < s0 - ghi)
+                for d in range(1, nd):
+                    dlo, dhi = adj_ghost[d]
+                    if dlo or dhi:
+                        ids = jax.lax.broadcasted_iota(jnp.int32, v.shape[:nd], d)
+                        m &= (ids >= dlo) & (ids < rest[d - 1] - dhi)
+                if f.index_shape:
+                    m = jnp.expand_dims(m, tuple(range(nd, nd + f.index_dimensions)))
+                v = jnp.where(m, v, 0)
+            ext[f.name] = v
+
+        shift_cache: Dict[tuple, jax.Array] = {}
+
+        def read(acc):
+            key = (acc.field.name, acc.offsets, acc.index)
+            if key in shift_cache:
+                return shift_cache[key]
+            v = ext[acc.field.name]
+            if acc.index:
+                v = v[(Ellipsis,) + tuple(acc.index)]
+            elif acc.field.index_shape:
+                raise ValueError(f"{acc}: select index components")
+            o0 = acc.offsets[0]
+            v = jax.lax.slice_in_dim(v, lo0 + o0, lo0 + o0 + t, axis=0)
+            zero_fill = is_adjoint(acc.field)
+            for d in range(1, nd):
+                v = _shift_lateral(v, acc.offsets[d], d, zero_fill, interpret)
+            shift_cache[key] = v
+            return v
+
+        out_vals = _eval_steps(program, read, interior_shape, dtype)
+
+        if full_domain:
+            mask = None
+        else:
+            rows = jax.lax.broadcasted_iota(jnp.int32, interior_shape, 0) + i * t
+            mask = (rows >= lo0) & (rows < s0 - hi0)
+            for d in range(1, nd):
+                dlo, dhi = ghost[d]
+                if dlo or dhi:
+                    ids = jax.lax.broadcasted_iota(jnp.int32, interior_shape, d)
+                    mask &= (ids >= dlo) & (ids < rest[d - 1] - dhi)
+
+        for f, ref in zip(program.output_fields, outs):
+            val = _assemble_components(f, out_vals[f.name], interior_shape, dtype)
+            if mask is not None:
+                m = mask
+                if f.index_shape:
+                    m = jnp.expand_dims(m, tuple(range(nd, nd + f.index_dimensions)))
+                val = jnp.where(m, val, 0)
+            if f in program.accum_fields and f.name in input_pos:
+                val = val + xs[input_pos[f.name]][...]
+            ref[...] = val
+
+    def in_spec(shape):
+        zeros_idx = (0,) * (len(shape) - 1)
+        return pl.BlockSpec((1,) + shape[1:],
+                            lambda i, _z=zeros_idx: (i,) + _z,
+                            memory_space=pltpu.VMEM)
+
+    x_specs = [pl.BlockSpec(block_shape_of[f.name],
+                            lambda i, _r=len(block_shape_of[f.name]) - 1: (i,) + (0,) * _r,
+                            memory_space=pltpu.VMEM)
+               for f in program.input_fields]
+    up_specs = [in_spec(u.shape) for u in ups]
+    dn_specs = [in_spec(d.shape) for d in downs]
+    out_specs = tuple(
+        pl.BlockSpec(block_shape_of[f.name],
+                     lambda i, _r=len(block_shape_of[f.name]) - 1: (i,) + (0,) * _r,
+                     memory_space=pltpu.VMEM)
+        for f in program.output_fields)
+    out_shapes = [jax.ShapeDtypeStruct((s0,) + rest + f.index_shape, dtype)
+                  for f in program.output_fields]
+
+    result = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=tuple(out_shapes),
+        in_specs=x_specs + up_specs + dn_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes),
+    )(*arrays, *ups, *downs)
+    if not isinstance(result, (tuple, list)):
+        result = (result,)
+    return dict(zip(program.output_names, result))
+
+
+# ---------------------------------------------------------------------------
 # Strategy B: leading-dim tiled kernel with double-buffered manual DMA
 # ---------------------------------------------------------------------------
 
@@ -234,6 +457,10 @@ def _run_row_tiled(program: StencilProgram, inputs: Dict[str, jax.Array],
         # output blocks must have sublane-divisible leading extent
         tile_rows = max(8, (tile_rows // 8) * 8)
     t = int(tile_rows)
+    from ..utils.config import log_lowering_decision
+    log_lowering_decision(program.name, tile_rows=t,
+                          slab_bytes=2 * row_bytes * (t + lo0 + hi0),
+                          vmem_limit=vmem_limit_bytes)
 
     # --- pad inputs so every read is in bounds: leading dim by
     # (lo0, hi0 + grid alignment), every other spatial dim by its (lo, hi).
@@ -394,12 +621,18 @@ _WHOLE_ARRAY_LIMIT_BYTES = 2 * 1024 * 1024  # per-array VMEM heuristic
 def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
                         dtype=None, interpret: Optional[bool] = None,
                         tile_rows: Optional[int] = None,
-                        strategy: Optional[str] = None):
+                        strategy: Optional[str] = None,
+                        adjoint_mask_ghost=None):
     """Build ``fn(inputs: dict) -> dict`` running as a Pallas TPU kernel.
 
     ``interpret=None`` auto-selects interpreter mode off-TPU (CI-safe, the
-    reference's capability-gating pattern, SURVEY.md §4).  ``strategy`` can
-    force ``"whole"`` or ``"tiled"``; default picks by array size.
+    reference's capability-gating pattern, SURVEY.md §4).  ``strategy``:
+    ``"blocked"`` (fast path: auto-pipelined row blocks + halo strips +
+    in-register shifts), ``"whole"`` (everything one VMEM block),
+    ``"tiled"`` (manual double-buffered DMA slabs); default auto-selects.
+    ``adjoint_mask_ghost``: forward ghost spec — fuse exact-VJP cotangent
+    interior masking into the kernel (blocked strategy) or pre-mask in the
+    wrapper (other strategies).
     """
 
     def fn(inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
@@ -409,33 +642,64 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
         out_dtype = dtype or arr0.dtype
         spatial = tuple(arr0.shape[: f0.spatial_dimensions])
 
-        # Tiled-path viability: needs ≥2 spatial dims, scalar fields, and
-        # (compiled mode) hardware-aligned read extents in the trailing dims.
         has_index = any(f.index_shape for f in
                         program.input_fields + program.output_fields)
         rest = spatial[1:]
         aligned = (not rest or rest[-1] % 128 == 0) and (
             len(rest) < 2 or all(s % 8 == 0 for s in rest[:-1]))
         tiled_ok = program.ndim >= 2 and not has_index and (interp or aligned)
+        s0 = spatial[0]
+        blocked_ok = (program.ndim >= 2
+                      and any(s0 % t == 0 for t in range(8, s0 + 1, 8)))
 
         strat = strategy
         if strat is None:
             nbytes = int(np.prod(spatial)) * jnp.dtype(out_dtype).itemsize
             total = nbytes * (len(program.input_fields) + len(program.output_fields))
-            if total <= _WHOLE_ARRAY_LIMIT_BYTES or not tiled_ok:
+            if total <= _WHOLE_ARRAY_LIMIT_BYTES:
                 strat = "whole"
-            else:
+            elif blocked_ok:
+                strat = "blocked"
+            elif tiled_ok:
                 strat = "tiled"
+            else:
+                strat = "whole"
+        from ..utils.config import log_lowering_decision
+        log_lowering_decision(program.name, strategy=strat, spatial=spatial,
+                              dtype=str(out_dtype), interpret=interp,
+                              full_domain=full_domain, ghost=program.ghost)
+
+        if strat != "blocked" and adjoint_mask_ghost is not None:
+            # pre-mask cotangents in the wrapper (slice+pad, no scatter)
+            from ..adjoint_field import AdjointField
+
+            masked = dict(inputs)
+            for f in program.input_fields:
+                if isinstance(f, AdjointField):
+                    arr = inputs[f.name]
+                    sl = tuple(slice(lo, s - hi) for (lo, hi), s
+                               in zip(adjoint_mask_ghost, spatial))
+                    pads = tuple((lo, hi) for lo, hi in adjoint_mask_ghost)
+                    pads += ((0, 0),) * f.index_dimensions
+                    masked[f.name] = jnp.pad(arr[sl + (Ellipsis,)], pads)
+            inputs_eff = masked
+        else:
+            inputs_eff = inputs
+
         if strat == "whole":
-            return _run_whole_array(program, inputs, spatial, out_dtype,
+            return _run_whole_array(program, inputs_eff, spatial, out_dtype,
                                     full_domain, interp)
+        if strat == "blocked":
+            return _run_blocked(program, inputs_eff, spatial, out_dtype,
+                                full_domain, interp, tile_rows=tile_rows,
+                                adjoint_mask_ghost=adjoint_mask_ghost)
         if not tiled_ok:
             raise ValueError(
                 f"{program.name}: tiled Pallas path needs ≥2 spatial dims, "
                 f"scalar (no index-dim) fields, and trailing extents aligned "
                 f"to (8, 128) in compiled mode; got spatial={spatial}, "
                 f"index fields={has_index}")
-        return _run_row_tiled(program, inputs, spatial, out_dtype,
+        return _run_row_tiled(program, inputs_eff, spatial, out_dtype,
                               full_domain, interp, tile_rows=tile_rows)
 
     fn.program = program

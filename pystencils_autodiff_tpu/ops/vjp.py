@@ -31,9 +31,12 @@ __all__ = ["build_custom_vjp", "build_custom_vjp_from_programs"]
 
 
 def _interior_mask_set(program: StencilProgram, cot: jax.Array) -> jax.Array:
-    """Zero the cotangent outside the forward interior."""
+    """Zero the cotangent outside the forward interior (slice+pad — cheaper
+    than a scatter on TPU)."""
     sl = program.interior_slices()
-    return jnp.zeros_like(cot).at[sl].set(cot[sl])
+    extra = cot.ndim - program.ndim
+    pads = tuple(program.ghost) + ((0, 0),) * extra
+    return jnp.pad(cot[sl + (Ellipsis,)], pads)
 
 
 def build_custom_vjp_from_programs(
@@ -42,6 +45,7 @@ def build_custom_vjp_from_programs(
     bwd_full_fn: Callable[[Dict[str, jax.Array]], Dict[str, jax.Array]],
     fwd_prog: StencilProgram,
     bwd_prog: StencilProgram,
+    bwd_masks_cotangents: bool = False,
 ):
     """Wire lowered forward/backward dict-functions into a custom_vjp."""
     in_names = [f.name for f in op.forward_input_fields]
@@ -77,8 +81,11 @@ def build_custom_vjp_from_programs(
                 primal_name = f.corresponding_forward_field.name
                 if primal_name in cots:
                     # mask to the forward interior: exact VJP of the
-                    # "write-interior-only" forward map
-                    bwd_inputs[f.name] = _interior_mask_set(fwd_prog, cots[primal_name])
+                    # "write-interior-only" forward map.  Skipped when the
+                    # lowering fuses the mask into the kernel.
+                    cot = cots[primal_name]
+                    bwd_inputs[f.name] = (cot if bwd_masks_cotangents
+                                          else _interior_mask_set(fwd_prog, cot))
                 else:
                     # previous-adjoint input of an accumulation
                     # (time_constant_fields) assignment: within a single
@@ -133,5 +140,10 @@ def build_custom_vjp(op, lowering: str = "jnp", **kwargs):
     fwd_prog = forward_program(op)
     bwd_prog = backward_program(op)
     fwd_fn = lower(fwd_prog, full_domain=False, **kwargs)
-    bwd_full_fn = lower(bwd_prog, full_domain=True, **kwargs)
-    return build_custom_vjp_from_programs(op, fwd_fn, bwd_full_fn, fwd_prog, bwd_prog)
+    # the lowering applies the exact-VJP cotangent interior mask itself
+    # (fused in-kernel for the blocked Pallas strategy)
+    bwd_full_fn = lower(bwd_prog, full_domain=True,
+                        adjoint_mask_ghost=fwd_prog.ghost, **kwargs)
+    return build_custom_vjp_from_programs(op, fwd_fn, bwd_full_fn,
+                                          fwd_prog, bwd_prog,
+                                          bwd_masks_cotangents=True)

@@ -135,3 +135,73 @@ def test_pallas_native_tpu():
     x = jax.random.normal(jax.random.PRNGKey(0), (256, 256), dtype=jnp.float32)
     np.testing.assert_allclose(pal({"x": x})["y"], ref({"x": x})["y"],
                                rtol=1e-6, atol=1e-5)
+
+
+@pytest.mark.parametrize("full_domain", [False, True])
+def test_blocked_matches_jnp(full_domain):
+    """The fast 'blocked' strategy (halo strips + in-register shifts)."""
+    op = _laplacian_op()
+    prog = forward_program(op)
+    ref = make_jnp_stencil(prog, full_domain=full_domain)
+    pal = make_pallas_stencil(prog, full_domain=full_domain, interpret=True,
+                              strategy="blocked", tile_rows=8)
+    x = rand(20, (40, 24))
+    np.testing.assert_allclose(pal({"x": x})["y"], ref({"x": x})["y"],
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_blocked_fused_adjoint_mask():
+    """In-kernel cotangent masking == pre-masked oracle."""
+    import jax.numpy as jnp
+
+    x, y, k = fields("x, y, k", 2)
+    op = AutoDiffOp([Assignment(
+        y.center, k[0, 0] * (x[1, 0] + x[-1, 0] - 2 * x[0, 0]) + x[0, 1] ** 2)],
+        op_name="bfm")
+    fprog = forward_program(op)
+    bprog = backward_program(op)
+    arrs = {"x": rand(21, (32, 20)), "k": rand(22, (32, 20))}
+    cot = rand(23, (32, 20))
+    sl = fprog.interior_slices()
+    cot_masked = jnp.zeros_like(cot).at[sl].set(cot[sl])
+
+    ref = make_jnp_stencil(bprog, full_domain=True)(
+        {"diffy": cot_masked, **arrs})
+    pal = make_pallas_stencil(bprog, full_domain=True, interpret=True,
+                              strategy="blocked", tile_rows=8,
+                              adjoint_mask_ghost=fprog.ghost)(
+        {"diffy": cot, **arrs})
+    for n in ref:
+        np.testing.assert_allclose(pal[n], ref[n], rtol=RTOL, atol=ATOL,
+                                   err_msg=n)
+
+
+def test_blocked_3d_and_vjp():
+    x, y = fields("a3, b3", 3)
+    op = AutoDiffOp([Assignment(
+        y.center, x[1, 0, 0] + x[-1, 0, 0] + x[0, 1, 0] + x[0, -1, 0]
+        + x[0, 0, 1] + x[0, 0, -1] - 6 * x[0, 0, 0])], op_name="blk3d")
+    f_pal = op.jax_function(lowering="pallas", interpret=True,
+                            strategy="blocked", tile_rows=8)
+    f_ref = op.jax_function(lowering="jnp")
+    xv = rand(24, (16, 12, 10))
+    np.testing.assert_allclose(f_pal(xv), f_ref(xv), rtol=RTOL, atol=ATOL)
+    g_pal = jax.grad(lambda a: jnp.sum(jnp.sin(f_pal(a))))(xv)
+    g_ref = jax.grad(lambda a: jnp.sum(jnp.sin(f_ref(a))))(xv)
+    np.testing.assert_allclose(g_pal, g_ref, rtol=RTOL, atol=ATOL)
+
+
+def test_blocked_vector_field():
+    vel = fields("velb(2)", 2)
+    div = fields("divb", 2)
+    op = AutoDiffOp([Assignment(
+        div.center,
+        vel[1, 0](0) - vel[-1, 0](0) + vel[0, 1](1) - vel[0, -1](1))],
+        op_name="divblk")
+    prog = forward_program(op)
+    ref = make_jnp_stencil(prog)
+    pal = make_pallas_stencil(prog, interpret=True, strategy="blocked",
+                              tile_rows=8)
+    arrs = {"velb": rand(25, (16, 11, 2))}
+    np.testing.assert_allclose(pal(arrs)["divb"], ref(arrs)["divb"],
+                               rtol=RTOL, atol=ATOL)
