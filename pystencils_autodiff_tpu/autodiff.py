@@ -316,6 +316,35 @@ class AutoDiffOp:
     def kernel_pair(self, lowering: str = "jnp", **kwargs) -> "AutoDiffKernelPair":
         return AutoDiffKernelPair(self, lowering=lowering, **kwargs)
 
+    # -- compiled-kernel accessors (parity with the reference's
+    #    forward_kernel_cpu/gpu properties, ``_autodiff.py`` ≈L250) ---------
+
+    @property
+    def forward_kernel_cpu(self):
+        """Compiled native (generated-C) forward kernel on numpy arrays."""
+        from .backends._c_native import NativeKernel
+        from .ops import forward_program
+        return NativeKernel(forward_program(self), full_domain=False)
+
+    @property
+    def backward_kernel_cpu(self):
+        from .backends._c_native import NativeKernel
+        from .ops import backward_program
+        return NativeKernel(backward_program(self), full_domain=True)
+
+    @property
+    def forward_kernel_tpu(self):
+        """Pallas forward kernel (compiled on TPU, interpreted elsewhere)."""
+        return self.jax_forward(lowering="pallas")
+
+    @property
+    def backward_kernel_tpu(self):
+        return self.jax_backward(lowering="pallas", full_domain=True)
+
+    # the reference names these *_gpu; keep aliases for migration
+    forward_kernel_gpu = forward_kernel_tpu
+    backward_kernel_gpu = backward_kernel_tpu
+
     def __repr__(self):
         return (f"AutoDiffOp({self.op_name!r}, in={[f.name for f in self.forward_input_fields]}, "
                 f"out={[f.name for f in self.forward_output_fields]}, mode={self.diff_mode.value})")
@@ -328,8 +357,19 @@ class AutoDiffKernelPair:
 
     def __init__(self, op: AutoDiffOp, lowering: str = "jnp", **kwargs):
         self.op = op
-        self.forward = op.jax_forward(lowering=lowering, **kwargs)
-        self.backward = op.jax_backward(lowering=lowering, **kwargs)
+        self._fwd = op.jax_forward(lowering=lowering, **kwargs)
+        self._bwd = op.jax_backward(lowering=lowering, full_domain=True,
+                                    **kwargs)
+
+    def forward(self, **field_arrays):
+        outs = self._fwd(field_arrays)
+        vals = tuple(outs[f.name] for f in self.op.forward_output_fields)
+        return vals[0] if len(vals) == 1 else vals
+
+    def backward(self, **field_arrays):
+        outs = self._bwd(field_arrays)
+        vals = tuple(outs[f.name] for f in self.op.backward_output_fields)
+        return vals[0] if len(vals) == 1 else vals
 
     def __call__(self, **field_arrays):
         return self.forward(**field_arrays)

@@ -21,7 +21,19 @@ from typing import Dict, Optional
 
 import numpy as np
 
-__all__ = ["create_autograd_function"]
+__all__ = ["create_autograd_function", "torch_dtype_to_numpy",
+           "numpy_dtype_to_torch"]
+
+
+def torch_dtype_to_numpy(dtype) -> np.dtype:
+    """Reference parity helper (``backends/_pytorch.py``)."""
+    return np.dtype(str(dtype).replace("torch.", ""))
+
+
+def numpy_dtype_to_torch(dtype):
+    import torch
+
+    return getattr(torch, np.dtype(dtype).name)
 
 
 def create_autograd_function(autodiff_op, native: bool = False,

@@ -663,7 +663,17 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
             elif tiled_ok:
                 strat = "tiled"
             else:
-                strat = "whole"
+                # too big for one VMEM block and no viable tiling: fall back
+                # to the XLA-fused jnp lowering rather than OOM VMEM
+                from ..utils.config import log_lowering_decision
+                from .jnp_ref import make_jnp_stencil
+
+                log_lowering_decision(program.name, strategy="jnp-fallback",
+                                      spatial=spatial, reason="no viable "
+                                      "pallas tiling for this shape")
+                return make_jnp_stencil(
+                    program, full_domain=full_domain, dtype=dtype,
+                    adjoint_mask_ghost=adjoint_mask_ghost)(inputs)
         from ..utils.config import log_lowering_decision
         log_lowering_decision(program.name, strategy=strat, spatial=spatial,
                               dtype=str(out_dtype), interpret=interp,

@@ -122,6 +122,23 @@ def build_custom_vjp_from_programs(
             arrays = tuple(kw_arrays[n] for n in in_names)
         if len(arrays) != len(in_names):
             raise TypeError(f"expected {len(in_names)} inputs {in_names}, got {len(arrays)}")
+        # all fields share one spatial shape (plus per-field index dims)
+        spatial_shapes = {}
+        for f, a in zip(op.forward_input_fields, arrays):
+            sd = f.spatial_dimensions
+            if a.ndim != sd + f.index_dimensions:
+                raise ValueError(
+                    f"field {f.name!r}: expected rank {sd + f.index_dimensions} "
+                    f"({sd} spatial + {f.index_dimensions} index dims), got "
+                    f"array of rank {a.ndim}")
+            if f.index_shape and tuple(a.shape[sd:]) != f.index_shape:
+                raise ValueError(
+                    f"field {f.name!r}: trailing index dims {a.shape[sd:]} != "
+                    f"declared index_shape {f.index_shape}")
+            spatial_shapes[f.name] = tuple(a.shape[:sd])
+        if len(set(spatial_shapes.values())) > 1:
+            raise ValueError(
+                f"all fields must share one spatial shape; got {spatial_shapes}")
         result = wrapped(*arrays)
         return result[0] if len(result) == 1 else result
 

@@ -1,3 +1,14 @@
 from .benchmark import fetch_timed, roofline_gbps, rtt_baseline
+from .config import LoweringConfig, log_lowering_decision
+from .profiling import KernelStats, timed_region, trace
 
-__all__ = ["fetch_timed", "rtt_baseline", "roofline_gbps"]
+__all__ = [
+    "fetch_timed",
+    "rtt_baseline",
+    "roofline_gbps",
+    "LoweringConfig",
+    "log_lowering_decision",
+    "KernelStats",
+    "timed_region",
+    "trace",
+]
