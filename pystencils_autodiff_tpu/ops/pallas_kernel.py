@@ -315,7 +315,6 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
             if hi0:
                 parts.append(dn_refs[k][0])
             v = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-            del k
             if adj_ghost is not None and is_adjoint(f):
                 # fused exact-VJP cotangent masking: zero cells outside the
                 # *forward* interior, in global coordinates

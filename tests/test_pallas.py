@@ -205,3 +205,18 @@ def test_blocked_vector_field():
     arrs = {"velb": rand(25, (16, 11, 2))}
     np.testing.assert_allclose(pal(arrs)["divb"], ref(arrs)["divb"],
                                rtol=RTOL, atol=ATOL)
+
+
+def test_blocked_accumulation_time_constant():
+    """time_constant_fields accumulation through the blocked path."""
+    x, y, k = fields("xa, ya, ka", 2)
+    op = AutoDiffOp([Assignment(y.center, k[0, 0] * x[0, 0])],
+                    op_name="acc_blk", time_constant_fields=[k])
+    f_pal = op.jax_function(lowering="pallas", interpret=True,
+                            strategy="blocked", tile_rows=8)
+    f_ref = op.jax_function(lowering="jnp")
+    xv = rand(30, (16, 16))
+    kv = rand(31, (16, 16))
+    g_pal = jax.grad(lambda kk: jnp.sum(f_pal(xa=xv, ka=kk) ** 2))(kv)
+    g_ref = jax.grad(lambda kk: jnp.sum(f_ref(xa=xv, ka=kk) ** 2))(kv)
+    np.testing.assert_allclose(g_pal, g_ref, rtol=RTOL, atol=ATOL)
