@@ -247,55 +247,113 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
                  spatial, dtype, full_domain: bool, interpret: bool,
                  tile_rows: Optional[int] = None,
                  adjoint_mask_ghost=None,
-                 vmem_limit_bytes: int = 100 * 1024 * 1024):
+                 vmem_limit_bytes: int = 100 * 1024 * 1024,
+                 debug: bool = False):
+    """Flattened-2D blocked execution.
+
+    All leading spatial dims are flattened into one row axis, so every
+    kernel is a 2D (rows, cols) program regardless of the stencil's rank —
+    Mosaic-friendly shapes (3D+ blocks crash/bloat the compiler) and one
+    uniform code path:
+
+    * spatial offset (o_0..o_{n-2}, o_col) → row offset Σ o_d·stride_d and
+      a column offset;
+    * cross-block row halos come from two strip tensors (cheap XLA slices);
+    * column shifts are rolls + iota masks;
+    * reads that cross an *inner* flattened-dim boundary land on the
+      adjacent row — harmless for primal factors (finite, always multiplied
+      by a zeroed adjoint factor or masked output) but adjoint reads get an
+      explicit per-access validity mask, which keeps the VJP exact (when
+      the adjoint factor is valid, every primal factor's per-dim coordinate
+      is provably in range — interior chain rule);
+    * ghost/interior masks evaluate per-dim coordinates with div/mod on a
+      row iota.
+
+    Constraint: ``full_domain`` without any adjoint input field would need
+    per-access edge clamping across inner dims — callers fall back to the
+    jnp lowering for that case (only oracle tests use it).
+    """
     nd = program.ndim
     ghost = program.ghost
-    lo0, hi0 = ghost[0]
-    rest = tuple(spatial[1:])
-    s0 = spatial[0]
+    cols = spatial[-1]
+    lead = tuple(spatial[:-1])  # flattened dims
+    rows_total = int(np.prod(lead, dtype=np.int64))
+    # row stride of each leading spatial dim
+    strides = [1] * (nd - 1)
+    for d in range(nd - 3, -1, -1):
+        strides[d] = strides[d + 1] * lead[d + 1]
+
+    def row_off(offsets) -> int:
+        return int(sum(int(o) * strides[d] for d, o in enumerate(offsets[:-1])))
+
+    all_accesses = [at for s in program.steps for at in s.atoms
+                    if isinstance(at, Field.Access)]
+    lo0 = max([0] + [-row_off(a.offsets) for a in all_accesses])
+    hi0 = max([0] + [row_off(a.offsets) for a in all_accesses])
+
     itemsize = jnp.dtype(dtype).itemsize
-    row_bytes = int(np.prod(rest, dtype=np.int64)) * itemsize if rest else itemsize
+    row_bytes = cols * itemsize
     n_fields = len(program.input_fields) + len(program.output_fields)
 
     if tile_rows is None:
-        t = _pick_divisor_tile(s0, lo0, hi0,
+        t = _pick_divisor_tile(rows_total, lo0, hi0,
                                row_bytes * max(n_fields, 1), vmem_limit_bytes)
     else:
         t = int(tile_rows)
-        if s0 % t:
+        if rows_total % t or t < lo0 + hi0:
             t = None
     if t is None:
-        raise ValueError(f"blocked strategy needs a multiple-of-8 row-tile "
-                         f"dividing {s0}")
-    nb = s0 // t
+        raise ValueError(
+            f"blocked strategy needs a multiple-of-8 row tile dividing "
+            f"{rows_total} and covering the flattened halo {lo0 + hi0}")
+    nb = rows_total // t
 
     arrays, ups, downs = [], [], []
     for f in program.input_fields:
         arr = inputs[f.name].astype(dtype)
+        flat = arr.reshape((rows_total, cols) + f.index_shape)
         zero_fill = is_adjoint(f)
-        xr = arr.reshape((nb, t) + rest + f.index_shape)
+        xr = flat.reshape((nb, t, cols) + f.index_shape)
         if lo0:
-            first = (jnp.zeros((1, lo0) + rest + f.index_shape, dtype)
+            first = (jnp.zeros((1, lo0, cols) + f.index_shape, dtype)
                      if zero_fill else
                      jnp.broadcast_to(xr[:1, :1],
-                                      (1, lo0) + rest + f.index_shape))
+                                      (1, lo0, cols) + f.index_shape))
             ups.append(jnp.concatenate([first, xr[:-1, t - lo0:]], axis=0))
         if hi0:
-            last = (jnp.zeros((1, hi0) + rest + f.index_shape, dtype)
+            last = (jnp.zeros((1, hi0, cols) + f.index_shape, dtype)
                     if zero_fill else
                     jnp.broadcast_to(xr[-1:, -1:],
-                                     (1, hi0) + rest + f.index_shape))
+                                     (1, hi0, cols) + f.index_shape))
             downs.append(jnp.concatenate([xr[1:, :hi0], last], axis=0))
-        arrays.append(arr)
+        arrays.append(flat)
 
     n_in = len(program.input_fields)
     n_up = len(ups)
     n_dn = len(downs)
     input_pos = {f.name: i for i, f in enumerate(program.input_fields)}
-    block_shape_of = {f.name: (t,) + rest + f.index_shape
-                      for f in program.input_fields + program.output_fields}
-    interior_shape = (t,) + rest
+    interior_shape = (t, cols)
     adj_ghost = adjoint_mask_ghost
+    glo_col, ghi_col = (adj_ghost[-1] if adj_ghost is not None else (0, 0))
+
+    def dim_coord(rows_global, d):
+        """Per-dim coordinate of a flat row index (vectorised div/mod)."""
+        c = rows_global // strides[d]
+        if d > 0:
+            c = c % lead[d]
+        return c
+
+    def dims_interior_mask(rows_global, col_ids, ghost_spec, shape2):
+        m = jnp.ones(shape2, bool)
+        for d in range(nd - 1):
+            lo, hi = ghost_spec[d]
+            if lo or hi:
+                c = dim_coord(rows_global, d)
+                m &= (c >= lo) & (c < lead[d] - hi)
+        lo, hi = ghost_spec[-1]
+        if lo or hi:
+            m &= (col_ids >= lo) & (col_ids < cols - hi)
+        return m
 
     def kernel(*refs):
         xs = refs[:n_in]
@@ -304,7 +362,10 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
         outs = refs[n_in + n_up + n_dn:]
         i = pl.program_id(0)
 
-        # build halo-extended, (optionally) adjoint-masked value per input
+        rows_tile = (jax.lax.broadcasted_iota(jnp.int32, interior_shape, 0)
+                     + i * t)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, interior_shape, 1)
+
         ext: Dict[str, jax.Array] = {}
         for f in program.input_fields:
             k = input_pos[f.name]
@@ -315,21 +376,6 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
             if hi0:
                 parts.append(dn_refs[k][0])
             v = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-            if adj_ghost is not None and is_adjoint(f):
-                # fused exact-VJP cotangent masking: zero cells outside the
-                # *forward* interior, in global coordinates
-                glo, ghi = adj_ghost[0]
-                rows = (jax.lax.broadcasted_iota(jnp.int32, v.shape[:nd], 0)
-                        + i * t - lo0)
-                m = (rows >= glo) & (rows < s0 - ghi)
-                for d in range(1, nd):
-                    dlo, dhi = adj_ghost[d]
-                    if dlo or dhi:
-                        ids = jax.lax.broadcasted_iota(jnp.int32, v.shape[:nd], d)
-                        m &= (ids >= dlo) & (ids < rest[d - 1] - dhi)
-                if f.index_shape:
-                    m = jnp.expand_dims(m, tuple(range(nd, nd + f.index_dimensions)))
-                v = jnp.where(m, v, 0)
             ext[f.name] = v
 
         shift_cache: Dict[tuple, jax.Array] = {}
@@ -343,56 +389,80 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
                 v = v[(Ellipsis,) + tuple(acc.index)]
             elif acc.field.index_shape:
                 raise ValueError(f"{acc}: select index components")
-            o0 = acc.offsets[0]
-            v = jax.lax.slice_in_dim(v, lo0 + o0, lo0 + o0 + t, axis=0)
+            ro = row_off(acc.offsets)
+            oc = acc.offsets[-1]
+            v = jax.lax.slice_in_dim(v, lo0 + ro, lo0 + ro + t, axis=0)
             zero_fill = is_adjoint(acc.field)
-            for d in range(1, nd):
-                v = _shift_lateral(v, acc.offsets[d], d, zero_fill, interpret)
+            v = _shift_lateral(v, oc, 1, zero_fill, interpret)
+            if zero_fill:
+                # adjoint reads: exact-VJP masking, all in one pass —
+                # (a) fused cotangent interior mask in *global* coords of
+                #     the cell being read (rows_tile+ro, col+oc),
+                # (b) validity of inner-flattened-dim crossings.
+                r_read = rows_tile + ro
+                c_read = col_ids + oc
+                m = (r_read >= 0) & (r_read < rows_total)
+                if adj_ghost is not None:
+                    for d in range(nd - 1):
+                        lo, hi = adj_ghost[d]
+                        c = dim_coord(r_read, d)
+                        m &= (c >= lo) & (c < lead[d] - hi)
+                    m &= (c_read >= glo_col) & (c_read < cols - ghi_col)
+                # inner-dim crossing validity: the per-dim coordinate of
+                # the *source* row must equal target coord + offset
+                for d in range(1, nd - 1):
+                    o_d = acc.offsets[d]
+                    if o_d:
+                        tgt = dim_coord(rows_tile, d) + o_d
+                        m &= (tgt >= 0) & (tgt < lead[d])
+                if m is not True:
+                    mm = m
+                    if acc.field.index_shape and v.ndim > 2:
+                        mm = jnp.expand_dims(
+                            m, tuple(range(2, 2 + len(acc.field.index_shape))))
+                    v = jnp.where(mm, v, 0)
             shift_cache[key] = v
             return v
 
         out_vals = _eval_steps(program, read, interior_shape, dtype)
 
+        if debug:
+            first = next(iter(ext.values()))
+            pl.debug_print("block {}: ext[0,0]={}", i, first[(0,) * first.ndim])
+
         if full_domain:
             mask = None
         else:
-            rows = jax.lax.broadcasted_iota(jnp.int32, interior_shape, 0) + i * t
-            mask = (rows >= lo0) & (rows < s0 - hi0)
-            for d in range(1, nd):
-                dlo, dhi = ghost[d]
-                if dlo or dhi:
-                    ids = jax.lax.broadcasted_iota(jnp.int32, interior_shape, d)
-                    mask &= (ids >= dlo) & (ids < rest[d - 1] - dhi)
+            mask = dims_interior_mask(rows_tile, col_ids, ghost, interior_shape)
 
         for f, ref in zip(program.output_fields, outs):
             val = _assemble_components(f, out_vals[f.name], interior_shape, dtype)
             if mask is not None:
                 m = mask
                 if f.index_shape:
-                    m = jnp.expand_dims(m, tuple(range(nd, nd + f.index_dimensions)))
+                    m = jnp.expand_dims(mask, tuple(range(2, 2 + f.index_dimensions)))
                 val = jnp.where(m, val, 0)
             if f in program.accum_fields and f.name in input_pos:
                 val = val + xs[input_pos[f.name]][...]
             ref[...] = val
 
-    def in_spec(shape):
+    def strip_spec(shape):
         zeros_idx = (0,) * (len(shape) - 1)
         return pl.BlockSpec((1,) + shape[1:],
                             lambda i, _z=zeros_idx: (i,) + _z,
                             memory_space=pltpu.VMEM)
 
-    x_specs = [pl.BlockSpec(block_shape_of[f.name],
-                            lambda i, _r=len(block_shape_of[f.name]) - 1: (i,) + (0,) * _r,
+    def block_spec(f):
+        shape = (t, cols) + f.index_shape
+        r = len(shape) - 1
+        return pl.BlockSpec(shape, lambda i, _r=r: (i,) + (0,) * _r,
                             memory_space=pltpu.VMEM)
-               for f in program.input_fields]
-    up_specs = [in_spec(u.shape) for u in ups]
-    dn_specs = [in_spec(d.shape) for d in downs]
-    out_specs = tuple(
-        pl.BlockSpec(block_shape_of[f.name],
-                     lambda i, _r=len(block_shape_of[f.name]) - 1: (i,) + (0,) * _r,
-                     memory_space=pltpu.VMEM)
-        for f in program.output_fields)
-    out_shapes = [jax.ShapeDtypeStruct((s0,) + rest + f.index_shape, dtype)
+
+    x_specs = [block_spec(f) for f in program.input_fields]
+    up_specs = [strip_spec(u.shape) for u in ups]
+    dn_specs = [strip_spec(d.shape) for d in downs]
+    out_specs = tuple(block_spec(f) for f in program.output_fields)
+    out_shapes = [jax.ShapeDtypeStruct((rows_total, cols) + f.index_shape, dtype)
                   for f in program.output_fields]
 
     result = pl.pallas_call(
@@ -407,7 +477,9 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
     )(*arrays, *ups, *downs)
     if not isinstance(result, (tuple, list)):
         result = (result,)
-    return dict(zip(program.output_names, result))
+    return {name: arr.reshape(tuple(spatial) + f.index_shape)
+            for (name, arr), f in zip(zip(program.output_names, result),
+                                      program.output_fields)}
 
 
 # ---------------------------------------------------------------------------
@@ -621,7 +693,8 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
                         dtype=None, interpret: Optional[bool] = None,
                         tile_rows: Optional[int] = None,
                         strategy: Optional[str] = None,
-                        adjoint_mask_ghost=None):
+                        adjoint_mask_ghost=None,
+                        debug: bool = False):
     """Build ``fn(inputs: dict) -> dict`` running as a Pallas TPU kernel.
 
     ``interpret=None`` auto-selects interpreter mode off-TPU (CI-safe, the
@@ -701,7 +774,8 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
         if strat == "blocked":
             return _run_blocked(program, inputs_eff, spatial, out_dtype,
                                 full_domain, interp, tile_rows=tile_rows,
-                                adjoint_mask_ghost=adjoint_mask_ghost)
+                                adjoint_mask_ghost=adjoint_mask_ghost,
+                                debug=debug)
         if not tiled_ok:
             raise ValueError(
                 f"{program.name}: tiled Pallas path needs ≥2 spatial dims, "

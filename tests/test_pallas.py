@@ -182,7 +182,7 @@ def test_blocked_3d_and_vjp():
         y.center, x[1, 0, 0] + x[-1, 0, 0] + x[0, 1, 0] + x[0, -1, 0]
         + x[0, 0, 1] + x[0, 0, -1] - 6 * x[0, 0, 0])], op_name="blk3d")
     f_pal = op.jax_function(lowering="pallas", interpret=True,
-                            strategy="blocked", tile_rows=8)
+                            strategy="blocked")
     f_ref = op.jax_function(lowering="jnp")
     xv = rand(24, (16, 12, 10))
     np.testing.assert_allclose(f_pal(xv), f_ref(xv), rtol=RTOL, atol=ATOL)
