@@ -19,7 +19,7 @@ tensor class to unpack).
 from __future__ import annotations
 
 import ctypes
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -13,8 +13,6 @@ For the compiled-native variant see ``_tensorflow_native.py``.
 
 from __future__ import annotations
 
-from typing import Dict
-
 import numpy as np
 
 __all__ = ["tensorflow_function"]

@@ -11,8 +11,6 @@ pure TF ops, so the whole path is py_function-free and graph-compilable.
 
 from __future__ import annotations
 
-from typing import Dict
-
 import numpy as np
 
 from ..adjoint_field import AdjointField

@@ -17,8 +17,6 @@ capability-gating pattern, SURVEY.md §4).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
-
 import numpy as np
 
 __all__ = ["create_autograd_function", "torch_dtype_to_numpy",

@@ -20,14 +20,14 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List, Optional
+from typing import Optional
 
 import jinja2
 import numpy as np
 
 from ..codegen.c_printer import generate_c_source, kernel_symbol_name
-from ..codegen.jit import compile_and_load, compile_shared_library
-from ..ops.common import StencilProgram, backward_program, forward_program
+from ..codegen.jit import compile_shared_library
+from ..ops.common import backward_program, forward_program
 
 __all__ = ["TorchModule", "TensorflowModule"]
 

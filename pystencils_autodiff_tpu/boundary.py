@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from .assignment import AssignmentCollection
-from .field import Field
 
 __all__ = [
     "dirichlet",

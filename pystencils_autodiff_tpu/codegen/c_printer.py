@@ -17,7 +17,7 @@ Two domain modes mirror ops/common.py:
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 import sympy as sp

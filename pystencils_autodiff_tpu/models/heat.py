@@ -7,8 +7,6 @@ Euler heat step, fwd + symbolically derived adjoint.
 
 from __future__ import annotations
 
-import sympy as sp
-
 from ..assignment import Assignment
 from ..autodiff import AutoDiffOp
 from ..field import Field

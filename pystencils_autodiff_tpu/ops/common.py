@@ -25,12 +25,12 @@ writes correct gradients into the ghost cells of the primal inputs.
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import sympy as sp
 
 from ..adjoint_field import AdjointField
-from ..assignment import Assignment, AssignmentCollection
+from ..assignment import AssignmentCollection
 from ..field import Field
 
 __all__ = ["Step", "StencilProgram", "make_program", "forward_program", "backward_program"]

@@ -29,9 +29,7 @@ kernel body stays branch-free (VPU-friendly, no scalar control flow).
 
 from __future__ import annotations
 
-import functools
-import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

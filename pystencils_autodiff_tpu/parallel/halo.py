@@ -16,7 +16,7 @@ still uses our symbolic custom_vjp backward kernel.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,10 +18,9 @@ glue is linear and JAX-transposable (SURVEY.md §7 hard-part #5).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..autodiff import AutoDiffOp

@@ -27,7 +27,7 @@ step, so their cotangents sum over steps — exactly the reference's
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, Optional, Sequence
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

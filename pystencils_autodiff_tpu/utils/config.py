@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 logger = logging.getLogger("pystencils_autodiff_tpu.lowering")
 if os.environ.get("PYSTENCILS_ADTPU_LOG"):
