@@ -12,7 +12,10 @@ CPU-sized problems for smoke-testing the harness itself.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -41,8 +44,10 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     small = args.small or not on_tpu
     n2 = 1024 if small else 8192
-    n3 = 64 if small else 512
-    iters = 5 if small else args.iters
+    # 384^3 keeps each array well above VMEM while the chained-scan module
+    # stays under the remote-compile HTTP size limit (512^3 chains exceed it)
+    n3 = 64 if small else 384
+    iters = 5 if small else min(args.iters, 10)
     dtype = jnp.float32
     lowering = "pallas" if on_tpu else "jnp"
     rtt = rtt_baseline()
@@ -51,7 +56,13 @@ def main():
     rows = []
 
     def bench(name, f, x, n_arrays):
-        t = (fetch_timed(chain(f, iters), x) - rtt) / iters
+        try:
+            t = (fetch_timed(chain(f, iters), x) - rtt) / iters
+        except Exception as e:  # keep the table going past one bad config
+            print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:120]}",
+                  file=sys.stderr)
+            rows.append((name, float('nan'), 0.0, 0.0, 0.0))
+            return
         t = max(t, 1e-9)
         ab = x.size * x.dtype.itemsize
         gbps = n_arrays * ab / t / 1e9
