@@ -292,10 +292,15 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
     itemsize = jnp.dtype(dtype).itemsize
     row_bytes = cols * itemsize
     n_fields = len(program.input_fields) + len(program.output_fields)
+    # live tile-sized values in the kernel: block + strips per field plus one
+    # shifted value per distinct access — many-access programs (27-point
+    # adjoints) need smaller tiles or Mosaic's register allocator drowns
+    n_live = n_fields + len({(a.field.name, a.offsets, a.index)
+                             for a in all_accesses})
 
     if tile_rows is None:
         t = _pick_divisor_tile(rows_total, lo0, hi0,
-                               row_bytes * max(n_fields, 1), vmem_limit_bytes)
+                               row_bytes * max(n_live, 1), vmem_limit_bytes)
     else:
         t = int(tile_rows)
         if rows_total % t or t < lo0 + hi0:
