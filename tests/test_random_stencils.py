@@ -1,0 +1,130 @@
+"""Randomized stencil property tests: for seeded random assignment
+collections (random offsets, coefficients, nonlinearities, multiple
+fields), the symbolically derived adjoint must match ``jax.grad`` of the
+jnp oracle — across lowerings and diff modes.  A breadth sweep the
+reference's hand-picked cases can't give."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import sympy as sp
+
+from pystencils_autodiff_tpu import Assignment, AutoDiffOp, DiffModes, fields
+
+RTOL, ATOL = 1e-10, 1e-10
+
+
+def _random_op(rng: np.random.Generator, ndim: int, seed_tag: str):
+    names = ["a", "b", "c"][: rng.integers(1, 4)]
+    ins = fields(", ".join(names), ndim)
+    ins = ins if isinstance(ins, tuple) else (ins,)
+    out_names = ["u", "v"][: rng.integers(1, 3)]
+    outs = fields(", ".join(out_names), ndim)
+    outs = outs if isinstance(outs, tuple) else (outs,)
+
+    def rand_access(f):
+        off = tuple(int(rng.integers(-2, 3)) for _ in range(ndim))
+        return f[off]
+
+    def rand_term():
+        f = ins[rng.integers(len(ins))]
+        acc = rand_access(f)
+        kind = rng.integers(4)
+        if kind == 0:
+            return float(np.round(rng.normal(), 2)) * acc
+        if kind == 1:
+            return acc * rand_access(ins[rng.integers(len(ins))])
+        if kind == 2:
+            return acc ** 2
+        return sp.sin(acc)
+
+    asms = []
+    for o in outs:
+        expr = sum((rand_term() for _ in range(int(rng.integers(2, 5)))),
+                   sp.Integer(0))
+        asms.append(Assignment(o.center, expr))
+    return AutoDiffOp(asms, op_name=f"rand_{seed_tag}")
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("ndim", [1, 2])
+def test_random_stencil_gradients(seed, ndim):
+    rng = np.random.default_rng(1000 * ndim + seed)
+    op = _random_op(rng, ndim, f"{ndim}d_{seed}")
+    f = op.jax_function(lowering="jnp")
+    shape = (17,) if ndim == 1 else (13, 14)
+    arrays = {n: jnp.asarray(rng.standard_normal(shape))
+              for n in f.input_names}
+
+    from pystencils_autodiff_tpu.ops import forward_program
+    from pystencils_autodiff_tpu.ops.jnp_ref import make_jnp_stencil
+
+    # oracle: jax.grad THROUGH the raw jnp lowering (no custom_vjp)
+    prog = forward_program(op)
+    raw = make_jnp_stencil(prog)
+
+    def loss_custom(args):
+        out = f(**dict(zip(f.input_names, args)))
+        outs = out if isinstance(out, tuple) else (out,)
+        return sum(jnp.sum(jnp.sin(o)) for o in outs)
+
+    def loss_raw(args):
+        outs = raw(dict(zip(f.input_names, args)))
+        return sum(jnp.sum(jnp.sin(outs[n])) for n in prog.output_names)
+
+    args = tuple(arrays[n] for n in f.input_names)
+    v1, v2 = loss_custom(args), loss_raw(args)
+    np.testing.assert_allclose(v1, v2, rtol=RTOL, atol=ATOL)
+    g1 = jax.grad(loss_custom)(args)
+    g2 = jax.grad(loss_raw)(args)
+    for n, a, b in zip(f.input_names, g1, g2):
+        np.testing.assert_allclose(a, b, rtol=RTOL, atol=ATOL,
+                                   err_msg=f"seed={seed} ndim={ndim} {n}")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_stencil_modes_agree(seed):
+    rng = np.random.default_rng(77 + seed)
+    results = []
+    for mode in (DiffModes.TRANSPOSED, DiffModes.TF_MAD):
+        rng2 = np.random.default_rng(77 + seed)  # same op both times
+        op = _random_op(rng2, 2, f"m{seed}_{mode.name}")
+        op.diff_mode = mode
+        f = op.jax_function()
+        arrays = tuple(jnp.asarray(np.random.default_rng(5).standard_normal((11, 12)))
+                       for _ in f.input_names)
+
+        def loss(args):
+            out = f(*args)
+            outs = out if isinstance(out, tuple) else (out,)
+            return sum(jnp.sum(o ** 2) for o in outs)
+
+        results.append(jax.grad(loss)(arrays))
+    for a, b in zip(*results):
+        np.testing.assert_allclose(a, b, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_stencil_pallas_blocked(seed):
+    rng = np.random.default_rng(300 + seed)
+    op = _random_op(rng, 2, f"pb{seed}")
+    f_pal = op.jax_function(lowering="pallas", interpret=True,
+                            strategy="blocked", tile_rows=8)
+    f_ref = op.jax_function(lowering="jnp")
+    arrays = tuple(jnp.asarray(rng.standard_normal((24, 16)))
+                   for _ in f_pal.input_names)
+
+    def loss(f):
+        def inner(args):
+            out = f(*args)
+            outs = out if isinstance(out, tuple) else (out,)
+            return sum(jnp.sum(jnp.cos(o)) for o in outs)
+        return inner
+
+    np.testing.assert_allclose(loss(f_pal)(arrays), loss(f_ref)(arrays),
+                               rtol=RTOL, atol=ATOL)
+    g1 = jax.grad(loss(f_pal))(arrays)
+    g2 = jax.grad(loss(f_ref))(arrays)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(a, b, rtol=RTOL, atol=ATOL)
