@@ -228,8 +228,13 @@ def _shift_lateral(v, offset: int, axis: int, zero_fill: bool,
 def _pick_divisor_tile(s0: int, lo0: int, hi0: int, row_bytes: int,
                        vmem_limit: int) -> Optional[int]:
     """Largest multiple-of-8 divisor of s0 whose slabs fit the VMEM budget;
-    None if s0 has no multiple-of-8 divisor (fallback to other strategies)."""
-    budget_rows = max(8, vmem_limit // (6 * max(row_bytes, 1)))
+    None if s0 has no multiple-of-8 divisor (fallback to other strategies).
+
+    ``row_bytes`` is bytes per row summed over all live tile-sized values
+    (blocks + one shifted value per distinct access); ~60% of the VMEM
+    budget may be live at once (measured safe: 27-access adjoints at
+    t=1152×384 compile, while 30×7 MB blocks crash Mosaic)."""
+    budget_rows = max(8, (vmem_limit * 3 // 5) // max(row_bytes, 1))
     best = None
     for t in range(8, s0 + 1, 8):
         if s0 % t == 0 and t <= max(budget_rows, 8) and t >= lo0 + hi0:
