@@ -310,17 +310,26 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
         t = int(tile_rows)
         if rows_total % t or t < lo0 + hi0:
             t = None
+    pad_rows = 0
     if t is None:
-        raise ValueError(
-            f"blocked strategy needs a multiple-of-8 row tile dividing "
-            f"{rows_total} and covering the flattened halo {lo0 + hi0}")
-    nb = rows_total // t
+        # no suitable divisor: pad the flattened row axis.  Pad rows hold
+        # zeros for adjoint fields (exact zero-extension) and edge copies
+        # for primal fields (finite); cells there are sliced off, and valid
+        # cells never depend on them except through already-masked reads.
+        t = max(256, _round_up(lo0 + hi0 + 1, 8))
+        pad_rows = _round_up(rows_total, t) - rows_total
+    rows_padded = rows_total + pad_rows
+    nb = rows_padded // t
 
     arrays, ups, downs = [], [], []
     for f in program.input_fields:
         arr = inputs[f.name].astype(dtype)
         flat = arr.reshape((rows_total, cols) + f.index_shape)
         zero_fill = is_adjoint(f)
+        if pad_rows:
+            pads = ((0, pad_rows),) + ((0, 0),) * (flat.ndim - 1)
+            flat = jnp.pad(flat, pads,
+                           mode="constant" if zero_fill else "edge")
         xr = flat.reshape((nb, t, cols) + f.index_shape)
         if lo0:
             first = (jnp.zeros((1, lo0, cols) + f.index_shape, dtype)
@@ -470,7 +479,7 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
     up_specs = [strip_spec(u.shape) for u in ups]
     dn_specs = [strip_spec(d.shape) for d in downs]
     out_specs = tuple(block_spec(f) for f in program.output_fields)
-    out_shapes = [jax.ShapeDtypeStruct((rows_total, cols) + f.index_shape, dtype)
+    out_shapes = [jax.ShapeDtypeStruct((rows_padded, cols) + f.index_shape, dtype)
                   for f in program.output_fields]
 
     result = pl.pallas_call(
@@ -485,7 +494,7 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
     )(*arrays, *ups, *downs)
     if not isinstance(result, (tuple, list)):
         result = (result,)
-    return {name: arr.reshape(tuple(spatial) + f.index_shape)
+    return {name: arr[:rows_total].reshape(tuple(spatial) + f.index_shape)
             for (name, arr), f in zip(zip(program.output_names, result),
                                       program.output_fields)}
 
@@ -729,8 +738,13 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
             len(rest) < 2 or all(s % 8 == 0 for s in rest[:-1]))
         tiled_ok = program.ndim >= 2 and not has_index and (interp or aligned)
         s0 = spatial[0]
+        # full-domain *primal-only* programs in 3D+ would need edge-clamped
+        # inner-dim crossings the flattened path doesn't emulate (only the
+        # oracle-test mode uses this; the VJP's bwd programs have adjoints)
+        has_adjoint_in = any(is_adjoint(f) for f in program.input_fields)
         blocked_ok = (program.ndim >= 2
-                      and any(s0 % t == 0 for t in range(8, s0 + 1, 8)))
+                      and not (full_domain and program.ndim >= 3
+                               and not has_adjoint_in))
 
         strat = strategy
         if strat is None:

@@ -263,3 +263,36 @@ def test_simulation_with_pallas_lowering():
     ref_sim.add_sweep(op, {"u": "u_next"})
     ref = run_timeloop(ref_sim.step_fn(), {"u": u0}, 4)["u"]
     np.testing.assert_allclose(out, ref, rtol=RTOL, atol=ATOL)
+
+
+def test_blocked_pad_to_divisible_rows():
+    """Arbitrary (prime-ish) shapes run the blocked path via row padding."""
+    op = _laplacian_op()
+    prog = forward_program(op)
+    ref = make_jnp_stencil(prog)
+    pal = make_pallas_stencil(prog, interpret=True, strategy="blocked")
+    x = rand(60, (37, 29))  # 37 rows: no multiple-of-8 divisor
+    np.testing.assert_allclose(pal({"x": x})["y"], ref({"x": x})["y"],
+                               rtol=RTOL, atol=ATOL)
+    # and through the vjp (bwd pads adjoints with zeros)
+    f_pal = op.jax_function(lowering="pallas", interpret=True,
+                            strategy="blocked")
+    f_ref = op.jax_function(lowering="jnp")
+    g_p = jax.grad(lambda a: jnp.sum(jnp.sin(f_pal(a))))(x)
+    g_r = jax.grad(lambda a: jnp.sum(jnp.sin(f_ref(a))))(x)
+    np.testing.assert_allclose(g_p, g_r, rtol=RTOL, atol=ATOL)
+
+
+def test_blocked_pad_3d_odd_shape():
+    x, y = fields("o3a, o3b", 3)
+    op = AutoDiffOp([Assignment(
+        y.center, x[1, 0, 0] + x[0, 1, 0] + x[0, 0, 1] - 3 * x[0, 0, 0])],
+        op_name="odd3d")
+    f_pal = op.jax_function(lowering="pallas", interpret=True,
+                            strategy="blocked")
+    f_ref = op.jax_function(lowering="jnp")
+    xv = rand(61, (11, 13, 10))
+    np.testing.assert_allclose(f_pal(xv), f_ref(xv), rtol=RTOL, atol=ATOL)
+    g_p = jax.grad(lambda a: jnp.sum(f_pal(a) ** 2))(xv)
+    g_r = jax.grad(lambda a: jnp.sum(f_ref(a) ** 2))(xv)
+    np.testing.assert_allclose(g_p, g_r, rtol=RTOL, atol=ATOL)
