@@ -22,6 +22,7 @@ from .autodiff import (
     create_backward_assignments,
     get_jacobian_of_assignments,
 )
+from .compose import compose_ops, fuse_sweeps
 from .field import Field, FieldType, fields
 from .field_tensor_conversion import (
     ArrayWrapper,
@@ -42,6 +43,8 @@ __all__ = [
     "get_jacobian_of_assignments",
     "AutoDiffOp",
     "AutoDiffKernelPair",
+    "compose_ops",
+    "fuse_sweeps",
     "ArrayWrapper",
     "create_field_from_array_like",
     "coerce_to_field",
