@@ -4,10 +4,15 @@ differentiable stencil definitions (BASELINE.md)."""
 from .diffusion import diffusion3d_op, sharded_diffusion3d
 from .elastic import anisotropic27_op, elastic_stress_op, elastic_velocity_op
 from .heat import heat_step_op, laplacian_op
+from .lbm import D2Q9_VELOCITIES, D2Q9_WEIGHTS, d2q9_bgk_op, macroscopic
 from .wave import fwi_gradient, wave_simulate, wave_step_op
 
 __all__ = [
     "laplacian_op",
+    "d2q9_bgk_op",
+    "macroscopic",
+    "D2Q9_VELOCITIES",
+    "D2Q9_WEIGHTS",
     "heat_step_op",
     "diffusion3d_op",
     "sharded_diffusion3d",
