@@ -296,12 +296,20 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
 
     itemsize = jnp.dtype(dtype).itemsize
     row_bytes = cols * itemsize
-    n_fields = len(program.input_fields) + len(program.output_fields)
-    # live tile-sized values in the kernel: block + strips per field plus one
-    # shifted value per distinct access — many-access programs (27-point
-    # adjoints) need smaller tiles or Mosaic's register allocator drowns
-    n_live = n_fields + len({(a.field.name, a.offsets, a.index)
-                             for a in all_accesses})
+
+    def _n_comp(f):
+        return int(np.prod(f.index_shape)) if f.index_shape else 1
+
+    # VMEM pressure per tile row: the auto-pipeline double-buffers every
+    # operand *plane* (index fields are split into component planes), and
+    # the kernel holds one live value per distinct access plus slack for
+    # subexpressions/masks — many-plane programs (D2Q9: 18 planes) and
+    # many-access programs (27-point adjoints) need smaller tiles or the
+    # compiler runs out of VMEM / drowns in spills.
+    n_in_planes = sum(_n_comp(f) for f in program.input_fields)
+    n_out_planes = sum(_n_comp(f) for f in program.output_fields)
+    n_access = len({(a.field.name, a.offsets, a.index) for a in all_accesses})
+    n_live = 2 * (n_in_planes + n_out_planes) + n_access + 4
 
     if tile_rows is None:
         t = _pick_divisor_tile(rows_total, lo0, hi0,
@@ -321,34 +329,46 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
     rows_padded = rows_total + pad_rows
     nb = rows_padded // t
 
+    # Index-dimension fields are split into scalar component *planes* —
+    # every kernel operand is then a 2D (rows, cols) array.  AoS trailing
+    # component dims (lane extent 2–9) are hostile to Mosaic layouts; the
+    # split costs one strided-slice pass per component at the wrapper and
+    # buys clean (8,128)-tileable kernels (the SoA transform, done lazily).
+    import itertools as _it
+
+    def _components(f):
+        if f.index_shape:
+            return [tuple(c) for c in
+                    _it.product(*(range(s) for s in f.index_shape))]
+        return [()]
+
+    in_keys = [(f, idx) for f in program.input_fields for idx in _components(f)]
+    out_keys = [(f, idx) for f in program.output_fields for idx in _components(f)]
+
     arrays, ups, downs = [], [], []
-    for f in program.input_fields:
+    for f, idx in in_keys:
         arr = inputs[f.name].astype(dtype)
         flat = arr.reshape((rows_total, cols) + f.index_shape)
+        plane = flat[(Ellipsis,) + idx] if idx else flat
         zero_fill = is_adjoint(f)
         if pad_rows:
-            pads = ((0, pad_rows),) + ((0, 0),) * (flat.ndim - 1)
-            flat = jnp.pad(flat, pads,
-                           mode="constant" if zero_fill else "edge")
-        xr = flat.reshape((nb, t, cols) + f.index_shape)
+            plane = jnp.pad(plane, ((0, pad_rows), (0, 0)),
+                            mode="constant" if zero_fill else "edge")
+        xr = plane.reshape((nb, t, cols))
         if lo0:
-            first = (jnp.zeros((1, lo0, cols) + f.index_shape, dtype)
-                     if zero_fill else
-                     jnp.broadcast_to(xr[:1, :1],
-                                      (1, lo0, cols) + f.index_shape))
+            first = (jnp.zeros((1, lo0, cols), dtype) if zero_fill else
+                     jnp.broadcast_to(xr[:1, :1], (1, lo0, cols)))
             ups.append(jnp.concatenate([first, xr[:-1, t - lo0:]], axis=0))
         if hi0:
-            last = (jnp.zeros((1, hi0, cols) + f.index_shape, dtype)
-                    if zero_fill else
-                    jnp.broadcast_to(xr[-1:, -1:],
-                                     (1, hi0, cols) + f.index_shape))
+            last = (jnp.zeros((1, hi0, cols), dtype) if zero_fill else
+                    jnp.broadcast_to(xr[-1:, -1:], (1, hi0, cols)))
             downs.append(jnp.concatenate([xr[1:, :hi0], last], axis=0))
-        arrays.append(flat)
+        arrays.append(plane)
 
-    n_in = len(program.input_fields)
+    n_in = len(in_keys)
     n_up = len(ups)
     n_dn = len(downs)
-    input_pos = {f.name: i for i, f in enumerate(program.input_fields)}
+    input_pos = {(f.name, idx): i for i, (f, idx) in enumerate(in_keys)}
     interior_shape = (t, cols)
     adj_ghost = adjoint_mask_ghost
     glo_col, ghi_col = (adj_ghost[-1] if adj_ghost is not None else (0, 0))
@@ -383,17 +403,17 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
                      + i * t)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, interior_shape, 1)
 
-        ext: Dict[str, jax.Array] = {}
-        for f in program.input_fields:
-            k = input_pos[f.name]
+        ext: Dict[tuple, jax.Array] = {}
+        for f, idx in in_keys:
+            k = input_pos[(f.name, idx)]
             parts = []
             if lo0:
                 parts.append(up_refs[k][0])
             parts.append(xs[k][...])
             if hi0:
                 parts.append(dn_refs[k][0])
-            v = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-            ext[f.name] = v
+            ext[(f.name, idx)] = (jnp.concatenate(parts, axis=0)
+                                  if len(parts) > 1 else parts[0])
 
         shift_cache: Dict[tuple, jax.Array] = {}
 
@@ -401,11 +421,9 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
             key = (acc.field.name, acc.offsets, acc.index)
             if key in shift_cache:
                 return shift_cache[key]
-            v = ext[acc.field.name]
-            if acc.index:
-                v = v[(Ellipsis,) + tuple(acc.index)]
-            elif acc.field.index_shape:
+            if acc.field.index_shape and not acc.index:
                 raise ValueError(f"{acc}: select index components")
+            v = ext[(acc.field.name, acc.index)]
             ro = row_off(acc.offsets)
             oc = acc.offsets[-1]
             v = jax.lax.slice_in_dim(v, lo0 + ro, lo0 + ro + t, axis=0)
@@ -432,12 +450,7 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
                     if o_d:
                         tgt = dim_coord(rows_tile, d) + o_d
                         m &= (tgt >= 0) & (tgt < lead[d])
-                if m is not True:
-                    mm = m
-                    if acc.field.index_shape and v.ndim > 2:
-                        mm = jnp.expand_dims(
-                            m, tuple(range(2, 2 + len(acc.field.index_shape))))
-                    v = jnp.where(mm, v, 0)
+                v = jnp.where(m, v, 0)
             shift_cache[key] = v
             return v
 
@@ -452,35 +465,29 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
         else:
             mask = dims_interior_mask(rows_tile, col_ids, ghost, interior_shape)
 
-        for f, ref in zip(program.output_fields, outs):
-            val = _assemble_components(f, out_vals[f.name], interior_shape, dtype)
+        zeros_plane = jnp.zeros(interior_shape, dtype)
+        for (f, idx), ref in zip(out_keys, outs):
+            val = out_vals.get(f.name, {}).get(idx, zeros_plane)
             if mask is not None:
-                m = mask
-                if f.index_shape:
-                    m = jnp.expand_dims(mask, tuple(range(2, 2 + f.index_dimensions)))
-                val = jnp.where(m, val, 0)
-            if f in program.accum_fields and f.name in input_pos:
-                val = val + xs[input_pos[f.name]][...]
+                val = jnp.where(mask, val, 0)
+            if f in program.accum_fields and (f.name, idx) in input_pos:
+                val = val + xs[input_pos[(f.name, idx)]][...]
             ref[...] = val
 
     def strip_spec(shape):
-        zeros_idx = (0,) * (len(shape) - 1)
         return pl.BlockSpec((1,) + shape[1:],
-                            lambda i, _z=zeros_idx: (i,) + _z,
+                            lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def block_spec(f):
-        shape = (t, cols) + f.index_shape
-        r = len(shape) - 1
-        return pl.BlockSpec(shape, lambda i, _r=r: (i,) + (0,) * _r,
-                            memory_space=pltpu.VMEM)
+    plane_spec = pl.BlockSpec((t, cols), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
 
-    x_specs = [block_spec(f) for f in program.input_fields]
+    x_specs = [plane_spec] * n_in
     up_specs = [strip_spec(u.shape) for u in ups]
     dn_specs = [strip_spec(d.shape) for d in downs]
-    out_specs = tuple(block_spec(f) for f in program.output_fields)
-    out_shapes = [jax.ShapeDtypeStruct((rows_padded, cols) + f.index_shape, dtype)
-                  for f in program.output_fields]
+    out_specs = tuple(plane_spec for _ in out_keys)
+    out_shapes = [jax.ShapeDtypeStruct((rows_padded, cols), dtype)
+                  for _ in out_keys]
 
     result = pl.pallas_call(
         kernel,
@@ -494,9 +501,20 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
     )(*arrays, *ups, *downs)
     if not isinstance(result, (tuple, list)):
         result = (result,)
-    return {name: arr[:rows_total].reshape(tuple(spatial) + f.index_shape)
-            for (name, arr), f in zip(zip(program.output_names, result),
-                                      program.output_fields)}
+
+    # restack component planes into (spatial..., index...) arrays
+    outputs: Dict[str, jax.Array] = {}
+    pos = 0
+    for f in program.output_fields:
+        comps = _components(f)
+        planes = [result[pos + j][:rows_total] for j in range(len(comps))]
+        pos += len(comps)
+        if f.index_shape:
+            stacked = jnp.stack(planes, axis=-1)
+            outputs[f.name] = stacked.reshape(tuple(spatial) + f.index_shape)
+        else:
+            outputs[f.name] = planes[0].reshape(tuple(spatial))
+    return outputs
 
 
 # ---------------------------------------------------------------------------
