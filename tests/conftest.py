@@ -16,9 +16,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 # The axon sitecustomize force-registers the TPU backend and overrides
-# JAX_PLATFORMS; undo that for hermetic CPU tests.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# JAX_PLATFORMS; undo that for hermetic CPU tests.  Set
+# PYSTENCILS_ADTPU_TPU_TESTS=1 to keep the TPU attached (runs the
+# @pytest.mark.tpu tests natively; float64 tests still run on CPU arrays
+# only if the op supports it — prefer the CPU run for the full suite).
+if not os.environ.get("PYSTENCILS_ADTPU_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 

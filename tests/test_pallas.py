@@ -296,3 +296,28 @@ def test_blocked_pad_3d_odd_shape():
     g_p = jax.grad(lambda a: jnp.sum(f_pal(a) ** 2))(xv)
     g_r = jax.grad(lambda a: jnp.sum(f_ref(a) ** 2))(xv)
     np.testing.assert_allclose(g_p, g_r, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.tpu
+def test_blocked_compiled_grad_exact_tpu():
+    """Hardware regression: blocked fwd+grad bit-exact vs oracle (f32)."""
+    op = _laplacian_op()
+    f_pal = op.jax_function(lowering="pallas", strategy="blocked")
+    f_ref = op.jax_function(lowering="jnp")
+    x = jax.random.normal(jax.random.PRNGKey(0), (1024, 1024), jnp.float32)
+    assert float(jnp.abs(f_pal(x) - f_ref(x)).max()) == 0.0
+    g_p = jax.grad(lambda b: jnp.sum(f_pal(b) * b))(x)
+    g_r = jax.grad(lambda b: jnp.sum(f_ref(b) * b))(x)
+    assert float(jnp.abs(g_p - g_r).max()) == 0.0
+
+
+@pytest.mark.tpu
+def test_lbm_step_compiled_tpu():
+    from pystencils_autodiff_tpu.models.lbm import d2q9_bgk_op
+
+    op = d2q9_bgk_op(omega=1.6, dtype="float32")
+    f_pal = op.jax_function(lowering="pallas", strategy="blocked")
+    f_ref = op.jax_function(lowering="jnp")
+    f0 = 0.1 + 0.01 * jax.random.uniform(jax.random.PRNGKey(1),
+                                         (512, 512, 9), jnp.float32)
+    assert float(jnp.abs(f_pal(f0) - f_ref(f0)).max()) < 1e-6
