@@ -299,11 +299,26 @@ class AutoDiffOp:
 
     # -- framework bridges (parity with reference backends, SURVEY.md §2.1) --
 
-    def create_pytorch_op(self, **kwargs):
+    def create_pytorch_op(self, backend: str = "torch", **kwargs):
+        """torch autograd op; ``backend='torch'`` (JAX-backed shim) or
+        ``'torch_native'`` (generated-C kernels) — reference signature
+        parity (SURVEY.md §3.3)."""
         from .backends._torch import create_autograd_function
+        if backend == "torch_native":
+            kwargs.setdefault("native", True)
+        elif backend != "torch":
+            raise ValueError(f"unknown torch backend {backend!r}")
         return create_autograd_function(self, **kwargs)
 
-    def create_tensorflow_op(self, **kwargs):
+    def create_tensorflow_op(self, backend: str = "tensorflow", **kwargs):
+        """TF op; ``backend='tensorflow'`` (py_function shim) or
+        ``'tensorflow_native'`` (compiled REGISTER_OP custom-op library) —
+        reference signature parity (SURVEY.md §3.4)."""
+        if backend == "tensorflow_native":
+            from .backends._tensorflow_native import create_tensorflow_op
+            return create_tensorflow_op(self, **kwargs)
+        if backend != "tensorflow":
+            raise ValueError(f"unknown tensorflow backend {backend!r}")
         from .backends._tensorflow import tensorflow_function
         return tensorflow_function(self, **kwargs)
 

@@ -90,3 +90,22 @@ def test_diffmodes_are_string_enum():
     assert DiffModes("transposed") is DiffModes.TRANSPOSED
     assert DiffModes("transposed-forward") is DiffModes.TF_MAD
     assert DiffModes.TRANSPOSED == "transposed"
+
+
+def test_backend_selector_parity():
+    """op.create_*_op(backend=...) accepts the reference's backend names."""
+    op = _op()
+    torch = pytest.importorskip("torch")
+    a1 = op.create_pytorch_op(backend="torch")
+    a2 = op.create_pytorch_op(backend="torch_native")
+    t = torch.randn(8, 8, dtype=torch.float64, requires_grad=True)
+    o1, o2 = a1(t), a2(t)
+    np.testing.assert_allclose(o1.detach().numpy(), o2.detach().numpy(),
+                               rtol=1e-12)
+    with pytest.raises(ValueError):
+        op.create_pytorch_op(backend="cuda")
+    tf = pytest.importorskip("tensorflow")
+    f1 = op.create_tensorflow_op(backend="tensorflow")
+    f2 = op.create_tensorflow_op(backend="tensorflow_native")
+    xv = tf.constant(np.random.default_rng(0).standard_normal((8, 8)))
+    np.testing.assert_allclose(f1(xv).numpy(), f2(xv).numpy(), rtol=1e-12)
