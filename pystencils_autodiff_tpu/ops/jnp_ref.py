@@ -103,8 +103,58 @@ def _mask_adjoint_inputs(program, inputs, ghost_spec):
     return out
 
 
+def _evaluate_periodic(program: StencilProgram, inputs, dtype):
+    """Full-domain evaluation with wrap-around reads (periodic domain):
+    every access is a circular roll, every cell is written.  The adjoint of
+    a circulant stencil is the transposed circulant, so running the
+    symbolic backward collection through this same path gives the exact
+    periodic VJP with no masking at all."""
+    env: Dict[object, jax.Array] = {}
+    shape = _spatial_shape(program, inputs)
+    nd = program.ndim
+    out_vals: Dict[str, Dict] = {}
+
+    def read(acc):
+        arr = inputs[acc.field.name]
+        if acc.index:
+            arr = arr[(Ellipsis,) + tuple(acc.index)]
+        elif acc.field.index_dimensions:
+            raise ValueError(f"access {acc} to index field must select components")
+        shifts = tuple(-o for o in acc.offsets)
+        if any(shifts):
+            arr = jnp.roll(arr, shifts, axis=tuple(range(nd)))
+        return arr
+
+    for step in program.steps:
+        vals = [read(at) if isinstance(at, Field.Access) else env[at]
+                for at in step.atoms]
+        res = jnp.broadcast_to(jnp.asarray(step.fn(*vals), dtype), shape)
+        if step.is_main:
+            out_vals.setdefault(step.target.field.name, {})[step.target.index] = res
+        else:
+            env[step.target] = res
+
+    outputs: Dict[str, jax.Array] = {}
+    for f in program.output_fields:
+        comps = out_vals[f.name]
+        if f.index_shape:
+            import itertools
+
+            zeros = jnp.zeros(shape, dtype)
+            planes = [comps.get(idx, zeros) for idx in
+                      itertools.product(*(range(s) for s in f.index_shape))]
+            val = jnp.stack(planes, -1).reshape(shape + f.index_shape)
+        else:
+            val = comps[()]
+        if f in program.accum_fields and f.name in inputs:
+            val = val + inputs[f.name]
+        outputs[f.name] = val
+    return outputs
+
+
 def make_jnp_stencil(program: StencilProgram, full_domain: bool = False,
-                     dtype=None, adjoint_mask_ghost=None):
+                     dtype=None, adjoint_mask_ghost=None,
+                     periodic: bool = False):
     """Build ``fn(inputs: dict[str, Array]) -> dict[str, Array]``.
 
     ``full_domain=False``: reference kernel semantics — outputs are zero on
@@ -114,10 +164,15 @@ def make_jnp_stencil(program: StencilProgram, full_domain: bool = False,
     ``full_domain=True``: exact-VJP semantics — inputs are ghost-padded and
     the result covers the entire original domain (see ops/common.py
     docstring and ops/vjp.py).
+
+    ``periodic=True``: wrap-around domain — every cell written, reads roll
+    circularly; no ghost frame, no masking (all other flags ignored).
     """
 
     def fn(inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         out_dtype = dtype or inputs[program.input_fields[0].name].dtype
+        if periodic:
+            return _evaluate_periodic(program, inputs, out_dtype)
         if adjoint_mask_ghost is not None:
             inputs = _mask_adjoint_inputs(program, inputs, adjoint_mask_ghost)
         if full_domain:

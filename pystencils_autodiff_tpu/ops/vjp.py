@@ -151,16 +151,24 @@ def build_custom_vjp_from_programs(
     return user_fn
 
 
-def build_custom_vjp(op, lowering: str = "jnp", **kwargs):
+def build_custom_vjp(op, lowering: str = "jnp", periodic: bool = False,
+                     **kwargs):
     from . import get_lowering
     lower = get_lowering(lowering)
     fwd_prog = forward_program(op)
     bwd_prog = backward_program(op)
-    fwd_fn = lower(fwd_prog, full_domain=False, **kwargs)
-    # the lowering applies the exact-VJP cotangent interior mask itself
-    # (fused in-kernel for the blocked Pallas strategy)
-    bwd_full_fn = lower(bwd_prog, full_domain=True,
-                        adjoint_mask_ghost=fwd_prog.ghost, **kwargs)
+    if periodic:
+        # wrap-around domain: every cell is written, so the VJP needs no
+        # interior masking anywhere — the adjoint of a circulant stencil is
+        # the transposed circulant, evaluated through the same periodic path
+        fwd_fn = lower(fwd_prog, full_domain=False, periodic=True, **kwargs)
+        bwd_full_fn = lower(bwd_prog, full_domain=True, periodic=True, **kwargs)
+    else:
+        fwd_fn = lower(fwd_prog, full_domain=False, **kwargs)
+        # the lowering applies the exact-VJP cotangent interior mask itself
+        # (fused in-kernel for the blocked Pallas strategy)
+        bwd_full_fn = lower(bwd_prog, full_domain=True,
+                            adjoint_mask_ghost=fwd_prog.ghost, **kwargs)
     return build_custom_vjp_from_programs(op, fwd_fn, bwd_full_fn,
                                           fwd_prog, bwd_prog,
                                           bwd_masks_cotangents=True)
