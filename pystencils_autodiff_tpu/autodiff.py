@@ -289,12 +289,18 @@ class AutoDiffOp:
         from .ops import lower_backward
         return lower_backward(self, lowering=lowering, **kwargs)
 
-    def jax_function(self, lowering: str = "jnp", **kwargs):
+    def jax_function(self, lowering: str = "jnp", config=None, **kwargs):
         """The flagship API: a jit-compatible function over jax arrays with a
         ``jax.custom_vjp`` whose backward rule runs the symbolically derived
         adjoint kernel.  Replaces the reference's ``create_pytorch_op`` /
-        ``create_tensorflow_op`` native paths (SURVEY.md §2.2)."""
+        ``create_tensorflow_op`` native paths (SURVEY.md §2.2).
+
+        ``config``: optional ``utils.LoweringConfig`` bundling the knobs
+        (strategy, tile_rows, interpret, dtype, periodic via kwargs)."""
         from .ops import build_custom_vjp
+        if config is not None:
+            lowering = config.lowering
+            kwargs = {**config.kwargs(), **kwargs}
         return build_custom_vjp(self, lowering=lowering, **kwargs)
 
     # -- framework bridges (parity with reference backends, SURVEY.md §2.1) --
