@@ -128,3 +128,29 @@ def test_random_stencil_pallas_blocked(seed):
     g2 = jax.grad(loss(f_ref))(arrays)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(a, b, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_random_stencil_pallas_blocked_3d(seed):
+    """Flattened 3D blocked path against the oracle on random stencils."""
+    rng = np.random.default_rng(500 + seed)
+    op = _random_op(rng, 3, f"pb3_{seed}")
+    f_pal = op.jax_function(lowering="pallas", interpret=True,
+                            strategy="blocked")
+    f_ref = op.jax_function(lowering="jnp")
+    arrays = tuple(jnp.asarray(rng.standard_normal((10, 12, 11)))
+                   for _ in f_pal.input_names)
+
+    def loss(f):
+        def inner(args):
+            out = f(*args)
+            outs = out if isinstance(out, tuple) else (out,)
+            return sum(jnp.sum(jnp.cos(o)) for o in outs)
+        return inner
+
+    np.testing.assert_allclose(loss(f_pal)(arrays), loss(f_ref)(arrays),
+                               rtol=RTOL, atol=ATOL)
+    g1 = jax.grad(loss(f_pal))(arrays)
+    g2 = jax.grad(loss(f_ref))(arrays)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(a, b, rtol=RTOL, atol=ATOL)
