@@ -1,0 +1,94 @@
+"""Ahead-of-time export for production serving.
+
+Compiled stencil ops serialize to portable StableHLO artifacts via
+``jax.export`` — deployable to a serving runtime without sympy, the
+symbolic layer, or even this package (only jax is needed to load).  The
+exported function carries the full ``custom_vjp``, so loaded artifacts
+remain differentiable (export the VJP wrapper with ``with_gradient``).
+
+The production analog of the reference's "compile once, ship the .so"
+torch/TF extension workflow (SURVEY.md §3.3/§3.4), in the XLA world.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+__all__ = ["ExportedOp", "export_op", "load_exported", "save_exported"]
+
+
+class ExportedOp:
+    """A pair of exported artifacts: primal op + its VJP."""
+
+    def __init__(self, primal, vjp=None):
+        self.primal = primal
+        self.vjp = vjp
+
+    def __call__(self, *args):
+        return self.primal.call(*args)
+
+
+def export_op(op, spatial_shape: Sequence[int], dtype=jnp.float32,
+              lowering: str = "jnp", with_gradient: bool = True,
+              platforms: Optional[Sequence[str]] = None, **kwargs):
+    """Export ``op.jax_function(...)`` for the given shapes.
+
+    Returns a ``jax.export.Exported``; serialize with ``save_exported`` /
+    ``exported.serialize()``.  ``platforms`` defaults to the current
+    backend (pass ``["tpu"]``/["cpu"] to cross-export).
+    """
+    f = op.jax_function(lowering=lowering, **kwargs)
+    shape = tuple(spatial_shape)
+    args = [jax.ShapeDtypeStruct(shape + fl.index_shape, dtype)
+            for fl in op.forward_input_fields]
+    fn = jax.jit(lambda *a: f(*a))
+    exp = jax_export.export(
+        fn, platforms=list(platforms) if platforms else None,
+        disabled_checks=(),
+    )(*args)
+    if with_gradient:
+        # exporting the VJP alongside: grad of a scalar loss seeded by
+        # caller-provided cotangents
+        def vjp_fn(*args_and_cots):
+            n = len(op.forward_input_fields)
+            primals, cots = args_and_cots[:n], args_and_cots[n:]
+            out, pullback = jax.vjp(lambda *a: f(*a), *primals)
+            grads = pullback(cots if isinstance(out, tuple) else cots[0])
+            return grads
+
+        cot_specs = [jax.ShapeDtypeStruct(shape + fl.index_shape, dtype)
+                     for fl in op.forward_output_fields]
+        exp_vjp = jax_export.export(
+            jax.jit(vjp_fn),
+            platforms=list(platforms) if platforms else None,
+        )(*args, *cot_specs)
+        return ExportedOp(exp, exp_vjp)
+    return ExportedOp(exp)
+
+
+def save_exported(exported: "ExportedOp", path: str) -> None:
+    with open(path, "wb") as fh:
+        fh.write(exported.primal.serialize())
+    if exported.vjp is not None:
+        with open(path + ".vjp", "wb") as fh:
+            fh.write(exported.vjp.serialize())
+
+
+def load_exported(path: str):
+    """Load a serialized artifact; returns callables ``(fn, vjp_fn|None)``.
+
+    Needs only jax — no sympy / symbolic layer."""
+    import os
+
+    with open(path, "rb") as fh:
+        exp = jax_export.deserialize(fh.read())
+    fn = exp.call
+    vjp_fn = None
+    if os.path.exists(path + ".vjp"):
+        with open(path + ".vjp", "rb") as fh:
+            vjp_fn = jax_export.deserialize(fh.read()).call
+    return fn, vjp_fn
