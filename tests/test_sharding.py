@@ -124,3 +124,40 @@ def test_3d_sharded_pallas_interpret():
     np.testing.assert_allclose(
         np.asarray(sharded(**arrs)), np.asarray(single(**arrs)),
         rtol=RTOL, atol=ATOL)
+
+
+@needs_8
+def test_sharded_corner_halos_27point():
+    """Diagonal (corner) offsets exercise the multi-dim exchange ordering:
+    later dims must transport earlier dims' halos (SURVEY.md §5.7)."""
+    from pystencils_autodiff_tpu.models import anisotropic27_op
+
+    op = anisotropic27_op(dtype="float64")
+    mesh = make_mesh((2, 2, 2), ("x", "y", "z"))
+    sharded = ShardedStencil(op, mesh, {0: "x", 1: "y", 2: "z"})
+    single = op.jax_function()
+    u = rand(40, (8, 8, 8))
+    np.testing.assert_allclose(np.asarray(sharded(u)), np.asarray(single(u)),
+                               rtol=RTOL, atol=ATOL)
+    g_sh = jax.grad(lambda a: jnp.sum(jnp.sin(sharded(a))))(u)
+    g_si = jax.grad(lambda a: jnp.sum(jnp.sin(single(a))))(u)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_si),
+                               rtol=RTOL, atol=ATOL)
+
+
+@needs_8
+def test_sharded_staggered_elastic():
+    """Staggered multi-output op decomposed over a mesh."""
+    from pystencils_autodiff_tpu.models.elastic import elastic_velocity_op
+
+    op = elastic_velocity_op(dtype="float64")
+    mesh = make_mesh((2, 2), ("x", "y"))
+    sharded = ShardedStencil(op, mesh, {0: "x", 1: "y"})
+    single = op.jax_function()
+    args = {n: rand(50 + i, (16, 16))
+            for i, n in enumerate(f.name for f in op.forward_input_fields)}
+    out_sh = sharded(**args)
+    out_si = single(**args)
+    for a, b in zip(out_sh, out_si):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=RTOL, atol=ATOL)
