@@ -88,6 +88,68 @@ class Simulation:
         self.boundaries.append(BoundaryHandling(ghost, specs))
         return self
 
+    # -- fusion --------------------------------------------------------------
+
+    def fused_op(self, op_name: str = "fused_step"):
+        """Symbolically fuse the sweep chain into one AutoDiffOp.
+
+        Later sweeps' reads of state names that earlier sweeps update are
+        rewired to the earlier sweep's *output* field and inlined
+        (compose.py), so the whole multi-sweep step becomes a single kernel
+        — one HBM pass instead of one per sweep, wider halo instead
+        (symbolic temporal blocking).  Boundary conditions are not fused;
+        apply them around the fused op.
+
+        Only supports chains where each state name is updated by at most
+        one sweep and carry sources are op outputs.
+        """
+        from .compose import compose_ops
+        from .field import Field
+
+        if not self.sweeps:
+            raise ValueError("no sweeps added")
+        fused = self.sweeps[0].op
+        # running map: state name -> output field (of the fused op) holding
+        # its next value
+        updated: Dict[str, Field] = {}
+        out_fields = {f.name: f for f in fused.forward_output_fields}
+        for dst, src in self.sweeps[0].carry_map.items():
+            if src in out_fields:
+                updated[dst] = out_fields[src]
+        for sw in self.sweeps[1:]:
+            nxt = sw.op
+            # rewire nxt's reads of updated state names to the fused
+            # op's output fields so compose_ops inlines them
+            sub = {}
+            for a in nxt.forward_assignments.all_assignments:
+                for acc in a.rhs.atoms(Field.Access):
+                    tgt = updated.get(acc.field.name)
+                    if tgt is not None:
+                        sub[acc] = Field.Access(tgt, acc.offsets, acc.index)
+            if sub:
+                from .assignment import Assignment, AssignmentCollection
+
+                coll = nxt.forward_assignments
+                nxt = AutoDiffOp(
+                    AssignmentCollection(
+                        [Assignment(a.lhs, a.rhs.xreplace(sub),
+                                    a.is_accumulation)
+                         for a in coll.main_assignments],
+                        [Assignment(a.lhs, a.rhs.xreplace(sub))
+                         for a in coll.subexpressions]),
+                    op_name=nxt.op_name + "_rw",
+                    constant_fields=nxt.constant_fields,
+                    time_constant_fields=nxt.time_constant_fields,
+                    diff_mode=nxt.diff_mode)
+            fused = compose_ops(fused, nxt)
+            out_fields = {f.name: f for f in fused.forward_output_fields}
+            for dst, src in sw.carry_map.items():
+                if src in out_fields:
+                    updated[dst] = out_fields[src]
+        fused.op_name = op_name
+        fused._fused_carry = {dst: f.name for dst, f in updated.items()}
+        return fused
+
     # -- compiled step -------------------------------------------------------
 
     def step_fn(self) -> Callable[[State], State]:

@@ -125,3 +125,55 @@ def test_fused_pallas_blocked():
     g_p = jax.grad(lambda a: jnp.sum(f_pal(a) ** 2))(x)
     g_r = jax.grad(lambda a: jnp.sum(f_ref(a) ** 2))(x)
     np.testing.assert_allclose(g_p, g_r, rtol=RTOL, atol=ATOL)
+
+
+def test_simulation_fused_op_heat_chain():
+    """Simulation.fused_op rewires carry chains automatically."""
+    from pystencils_autodiff_tpu.simulation import Simulation
+    from pystencils_autodiff_tpu.models.heat import heat_step_op
+
+    op = heat_step_op(dt=0.1, dtype="float64")
+    sim = Simulation()
+    sim.add_sweep(op, {"u": "u_next"})
+    # second identical sweep reads "u" — which the first sweep updated
+    op2 = heat_step_op(dt=0.1, dtype="float64")
+    op2.op_name = "heat2"
+    sim.add_sweep(op2, {"u": "u_next"})
+    fused = sim.fused_op()
+    assert [f.name for f in fused.forward_input_fields] == ["u"]
+    assert fused._fused_carry == {"u": "u_next"}
+
+    f1 = op.jax_function()
+    ff = fused.jax_function()
+    x = rand(6, (20, 20))
+    seq = f1(f1(x))
+    fus = ff(x)
+    np.testing.assert_allclose(fus[2:-2, 2:-2], seq[2:-2, 2:-2],
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_simulation_fused_elastic_full_step():
+    from pystencils_autodiff_tpu.simulation import Simulation
+
+    vop = elastic_velocity_op(dtype="float64")
+    sop = elastic_stress_op(dtype="float64")
+    sim = Simulation()
+    sim.add_sweep(vop, {"vx": "vx_next", "vy": "vy_next"})
+    sim.add_sweep(sop, {"sxx": "sxx_next", "syy": "syy_next",
+                        "sxy": "sxy_next"})
+    fused = sim.fused_op("elastic_fused")
+    ins = {f.name for f in fused.forward_input_fields}
+    assert ins == {"vx", "vy", "sxx", "syy", "sxy"}
+
+    # compare against the sequential (unfused) step on the deep interior
+    seq_step = sim.step_fn()
+    state = {n: rand(60 + i, (18, 18)) for i, n in enumerate(sorted(ins))}
+    seq = seq_step(state)
+    ff = fused.jax_function()
+    fus = ff(**{n: state[n] for n in ins})
+    fus_d = dict(zip([f.name for f in fused.forward_output_fields], fus))
+    for name in ("sxx_next", "syy_next", "sxy_next"):
+        carried = {"sxx_next": "sxx", "syy_next": "syy", "sxy_next": "sxy"}[name]
+        np.testing.assert_allclose(fus_d[name][2:-2, 2:-2],
+                                   seq[carried][2:-2, 2:-2],
+                                   rtol=RTOL, atol=ATOL, err_msg=name)
