@@ -141,7 +141,9 @@ class Simulation:
                     constant_fields=nxt.constant_fields,
                     time_constant_fields=nxt.time_constant_fields,
                     diff_mode=nxt.diff_mode)
-            fused = compose_ops(fused, nxt)
+            # keep_intermediate: earlier sweeps' outputs stay op outputs —
+            # the time-loop carry needs them as next-step state
+            fused = compose_ops(fused, nxt, keep_intermediate=True)
             out_fields = {f.name: f for f in fused.forward_output_fields}
             for dst, src in sw.carry_map.items():
                 if src in out_fields:
