@@ -59,11 +59,19 @@ class ShardedStencil:
     """
 
     def __init__(self, op: AutoDiffOp, mesh: Mesh, dim_axes: Dict[int, str],
-                 periodic: bool = False, lowering: str = "jnp", **kwargs):
+                 periodic: bool = False, lowering: str = "jnp",
+                 overlap: bool = False, **kwargs):
+        """``overlap=True`` splits each step into a bulk computation that
+        does not depend on the halo exchange (XLA's latency-hiding
+        scheduler runs it concurrently with the ICI collective-permute) and
+        thin edge-strip computations that do — hiding communication latency
+        behind the bulk compute (the stencil analog of comm/compute
+        overlap in ring collectives, SURVEY.md §5.7)."""
         self.op = op
         self.mesh = mesh
         self.dim_axes = dict(dim_axes)
         self.periodic = periodic
+        self.overlap = overlap
         self._local = op.jax_function(lowering=lowering, **kwargs)
         prog = forward_program(op)
         self.ghost = prog.ghost
@@ -93,19 +101,65 @@ class ShardedStencil:
         out_fields = self.op.forward_output_fields
         global_spatial = tuple(arrays[0].shape[: self.ndim])
 
+        def slice_back(o):
+            idx = [slice(None)] * o.ndim
+            for d in self.dim_axes:
+                lo, hi = self.ghost[d]
+                idx[d] = slice(lo, o.shape[d] - hi)
+            return o[tuple(idx)]
+
         def local_fn(*locals_):
             ext = [extend_with_halo(a, self.dim_axes, self.ghost, self.periodic)
                    for a in locals_]
-            outs = self._local(*ext)
-            if not isinstance(outs, tuple):
-                outs = (outs,)
-            res = []
-            for f, o in zip(out_fields, outs):
-                idx = [slice(None)] * o.ndim
+            if self.overlap:
+                # bulk result from the raw local block — independent of the
+                # halo exchange, so XLA overlaps it with the ppermutes;
+                # shard-edge bands are then recomputed from thin ext strips
+                bulk = self._local(*locals_)
+                bulk = bulk if isinstance(bulk, tuple) else (bulk,)
+                outs = list(bulk)
                 for d in self.dim_axes:
                     lo, hi = self.ghost[d]
-                    idx[d] = slice(lo, o.shape[d] - hi)
-                o = o[tuple(idx)]
+                    for side, width in ((0, lo), (1, hi)):
+                        if not width:
+                            continue
+                        strip_idx = [slice(None)] * ext[0].ndim
+                        # strip of ext covering the edge band + its reach
+                        if side == 0:
+                            strip_idx[d] = slice(0, 2 * lo + hi)
+                        else:
+                            e = ext[0].shape[d]
+                            strip_idx[d] = slice(e - (lo + 2 * hi), e)
+                        strips = [a[tuple(strip_idx)] for a in ext]
+                        s_outs = self._local(*strips)
+                        s_outs = (s_outs if isinstance(s_outs, tuple)
+                                  else (s_outs,))
+                        for k, (f, so) in enumerate(zip(out_fields, s_outs)):
+                            band = [slice(None)] * so.ndim
+                            band[d] = (slice(lo, 2 * lo) if side == 0
+                                       else slice(so.shape[d] - 2 * hi,
+                                                  so.shape[d] - hi))
+                            tgt = [slice(None)] * outs[k].ndim
+                            tgt[d] = (slice(0, lo) if side == 0
+                                      else slice(outs[k].shape[d] - hi,
+                                                 outs[k].shape[d]))
+                            # the strip spans the ext extent in other
+                            # sharded dims; trim to the local extent
+                            for d2 in self.dim_axes:
+                                if d2 == d:
+                                    continue
+                                lo2, hi2 = self.ghost[d2]
+                                band[d2] = slice(lo2, so.shape[d2] - hi2)
+                            outs[k] = outs[k].at[tuple(tgt)].set(
+                                so[tuple(band)])
+                outs = tuple(outs)
+            else:
+                outs = self._local(*ext)
+                if not isinstance(outs, tuple):
+                    outs = (outs,)
+                outs = tuple(slice_back(o) for o in outs)
+            res = []
+            for f, o in zip(out_fields, outs):
                 o = mask_global_ghost(o, self.dim_axes, self.ghost,
                                       global_spatial, f.index_dimensions,
                                       self.periodic)

@@ -161,3 +161,39 @@ def test_sharded_staggered_elastic():
     for a, b in zip(out_sh, out_si):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=RTOL, atol=ATOL)
+
+
+@needs_8
+@pytest.mark.parametrize("mesh_shape,axes,dims", [
+    ((4,), ("x",), {0: "x"}),
+    ((2, 2), ("x", "y"), {0: "x", 1: "y"}),
+])
+def test_overlap_mode_matches_exactly(mesh_shape, axes, dims):
+    """overlap=True (comm/compute-overlapped edge-strip recompute) must be
+    bit-identical to the plain path and the single device op, grads incl."""
+    x, y, k = fields("xo, yo, ko", 2)
+    op = AutoDiffOp(
+        [Assignment(y.center, ko_acc := k[0, 0] * (x[1, 0] + x[-1, 0]
+                                                   - 2 * x[0, 0]) + x[0, 1] ** 2)],
+        op_name="ovl")
+    mesh = make_mesh(mesh_shape, axes)
+    plain = ShardedStencil(op, mesh, dims)
+    ovl = ShardedStencil(op, mesh, dims, overlap=True)
+    single = op.jax_function()
+    xv, kv = rand(80, (32, 16)), rand(81, (32, 16))
+
+    o_plain = plain(xo=xv, ko=kv)
+    o_ovl = ovl(xo=xv, ko=kv)
+    o_single = single(xo=xv, ko=kv)
+    np.testing.assert_allclose(np.asarray(o_ovl), np.asarray(o_single),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(o_ovl), np.asarray(o_plain),
+                               rtol=RTOL, atol=ATOL)
+
+    g_o = jax.grad(lambda a, b: jnp.sum(jnp.sin(ovl(xo=a, ko=b))),
+                   argnums=(0, 1))(xv, kv)
+    g_s = jax.grad(lambda a, b: jnp.sum(jnp.sin(single(xo=a, ko=b))),
+                   argnums=(0, 1))(xv, kv)
+    for a, b in zip(g_o, g_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=RTOL, atol=ATOL)
