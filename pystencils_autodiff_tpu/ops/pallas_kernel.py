@@ -214,6 +214,11 @@ def _shift_lateral(v, offset: int, axis: int, zero_fill: bool,
     w = v.shape[axis]
     if interpret:
         rolled = jnp.roll(v, -offset, axis=axis)
+    elif v.dtype.itemsize != 4:
+        # Mosaic's rotate is 32-bit only; round-trip through f32 (exact for
+        # bf16/f16 values — widening then narrowing the same value)
+        rolled = pltpu.roll(v.astype(jnp.float32), (-offset) % w,
+                            axis).astype(v.dtype)
     else:
         rolled = pltpu.roll(v, (-offset) % w, axis)
     if periodic:  # circular domain: the roll IS the shift
