@@ -1,6 +1,7 @@
 """Model library: the five BASELINE benchmark configurations as reusable
 differentiable stencil definitions (BASELINE.md)."""
 
+from .advection import upwind1_op, weno5_op
 from .diffusion import diffusion3d_op, sharded_diffusion3d
 from .elastic import anisotropic27_op, elastic_stress_op, elastic_velocity_op
 from .heat import heat_step_op, laplacian_op
@@ -13,6 +14,8 @@ __all__ = [
     "macroscopic",
     "D2Q9_VELOCITIES",
     "D2Q9_WEIGHTS",
+    "upwind1_op",
+    "weno5_op",
     "heat_step_op",
     "diffusion3d_op",
     "sharded_diffusion3d",
