@@ -67,3 +67,4 @@ def weno5_op(a: float = 1.0, dt: float = 0.4, dx: float = 1.0,
     return AutoDiffOp(AssignmentCollection.normalize(
         [Assignment(out.center, rhs)]).new_with_cse(),
         op_name="weno5")
+
