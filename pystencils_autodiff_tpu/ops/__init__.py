@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from .common import StencilProgram, backward_program, forward_program, make_program
 from .jnp_ref import make_jnp_stencil
+from .time_chain import fused_time_chain
 from .vjp import build_custom_vjp
 
 __all__ = [
@@ -20,6 +21,7 @@ __all__ = [
     "backward_program",
     "make_jnp_stencil",
     "build_custom_vjp",
+    "fused_time_chain",
     "lower_forward",
     "lower_backward",
     "get_lowering",

@@ -1,0 +1,248 @@
+"""Temporal blocking: k time steps of a stencil op fused into one kernel.
+
+The single-kernel Pallas read+write pipeline caps at ~290 GB/s on this
+platform, so the biggest remaining lever for time-stepped workloads is to
+amortize the HBM round trip over several steps: one kernel loads the state
+once (with a k×-wide halo), applies the step k times with intermediates
+held in registers/VMEM, and writes the final state once.  Per-step HBM
+traffic drops k×.
+
+This is *program-level* fusion — stages chain inside the kernel over
+``StencilProgram`` values, not by symbolic inlining (which explodes sympy
+trees for nonlinear steps like WENO; see ROADMAP.md).
+
+Gradients: the fused chain is wrapped in ``jax.custom_vjp`` whose backward
+recomputes the chain with the ordinary (exact) single-step custom_vjp ops
+and pulls back through them — the standard recompute-from-checkpoint
+adjoint, so gradients are identical to sequential stepping.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..field import Field
+from .common import StencilProgram, forward_program
+
+__all__ = ["fused_time_chain"]
+
+
+def _make_chain_kernel_fn(program: StencilProgram, k: int,
+                          carry_map: Dict[str, str],
+                          spatial, dtype, interpret: bool,
+                          periodic: bool,
+                          tile_rows: Optional[int] = None,
+                          vmem_limit_bytes: int = 100 * 1024 * 1024):
+    """Forward-only fused k-step kernel over a 2D (rows, cols) domain.
+
+    Scalar fields only, 2D (the wave/heat/advection time-loop cases);
+    flattening/plane-splitting generalisations follow the blocked strategy
+    and can be lifted here when needed.
+    """
+    from .pallas_kernel import (_pick_divisor_tile, _round_up, _shift_lateral,
+                                is_adjoint)
+
+    nd = program.ndim
+    if nd != 2:
+        raise ValueError("fused_time_chain kernels support 2D scalar fields")
+    if any(f.index_shape for f in program.input_fields + program.output_fields):
+        raise ValueError("fused_time_chain supports scalar fields")
+    rows, cols = spatial
+    (lo1, hi1), (loc, hic) = program.ghost
+    LO, HI = k * lo1, k * hi1
+
+    in_names = [f.name for f in program.input_fields]
+    out_names = [f.name for f in program.output_fields]
+    # next-state source for each input (output name or carried input name)
+    next_src = {n: carry_map.get(n, n) for n in in_names}
+
+    itemsize = jnp.dtype(dtype).itemsize
+    n_live = (len(in_names) * (k + 2) + 8)
+    t = tile_rows or _pick_divisor_tile(rows, LO, HI,
+                                        cols * itemsize * n_live,
+                                        vmem_limit_bytes)
+    if t is None or rows % t or t < LO + HI:
+        raise ValueError(f"no viable tile for rows={rows}, halo={LO + HI}")
+    nb = rows // t
+
+    def fn(inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        arrays, ups, downs = [], [], []
+        for n in in_names:
+            arr = inputs[n].astype(dtype)
+            arrays.append(arr)
+            xr = arr.reshape((nb, t, cols))
+            if LO:
+                if periodic:
+                    ups.append(jnp.roll(xr[:, t - LO:], 1, axis=0))
+                else:
+                    first = jnp.broadcast_to(xr[:1, :1], (1, LO, cols))
+                    ups.append(jnp.concatenate([first, xr[:-1, t - LO:]], 0))
+            if HI:
+                if periodic:
+                    downs.append(jnp.roll(xr[:, :HI], -1, axis=0))
+                else:
+                    last = jnp.broadcast_to(xr[-1:, -1:], (1, HI, cols))
+                    downs.append(jnp.concatenate([xr[1:, :HI], last], 0))
+        n_in = len(in_names)
+        n_up, n_dn = len(ups), len(downs)
+
+        def kernel(*refs):
+            xs = refs[:n_in]
+            up_refs = refs[n_in:n_in + n_up]
+            dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
+            outs = refs[n_in + n_up + n_dn:]
+            i = pl.program_id(0)
+
+            # state values on the fully-extended tile (LO + t + HI rows)
+            state: Dict[str, jax.Array] = {}
+            for kk, n in enumerate(in_names):
+                parts = []
+                if LO:
+                    parts.append(up_refs[kk][0])
+                parts.append(xs[kk][...])
+                if HI:
+                    parts.append(dn_refs[kk][0])
+                state[n] = (jnp.concatenate(parts, axis=0)
+                            if len(parts) > 1 else parts[0])
+
+            for s in range(k):
+                # stage s consumes (lo1, hi1) rows of margin
+                margin_lo = LO - (s + 1) * lo1
+                ext_rows = t + margin_lo + (HI - (s + 1) * hi1)
+                stage_out: Dict[str, jax.Array] = {}
+                env: Dict[object, jax.Array] = {}
+
+                def read(acc, _s=s, _ml=margin_lo, _er=ext_rows):
+                    v = state[acc.field.name]
+                    # current extents of v: rows t + (LO - s*lo1)·... all
+                    # state values share extent t + (LO-s*lo1)+(HI-s*hi1);
+                    # target extent after this stage: _er rows starting at
+                    # margin offset lo1 + row offset
+                    start = lo1 + acc.offsets[0]
+                    v = jax.lax.slice_in_dim(v, start, start + _er, axis=0)
+                    return _shift_lateral(v, acc.offsets[1], 1, False,
+                                          interpret, periodic)
+
+                shape_s = (ext_rows, cols)
+                for step_ in program.steps:
+                    vals = [read(at) if isinstance(at, Field.Access)
+                            else env[at] for at in step_.atoms]
+                    res = jnp.broadcast_to(
+                        jnp.asarray(step_.fn(*vals), dtype), shape_s)
+                    if step_.is_main:
+                        stage_out[step_.target.field.name] = res
+                    else:
+                        env[step_.target] = res
+
+                if not periodic:
+                    # sequential semantics: each step zeroes its global
+                    # ghost frame
+                    base = i * t - margin_lo
+                    r_ids = (jax.lax.broadcasted_iota(jnp.int32, shape_s, 0)
+                             + base)
+                    m = (r_ids >= lo1) & (r_ids < rows - hi1)
+                    if loc or hic:
+                        c_ids = jax.lax.broadcasted_iota(jnp.int32, shape_s, 1)
+                        m &= (c_ids >= loc) & (c_ids < cols - hic)
+                    stage_out = {n: jnp.where(m, v, 0)
+                                 for n, v in stage_out.items()}
+
+                new_state = {}
+                for n in in_names:
+                    src = next_src[n]
+                    if src in stage_out:
+                        new_state[n] = stage_out[src]
+                    else:
+                        # carried-through input: shrink to the new extent
+                        v = state[src]
+                        new_state[n] = jax.lax.slice_in_dim(
+                            v, lo1, lo1 + ext_rows, axis=0)
+                state = new_state
+
+            for ref, n in zip(outs, in_names):
+                ref[...] = state[n]
+
+        plane_spec = pl.BlockSpec((t, cols), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+
+        def strip_spec(shape):
+            return pl.BlockSpec((1,) + shape[1:], lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        result = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            out_shape=tuple(jax.ShapeDtypeStruct((rows, cols), dtype)
+                            for _ in in_names),
+            in_specs=[plane_spec] * n_in + [strip_spec(u.shape) for u in ups]
+            + [strip_spec(d.shape) for d in downs],
+            out_specs=tuple(plane_spec for _ in in_names),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_bytes),
+        )(*arrays, *ups, *downs)
+        if not isinstance(result, (tuple, list)):
+            result = (result,)
+        return dict(zip(in_names, result))
+
+    return fn
+
+
+def fused_time_chain(op, k: int, carry_map: Dict[str, str],
+                     periodic: bool = False, interpret: Optional[bool] = None,
+                     tile_rows: Optional[int] = None, dtype=None):
+    """``chain(state: dict) -> state`` advancing ``k`` steps in ONE kernel.
+
+    Exact gradients: the backward rule recomputes the k steps with the
+    ordinary single-step custom_vjp ops (recompute-from-checkpoint).
+    """
+    from .pallas_kernel import _on_tpu
+    from ..timeloop import make_time_stepper
+
+    prog = forward_program(op)
+    in_names = [f.name for f in op.forward_input_fields]
+
+    seq_step = make_time_stepper(op, carry_map, lowering="pallas",
+                                 periodic=periodic,
+                                 **({"interpret": interpret}
+                                    if interpret is not None else {}))
+
+    def sequential(state):
+        for _ in range(k):
+            state = seq_step(state)
+        return {n: state[n] for n in in_names}
+
+    kernel_cache = {}
+
+    def fused_fwd(state):
+        arr0 = state[in_names[0]]
+        key = (tuple(arr0.shape), str(arr0.dtype))
+        if key not in kernel_cache:
+            interp = interpret if interpret is not None else not _on_tpu()
+            kernel_cache[key] = _make_chain_kernel_fn(
+                prog, k, carry_map, tuple(arr0.shape),
+                dtype or arr0.dtype, interp, periodic, tile_rows=tile_rows)
+        return kernel_cache[key]({n: state[n] for n in in_names})
+
+    @jax.custom_vjp
+    def chain(state):
+        return fused_fwd(state)
+
+    def fwd_rule(state):
+        return fused_fwd(state), {n: state[n] for n in in_names}
+
+    def bwd_rule(saved, cot):
+        _, pullback = jax.vjp(sequential, saved)
+        (grads,) = pullback(cot)
+        return (grads,)
+
+    chain.defvjp(fwd_rule, bwd_rule)
+    chain.input_names = in_names
+    chain.k = k
+    return chain

@@ -1,0 +1,101 @@
+"""Temporal blocking tests: the fused k-step kernel must match k sequential
+steps exactly (values and gradients), periodic and ghost-frame semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pystencils_autodiff_tpu.models.heat import heat_step_op
+from pystencils_autodiff_tpu.models.wave import wave_step_op
+from pystencils_autodiff_tpu.ops.time_chain import fused_time_chain
+from pystencils_autodiff_tpu.timeloop import make_time_stepper
+
+RTOL, ATOL = 1e-12, 1e-12
+
+
+def rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype=jnp.float64)
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+@pytest.mark.parametrize("k", [1, 3])
+def test_fused_heat_chain_matches_sequential(periodic, k):
+    op = heat_step_op(dt=0.1, dtype="float64")
+    chain = fused_time_chain(op, k, {"u": "u_next"}, periodic=periodic,
+                             interpret=True, tile_rows=16)
+    step = make_time_stepper(op, {"u": "u_next"}, periodic=periodic)
+    u0 = rand(0, (48, 32))
+    state = {"u": u0}
+    out_fused = chain(state)["u"]
+    seq = dict(state)
+    for _ in range(k):
+        seq = step(seq)
+    np.testing.assert_allclose(out_fused, seq["u"], rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_fused_wave_chain_with_carried_constant(periodic):
+    """Leapfrog: two carried state fields + a constant field, k=4."""
+    op = wave_step_op(dt=0.2, dtype="float64")
+    carry = {"u_curr": "u_next", "u_prev": "u_curr"}
+    chain = fused_time_chain(op, 4, carry, periodic=periodic,
+                             interpret=True, tile_rows=16)
+    step = make_time_stepper(op, carry, periodic=periodic)
+    u0 = rand(1, (48, 32)) * 0.1
+    c = 1.0 + 0.1 * rand(2, (48, 32)) ** 2
+    state = {"u_curr": u0, "u_prev": u0, "c": c}
+    fused = chain(state)
+    seq = dict(state)
+    for _ in range(4):
+        seq = step(seq)
+    for n in ("u_curr", "u_prev", "c"):
+        np.testing.assert_allclose(fused[n], seq[n], rtol=RTOL, atol=ATOL,
+                                   err_msg=n)
+
+
+def test_fused_chain_gradients_exact():
+    """Grad through the fused chain (recompute-based bwd) == sequential."""
+    op = wave_step_op(dt=0.2, dtype="float64")
+    carry = {"u_curr": "u_next", "u_prev": "u_curr"}
+    chain = fused_time_chain(op, 3, carry, periodic=True,
+                             interpret=True, tile_rows=16)
+    step = make_time_stepper(op, carry, periodic=True)
+    u0 = rand(3, (32, 32)) * 0.1
+    c0 = 2.0 + jnp.zeros((32, 32), jnp.float64)
+
+    def loss_fused(c):
+        out = chain({"u_curr": u0, "u_prev": u0, "c": c})
+        return jnp.sum(out["u_curr"] ** 2)
+
+    def loss_seq(c):
+        s = {"u_curr": u0, "u_prev": u0, "c": c}
+        for _ in range(3):
+            s = step(s)
+        return jnp.sum(s["u_curr"] ** 2)
+
+    np.testing.assert_allclose(loss_fused(c0), loss_seq(c0),
+                               rtol=RTOL, atol=ATOL)
+    g_f = jax.grad(loss_fused)(c0)
+    g_s = jax.grad(loss_seq)(c0)
+    np.testing.assert_allclose(g_f, g_s, rtol=RTOL, atol=ATOL)
+
+
+def test_fused_chain_in_scan():
+    """The fused chain composes with lax.scan for long loops."""
+    op = heat_step_op(dt=0.05, dtype="float64")
+    chain = fused_time_chain(op, 2, {"u": "u_next"}, periodic=True,
+                             interpret=True, tile_rows=16)
+    step = make_time_stepper(op, {"u": "u_next"}, periodic=True)
+    u0 = rand(4, (32, 32))
+
+    @jax.jit
+    def run_fused(u):
+        def body(s, _):
+            return chain(s), None
+        return jax.lax.scan(body, {"u": u}, None, length=5)[0]["u"]
+
+    seq = {"u": u0}
+    for _ in range(10):
+        seq = step(seq)
+    np.testing.assert_allclose(run_fused(u0), seq["u"], rtol=RTOL, atol=ATOL)
