@@ -41,29 +41,36 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                           vmem_limit_bytes: int = 100 * 1024 * 1024):
     """Forward-only fused k-step kernel over a 2D (rows, cols) domain.
 
-    Scalar fields only, 2D (the wave/heat/advection time-loop cases);
-    flattening/plane-splitting generalisations follow the blocked strategy
-    and can be lifted here when needed.
+    Index-dimension fields are split into scalar component planes (same
+    transform as the blocked strategy) — covers wave/heat/advection and
+    D2Q9 LBM time loops.  3D flattening can be lifted here when needed.
     """
-    from .pallas_kernel import (_pick_divisor_tile, _round_up, _shift_lateral,
-                                is_adjoint)
+    import itertools as _it
+
+    from .pallas_kernel import _pick_divisor_tile, _shift_lateral
 
     nd = program.ndim
     if nd != 2:
-        raise ValueError("fused_time_chain kernels support 2D scalar fields")
-    if any(f.index_shape for f in program.input_fields + program.output_fields):
-        raise ValueError("fused_time_chain supports scalar fields")
+        raise ValueError("fused_time_chain kernels support 2D domains")
     rows, cols = spatial
     (lo1, hi1), (loc, hic) = program.ghost
     LO, HI = k * lo1, k * hi1
 
     in_names = [f.name for f in program.input_fields]
-    out_names = [f.name for f in program.output_fields]
-    # next-state source for each input (output name or carried input name)
+    fields_by_name = {f.name: f for f in program.input_fields}
     next_src = {n: carry_map.get(n, n) for n in in_names}
 
+    def _components(f):
+        if f.index_shape:
+            return [tuple(c) for c in
+                    _it.product(*(range(s) for s in f.index_shape))]
+        return [()]
+
+    in_keys = [(f.name, idx) for f in program.input_fields
+               for idx in _components(f)]
+
     itemsize = jnp.dtype(dtype).itemsize
-    n_live = (len(in_names) * (k + 2) + 8)
+    n_live = (len(in_keys) * (k + 2) + 8)
     t = tile_rows or _pick_divisor_tile(rows, LO, HI,
                                         cols * itemsize * n_live,
                                         vmem_limit_bytes)
@@ -73,10 +80,12 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
 
     def fn(inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         arrays, ups, downs = [], [], []
-        for n in in_names:
-            arr = inputs[n].astype(dtype)
-            arrays.append(arr)
-            xr = arr.reshape((nb, t, cols))
+        for name, idx in in_keys:
+            f = fields_by_name[name]
+            arr = inputs[name].astype(dtype)
+            plane = arr[(Ellipsis,) + idx] if idx else arr
+            arrays.append(plane)
+            xr = plane.reshape((nb, t, cols))
             if LO:
                 if periodic:
                     ups.append(jnp.roll(xr[:, t - LO:], 1, axis=0))
@@ -89,7 +98,7 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                 else:
                     last = jnp.broadcast_to(xr[-1:, -1:], (1, HI, cols))
                     downs.append(jnp.concatenate([xr[1:, :HI], last], 0))
-        n_in = len(in_names)
+        n_in = len(in_keys)
         n_up, n_dn = len(ups), len(downs)
 
         def kernel(*refs):
@@ -99,31 +108,26 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
             outs = refs[n_in + n_up + n_dn:]
             i = pl.program_id(0)
 
-            # state values on the fully-extended tile (LO + t + HI rows)
-            state: Dict[str, jax.Array] = {}
-            for kk, n in enumerate(in_names):
+            # state planes on the fully-extended tile (LO + t + HI rows)
+            state: Dict[tuple, jax.Array] = {}
+            for kk, key in enumerate(in_keys):
                 parts = []
                 if LO:
                     parts.append(up_refs[kk][0])
                 parts.append(xs[kk][...])
                 if HI:
                     parts.append(dn_refs[kk][0])
-                state[n] = (jnp.concatenate(parts, axis=0)
-                            if len(parts) > 1 else parts[0])
+                state[key] = (jnp.concatenate(parts, axis=0)
+                              if len(parts) > 1 else parts[0])
 
             for s in range(k):
-                # stage s consumes (lo1, hi1) rows of margin
                 margin_lo = LO - (s + 1) * lo1
                 ext_rows = t + margin_lo + (HI - (s + 1) * hi1)
-                stage_out: Dict[str, jax.Array] = {}
+                stage_out: Dict[tuple, jax.Array] = {}
                 env: Dict[object, jax.Array] = {}
 
-                def read(acc, _s=s, _ml=margin_lo, _er=ext_rows):
-                    v = state[acc.field.name]
-                    # current extents of v: rows t + (LO - s*lo1)·... all
-                    # state values share extent t + (LO-s*lo1)+(HI-s*hi1);
-                    # target extent after this stage: _er rows starting at
-                    # margin offset lo1 + row offset
+                def read(acc, _er=ext_rows):
+                    v = state[(acc.field.name, acc.index)]
                     start = lo1 + acc.offsets[0]
                     v = jax.lax.slice_in_dim(v, start, start + _er, axis=0)
                     return _shift_lateral(v, acc.offsets[1], 1, False,
@@ -136,7 +140,8 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                     res = jnp.broadcast_to(
                         jnp.asarray(step_.fn(*vals), dtype), shape_s)
                     if step_.is_main:
-                        stage_out[step_.target.field.name] = res
+                        stage_out[(step_.target.field.name,
+                                   step_.target.index)] = res
                     else:
                         env[step_.target] = res
 
@@ -150,23 +155,22 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                     if loc or hic:
                         c_ids = jax.lax.broadcasted_iota(jnp.int32, shape_s, 1)
                         m &= (c_ids >= loc) & (c_ids < cols - hic)
-                    stage_out = {n: jnp.where(m, v, 0)
-                                 for n, v in stage_out.items()}
+                    stage_out = {key_: jnp.where(m, v, 0)
+                                 for key_, v in stage_out.items()}
 
                 new_state = {}
-                for n in in_names:
-                    src = next_src[n]
-                    if src in stage_out:
-                        new_state[n] = stage_out[src]
+                for name, idx in in_keys:
+                    src = next_src[name]
+                    if (src, idx) in stage_out:
+                        new_state[(name, idx)] = stage_out[(src, idx)]
                     else:
-                        # carried-through input: shrink to the new extent
-                        v = state[src]
-                        new_state[n] = jax.lax.slice_in_dim(
+                        v = state[(src, idx)]
+                        new_state[(name, idx)] = jax.lax.slice_in_dim(
                             v, lo1, lo1 + ext_rows, axis=0)
                 state = new_state
 
-            for ref, n in zip(outs, in_names):
-                ref[...] = state[n]
+            for ref, key in zip(outs, in_keys):
+                ref[...] = state[key]
 
         plane_spec = pl.BlockSpec((t, cols), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
@@ -179,17 +183,29 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
             kernel,
             grid=(nb,),
             out_shape=tuple(jax.ShapeDtypeStruct((rows, cols), dtype)
-                            for _ in in_names),
+                            for _ in in_keys),
             in_specs=[plane_spec] * n_in + [strip_spec(u.shape) for u in ups]
             + [strip_spec(d.shape) for d in downs],
-            out_specs=tuple(plane_spec for _ in in_names),
+            out_specs=tuple(plane_spec for _ in in_keys),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_bytes),
         )(*arrays, *ups, *downs)
         if not isinstance(result, (tuple, list)):
             result = (result,)
-        return dict(zip(in_names, result))
+
+        outputs: Dict[str, jax.Array] = {}
+        pos = 0
+        for f in program.input_fields:
+            comps = _components(f)
+            planes = [result[pos + j] for j in range(len(comps))]
+            pos += len(comps)
+            if f.index_shape:
+                outputs[f.name] = jnp.stack(planes, -1).reshape(
+                    (rows, cols) + f.index_shape)
+            else:
+                outputs[f.name] = planes[0]
+        return outputs
 
     return fn
 
@@ -221,12 +237,14 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
     kernel_cache = {}
 
     def fused_fwd(state):
+        f0 = op.forward_input_fields[0]
         arr0 = state[in_names[0]]
-        key = (tuple(arr0.shape), str(arr0.dtype))
+        spatial = tuple(arr0.shape[: f0.spatial_dimensions])
+        key = (spatial, str(arr0.dtype))
         if key not in kernel_cache:
             interp = interpret if interpret is not None else not _on_tpu()
             kernel_cache[key] = _make_chain_kernel_fn(
-                prog, k, carry_map, tuple(arr0.shape),
+                prog, k, carry_map, spatial,
                 dtype or arr0.dtype, interp, periodic, tile_rows=tile_rows)
         return kernel_cache[key]({n: state[n] for n in in_names})
 

@@ -99,3 +99,23 @@ def test_fused_chain_in_scan():
     for _ in range(10):
         seq = step(seq)
     np.testing.assert_allclose(run_fused(u0), seq["u"], rtol=RTOL, atol=ATOL)
+
+
+def test_fused_lbm_chain():
+    """Temporal blocking over the 9-component LBM distribution field."""
+    from pystencils_autodiff_tpu.models.lbm import d2q9_bgk_op
+
+    op = d2q9_bgk_op(omega=1.5)
+    chain = fused_time_chain(op, 3, {"f": "f_out"}, periodic=True,
+                             interpret=True, tile_rows=16)
+    step = make_time_stepper(op, {"f": "f_out"}, periodic=True)
+    f0 = 0.1 + 0.01 * jax.random.uniform(jax.random.PRNGKey(5), (32, 32, 9),
+                                         dtype=jnp.float64)
+    fused = chain({"f": f0})["f"]
+    seq = {"f": f0}
+    for _ in range(3):
+        seq = step(seq)
+    np.testing.assert_allclose(fused, seq["f"], rtol=RTOL, atol=ATOL)
+    # mass conservation through the fused chain
+    np.testing.assert_allclose(float(jnp.sum(fused)), float(jnp.sum(f0)),
+                               rtol=1e-12)
