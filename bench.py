@@ -82,6 +82,10 @@ def main():
     print(f"# per-iter {per_iter*1e3:.3f} ms, rtt {rtt*1e3:.1f} ms, "
           f"total {total*1e3:.1f} ms, target {target:.0f} GB/s",
           file=sys.stderr)
+    print("# note: time-stepped workloads exceed this via temporal blocking "
+          "(ops.fused_time_chain): wave 61.6 Gcell/s at k=8, LBM 11.1 GLUPS "
+          "at k=4 — see BENCH_NOTES.md",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
