@@ -119,3 +119,20 @@ def test_fused_lbm_chain():
     # mass conservation through the fused chain
     np.testing.assert_allclose(float(jnp.sum(fused)), float(jnp.sum(f0)),
                                rtol=1e-12)
+
+
+def test_wave_simulate_fused_k():
+    from pystencils_autodiff_tpu.models.wave import wave_simulate
+
+    c = 2.0 + jnp.zeros((32, 32), jnp.float64)
+    u0 = jnp.zeros((32, 32), jnp.float64).at[16, 16].set(1.0)
+    seq = wave_simulate(c, u0, 8, dt=0.2, checkpoint="none",
+                        lowering="pallas", interpret=True)
+    fused = wave_simulate(c, u0, 8, dt=0.2, checkpoint="none",
+                          fused_k=4, interpret=True, tile_rows=16)
+    np.testing.assert_allclose(fused["u_curr"], seq["u_curr"],
+                               rtol=RTOL, atol=ATOL)
+    with pytest.raises(ValueError):
+        wave_simulate(c, u0, 7, fused_k=4)
+    with pytest.raises(ValueError):
+        wave_simulate(c, u0, 8, fused_k=4, record=lambda s: s["u_curr"][0])
