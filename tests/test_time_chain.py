@@ -136,3 +136,34 @@ def test_wave_simulate_fused_k():
         wave_simulate(c, u0, 7, fused_k=4)
     with pytest.raises(ValueError):
         wave_simulate(c, u0, 8, fused_k=4, record=lambda s: s["u_curr"][0])
+
+
+def test_fused_op_composes_with_time_chain():
+    """Sweep fusion (Simulation.fused_op) + temporal blocking compose: the
+    elastic velocity→stress pair fuses to one op, then k steps of it fuse
+    into one kernel."""
+    from pystencils_autodiff_tpu.models.elastic import (
+        elastic_stress_op, elastic_velocity_op)
+    from pystencils_autodiff_tpu.simulation import Simulation
+
+    sim = Simulation()
+    sim.add_sweep(elastic_velocity_op(dtype="float64"),
+                  {"vx": "vx_next", "vy": "vy_next"})
+    sim.add_sweep(elastic_stress_op(dtype="float64"),
+                  {"sxx": "sxx_next", "syy": "syy_next", "sxy": "sxy_next"})
+    fused = sim.fused_op("elastic_step")
+    carry = fused._fused_carry
+
+    chain = fused_time_chain(fused, 3, carry, periodic=True,
+                             interpret=True, tile_rows=16)
+    step = make_time_stepper(fused, carry, periodic=True)
+
+    state = {n: rand(90 + i, (32, 32)) * 0.01
+             for i, n in enumerate(["vx", "vy", "sxx", "syy", "sxy"])}
+    out_fused = chain(state)
+    seq = dict(state)
+    for _ in range(3):
+        seq = step(seq)
+    for n in state:
+        np.testing.assert_allclose(out_fused[n], seq[n], rtol=RTOL, atol=ATOL,
+                                   err_msg=n)
