@@ -5,26 +5,30 @@ This is the TPU-native analog of the reference's generated CUDA kernels
 interior and the torch/TF modules JIT-compiled it, here each stencil program
 becomes a ``pl.pallas_call`` compiled by Mosaic/XLA.
 
-Two strategies, selected automatically per call by array size:
+Strategies, selected automatically per call:
 
-* **whole-array** (small arrays): one grid step, every field lives in VMEM
-  as a single block; shifted reads are static sub-slices.  This is optimal
-  whenever all operands fit in VMEM (≲ a few MB) — zero grid overhead and
-  one HBM round-trip per array.
+* **whole-array** (small arrays): one grid step, every field one VMEM block,
+  shifted reads are static sub-slices — optimal when everything fits VMEM.
 
-* **row-tiled double-buffered** (large arrays): the leading spatial dim is
-  tiled; inputs stay in HBM (``memory_space=ANY``) and each grid step DMAs
-  its tile+halo slab into a 2-slot VMEM scratch while the previous slab
-  computes (the double-buffering pattern from the Pallas guide).  HBM
-  traffic is (1 + (lo+hi)/T)× the array size, so with T ≫ halo the kernel
-  runs at effectively STREAM bandwidth — the BASELINE north-star metric.
+* **blocked** (the default fast path): all leading spatial dims flatten into
+  one row axis so every kernel is 2D (3D+ blocks crash/bloat Mosaic); the
+  grid auto-pipelines row blocks; cross-block row halos come from two tiny
+  strip tensors built with cheap XLA slices; lateral shifts are
+  ``pltpu.roll`` + iota masks (measured free: a 5-point stencil runs at
+  copy speed); index-dim fields split into scalar component planes; the
+  exact-VJP cotangent mask fuses into the kernel; rows pad to a divisible
+  tile when needed; ``periodic=True`` wraps strips and rolls with no masks.
+
+* **tiled** (kept as an alternative implementation): manual double-buffered
+  HBM→VMEM DMA slabs following the Pallas-guide pipeline pattern.
 
 Ghost-layer semantics match ops/common.py: ``interior`` mode writes only the
 ghost-shrunk interior (rest zeros); ``full`` mode (exact VJP) computes every
-cell from ghost-padded inputs.
+cell from ghost-padded/zero-extended reads; ``periodic`` wraps.
 
 Cell-centred masking is done with ``broadcasted_iota`` comparisons so the
 kernel body stays branch-free (VPU-friendly, no scalar control flow).
+Temporal blocking (k steps per kernel) lives in ops/time_chain.py.
 """
 
 from __future__ import annotations
