@@ -2,6 +2,7 @@
 differentiable stencil definitions (BASELINE.md)."""
 
 from .advection import upwind1_op, weno5_op
+from .burgers import burgers2d_op
 from .diffusion import diffusion3d_op, sharded_diffusion3d
 from .elastic import anisotropic27_op, elastic_stress_op, elastic_velocity_op
 from .heat import heat_step_op, laplacian_op
@@ -16,6 +17,7 @@ __all__ = [
     "D2Q9_WEIGHTS",
     "upwind1_op",
     "weno5_op",
+    "burgers2d_op",
     "heat_step_op",
     "diffusion3d_op",
     "sharded_diffusion3d",

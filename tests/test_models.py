@@ -132,3 +132,46 @@ def test_adjoint_is_gather_not_scatter():
             key = (asm.lhs.field.name, asm.lhs.index)
             assert key not in seen, f"duplicate write to {key} in {op.op_name}"
             seen.add(key)
+
+
+def test_burgers2d_coupled_adjoint():
+    """Coupled nonlinear system: both adjoints read both primals and both
+    cotangents; gradients match the oracle."""
+    from pystencils_autodiff_tpu.models.burgers import burgers2d_op
+
+    op = burgers2d_op()
+    # adjoint structure: each bwd output reads both diffu_next and diffv_next
+    bwd = op.backward_assignments.inlined_main_assignments()
+    names = {a.lhs.field.name for a in bwd}
+    assert names == {"diffu", "diffv"}
+    for a in bwd:
+        read_fields = {acc.field.name for acc in a.rhs.atoms(type(a.lhs))}
+    saved = {f.name for f in op.saved_fields}
+    assert saved == {"u", "v"}
+
+    f = op.jax_function()
+    uv = rand(20, (14, 14)), rand(21, (14, 14))
+
+    def by_name(u_, v_):
+        return f(u=u_, v=v_)
+
+    fd_check(by_name, uv, 0, (7, 7))
+    fd_check(by_name, uv, 1, (7, 7))
+    fd_check(by_name, uv, 0, (0, 7))  # ghost row
+
+
+def test_burgers2d_timeloop_stable():
+    from pystencils_autodiff_tpu.models.burgers import burgers2d_op
+    from pystencils_autodiff_tpu.timeloop import make_time_stepper, run_timeloop
+
+    op = burgers2d_op(nu=0.1, dt=0.02)
+    step = make_time_stepper(op, {"u": "u_next", "v": "v_next"},
+                             periodic=True)
+    u0 = 0.1 * rand(22, (24, 24))
+    v0 = 0.1 * rand(23, (24, 24))
+    out = run_timeloop(step, {"u": u0, "v": v0}, 20)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in out.values())
+    # viscosity decays energy on a periodic domain
+    e0 = float(jnp.sum(u0 ** 2 + v0 ** 2))
+    e1 = float(jnp.sum(out["u"] ** 2 + out["v"] ** 2))
+    assert e1 < e0
