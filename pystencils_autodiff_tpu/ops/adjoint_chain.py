@@ -1,0 +1,276 @@
+"""Fused adjoint chains: the gradient of k time steps in ONE kernel.
+
+Phase 1 recomputes the k forward stages with all intermediate tile states
+held in registers; phase 2 walks the stages in reverse, applying the
+symbolically derived backward program per stage and threading cotangents
+through the transposed carry map:
+
+    ĉ_s[m] = Σ_{n: carry[n] is an output o} (∂F_o/∂m)ᵀ · ĉ_{s+1}[n]
+           + Σ_{n: carry[n] == m (pass-through)} ĉ_{s+1}[n]
+
+HBM traffic per k steps ≈ state-in + cotangents-in + gradients-out — the
+adjoint analog of forward temporal blocking (ops/time_chain.py).
+
+Scope (round 1): periodic 2D domains, scalar fields.  ``fused_chain_vjp``
+returns ``chain_grad(state, cotangents) -> (new_state, input_cotangents)``,
+verified bit-exact against sequential ``jax.vjp``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..adjoint_field import AdjointField
+from ..field import Field
+from .common import StencilProgram, backward_program, forward_program
+
+__all__ = ["fused_chain_vjp"]
+
+
+def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
+                    interpret: Optional[bool] = None,
+                    tile_rows: Optional[int] = None,
+                    vmem_limit_bytes: int = 100 * 1024 * 1024):
+    """Build ``g(state, cot_state) -> (state_k, cot_0)`` for a periodic
+    2D op: advances k steps AND pulls cotangents back through them, all in
+    one kernel.  ``cot_state``/``cot_0`` are cotangent dicts keyed like the
+    state (cotangent of the state after/before the k steps)."""
+    from .pallas_kernel import _on_tpu, _pick_divisor_tile, _shift_lateral
+
+    fwd_prog = forward_program(op)
+    bwd_prog = backward_program(op)
+    nd = fwd_prog.ndim
+    if nd != 2:
+        raise ValueError("fused_chain_vjp supports 2D scalar fields")
+    if any(f.index_shape for f in op.forward_input_fields):
+        raise ValueError("fused_chain_vjp supports scalar fields")
+
+    in_names = [f.name for f in op.forward_input_fields]
+    out_names = [f.name for f in op.forward_output_fields]
+    next_src = {n: carry_map.get(n, n) for n in in_names}
+    # reverse flow: cotangent received for state'[n] flows to carry source
+    # pass_to[m] = [n where next_src[n] == m and m is an input]
+    pass_to: Dict[str, list] = {m: [] for m in in_names}
+    feeds_output: Dict[str, list] = {o: [] for o in out_names}
+    for n, src in next_src.items():
+        if src in feeds_output:
+            feeds_output[src].append(n)
+        else:
+            pass_to[src].append(n)
+
+    (lo_f, hi_f), (locf, hicf) = fwd_prog.ghost
+    (lo_b, hi_b), (locb, hicb) = bwd_prog.ghost
+    LO = k * lo_f + k * lo_b
+    HI = k * hi_f + k * hi_b
+
+    bwd_in_fields = bwd_prog.input_fields
+    grad_of = {f.name: f.corresponding_forward_field.name
+               for f in op.backward_output_fields}
+
+    def build(spatial, dtype, interp):
+        rows, cols = spatial
+        itemsize = jnp.dtype(dtype).itemsize
+        n_live = len(in_names) * (2 * k + 4) + 8
+        t = tile_rows or _pick_divisor_tile(rows, LO, HI,
+                                            cols * itemsize * n_live,
+                                            vmem_limit_bytes)
+        if t is None or rows % t or t < LO + HI:
+            raise ValueError(f"no viable tile for rows={rows}, "
+                             f"halo={LO + HI}")
+        nb = rows // t
+        all_in = in_names + ["cot_" + n for n in in_names]
+
+        def fn(state, cots):
+            arrays, ups, downs = [], [], []
+            for n in all_in:
+                arr = (state[n] if n in state
+                       else cots[n[4:]]).astype(dtype)
+                arrays.append(arr)
+                xr = arr.reshape((nb, t, cols))
+                if LO:
+                    ups.append(jnp.roll(xr[:, t - LO:], 1, axis=0))
+                if HI:
+                    downs.append(jnp.roll(xr[:, :HI], -1, axis=0))
+            n_in = len(all_in)
+            n_up, n_dn = len(ups), len(downs)
+
+            def kernel(*refs):
+                xs = refs[:n_in]
+                up_refs = refs[n_in:n_in + n_up]
+                dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
+                outs = refs[n_in + n_up + n_dn:]
+
+                full: Dict[str, jax.Array] = {}
+                for kk, n in enumerate(all_in):
+                    parts = []
+                    if LO:
+                        parts.append(up_refs[kk][0])
+                    parts.append(xs[kk][...])
+                    if HI:
+                        parts.append(dn_refs[kk][0])
+                    full[n] = (jnp.concatenate(parts, axis=0)
+                               if len(parts) > 1 else parts[0])
+
+                # ---- phase 1: forward recompute, keep every stage ----
+                # stage s state extent: LO+t+HI − s·(lo_f+hi_f) rows,
+                # aligned so local row 0 sits at global i·t − (LO − s·lo_f)
+                states = [dict((n, full[n]) for n in in_names)]
+                for s in range(k):
+                    cur = states[-1]
+                    ext_rows = (LO + t + HI) - (s + 1) * (lo_f + hi_f)
+                    env: Dict[object, jax.Array] = {}
+                    stage_out: Dict[str, jax.Array] = {}
+
+                    def readf(acc, _er=ext_rows, _cur=cur):
+                        v = _cur[acc.field.name]
+                        start = lo_f + acc.offsets[0]
+                        v = jax.lax.slice_in_dim(v, start, start + _er, axis=0)
+                        return _shift_lateral(v, acc.offsets[1], 1, False,
+                                              interp, True)
+
+                    shape_s = (ext_rows, cols)
+                    for st in fwd_prog.steps:
+                        vals = [readf(a) if isinstance(a, Field.Access)
+                                else env[a] for a in st.atoms]
+                        res = jnp.broadcast_to(
+                            jnp.asarray(st.fn(*vals), dtype), shape_s)
+                        if st.is_main:
+                            stage_out[st.target.field.name] = res
+                        else:
+                            env[st.target] = res
+                    nxt = {}
+                    for n in in_names:
+                        src = next_src[n]
+                        if src in stage_out:
+                            nxt[n] = stage_out[src]
+                        else:
+                            v = cur[src]
+                            nxt[n] = jax.lax.slice_in_dim(
+                                v, lo_f, lo_f + ext_rows, axis=0)
+                    states.append(nxt)
+
+                # ---- phase 2: reverse sweep of the backward program ----
+                # cotangent extent starts at the stage-k extent and shrinks
+                # by (lo_b, hi_b) per reverse stage.
+                ck_rows = (LO + t + HI) - k * (lo_f + hi_f)
+                # incoming cotangents: full arrays sliced to stage-k extent
+                off0 = k * lo_f  # rows consumed on the low side by fwd
+                cot = {n: jax.lax.slice_in_dim(full["cot_" + n], off0,
+                                               off0 + ck_rows, axis=0)
+                       for n in in_names}
+                for s in range(k - 1, -1, -1):
+                    r = k - 1 - s  # reverse index: 0 first
+                    ext_rows = ck_rows - (lo_b + hi_b)  # ck_rows updates per stage
+                    prim = states[s]
+                    # primal state_s extent/alignment: rows consumed low
+                    # side so far: s·lo_f; cot extent rows low offset:
+                    # k·lo_f + r·lo_b.  Offset of cot frame within prim
+                    # frame:
+                    prim_off = (k - s) * lo_f + r * lo_b
+
+                    env: Dict[object, jax.Array] = {}
+                    shape_s = (ext_rows, cols)
+
+                    def readb(acc, _er=ext_rows, _prim=prim, _cot=cot,
+                              _po=prim_off):
+                        f = acc.field
+                        if isinstance(f, AdjointField):
+                            primal = f.corresponding_forward_field.name
+                            # ŵ_o := Σ cotangents of states fed by output o.
+                            # Un-carried outputs and time-constant
+                            # accumulator-prev inputs read zero (the
+                            # cross-stage accumulation happens through the
+                            # pass-through cotangent recursion instead).
+                            carriers = feeds_output.get(primal, [])
+                            if not carriers:
+                                return jnp.zeros((_er, cols), dtype)
+                            v = _cot[carriers[0]]
+                            for extra in carriers[1:]:
+                                v = v + _cot[extra]
+                            start = lo_b + acc.offsets[0]
+                        else:
+                            v = _prim[f.name]
+                            start = _po + lo_b + acc.offsets[0]
+                        v = jax.lax.slice_in_dim(v, start, start + _er, axis=0)
+                        return _shift_lateral(v, acc.offsets[1], 1, False,
+                                              interp, True)
+
+                    grads_stage: Dict[str, jax.Array] = {}
+                    for st in bwd_prog.steps:
+                        vals = [readb(a) if isinstance(a, Field.Access)
+                                else env[a] for a in st.atoms]
+                        res = jnp.broadcast_to(
+                            jnp.asarray(st.fn(*vals), dtype), shape_s)
+                        if st.is_main:
+                            grads_stage[grad_of[st.target.field.name]] = res
+                        else:
+                            env[st.target] = res
+
+                    new_cot = {}
+                    for m in in_names:
+                        v = grads_stage.get(m)
+                        for n in pass_to.get(m, ()):
+                            pv = jax.lax.slice_in_dim(
+                                cot[n], lo_b, lo_b + ext_rows, axis=0)
+                            v = pv if v is None else v + pv
+                        if v is None:
+                            v = jnp.zeros(shape_s, dtype)
+                        new_cot[m] = v
+                    cot = new_cot
+                    ck_rows = ext_rows
+
+                # write outputs: final state (stage k) and cotangents
+                # final state extent: (LO+t+HI) − k(lo_f+hi_f), low offset
+                # k·lo_f − wait: its local row0 is at global i·t − (LO−k·lo_f)
+                fin_off = LO - k * lo_f
+                for j, n in enumerate(in_names):
+                    v = states[k][n]
+                    outs[j][...] = jax.lax.slice_in_dim(
+                        v, fin_off, fin_off + t, axis=0)
+                # cot frame: rows consumed low side: k·lo_f + k·lo_b = LO
+                for j, n in enumerate(in_names):
+                    outs[len(in_names) + j][...] = cot[n]
+
+            plane = pl.BlockSpec((t, cols), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+
+            def strip_spec(shape):
+                return pl.BlockSpec((1,) + shape[1:], lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+
+            result = pl.pallas_call(
+                kernel,
+                grid=(nb,),
+                out_shape=tuple(jax.ShapeDtypeStruct((rows, cols), dtype)
+                                for _ in range(2 * len(in_names))),
+                in_specs=[plane] * n_in + [strip_spec(u.shape) for u in ups]
+                + [strip_spec(d.shape) for d in downs],
+                out_specs=tuple(plane for _ in range(2 * len(in_names))),
+                interpret=interp,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=vmem_limit_bytes),
+            )(*arrays, *ups, *downs)
+            new_state = dict(zip(in_names, result[:len(in_names)]))
+            cot_out = dict(zip(in_names, result[len(in_names):]))
+            return new_state, cot_out
+
+        return fn
+
+    cache = {}
+
+    def chain_grad(state, cot_state):
+        arr0 = state[in_names[0]]
+        key = (tuple(arr0.shape), str(arr0.dtype))
+        if key not in cache:
+            interp = interpret if interpret is not None else not _on_tpu()
+            cache[key] = build(tuple(arr0.shape), arr0.dtype, interp)
+        return cache[key](state, cot_state)
+
+    chain_grad.input_names = in_names
+    chain_grad.k = k
+    return chain_grad

@@ -1,0 +1,70 @@
+"""Fused adjoint chains: k steps of value+gradient in one kernel must match
+sequential jax.vjp exactly (periodic domains)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pystencils_autodiff_tpu.models.heat import heat_step_op
+from pystencils_autodiff_tpu.models.wave import wave_step_op
+from pystencils_autodiff_tpu.ops.adjoint_chain import fused_chain_vjp
+from pystencils_autodiff_tpu.timeloop import make_time_stepper
+
+RTOL, ATOL = 1e-12, 1e-12
+
+
+def rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype=jnp.float64)
+
+
+def _seq_vjp(op, carry, state, cots, k):
+    step = make_time_stepper(op, carry, periodic=True)
+    names = list(state)
+
+    def run(st):
+        for _ in range(k):
+            st = step(st)
+        return {n: st[n] for n in names}
+
+    out, pull = jax.vjp(run, state)
+    (grads,) = pull(cots)
+    return out, grads
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_heat_adjoint_chain(k):
+    op = heat_step_op(dt=0.1, kappa_field=True, dtype="float64")
+    carry = {"u": "u_next"}
+    chain = fused_chain_vjp(op, k, carry, interpret=True, tile_rows=16)
+    state = {"u": rand(0, (48, 32)), "kappa": 1.0 + 0.1 * rand(1, (48, 32)) ** 2}
+    cots = {"u": rand(2, (48, 32)), "kappa": rand(3, (48, 32))}
+
+    new_state, cot0 = chain(state, cots)
+    ref_state, ref_cot = _seq_vjp(op, carry, state, cots, k)
+    for n in state:
+        np.testing.assert_allclose(new_state[n], ref_state[n],
+                                   rtol=RTOL, atol=ATOL, err_msg=f"state {n}")
+        np.testing.assert_allclose(cot0[n], ref_cot[n],
+                                   rtol=RTOL, atol=ATOL, err_msg=f"cot {n}")
+
+
+@pytest.mark.parametrize("k", [1, 4])
+def test_wave_adjoint_chain(k):
+    """Leapfrog: two carried fields + time-constant c — the cotangent
+    recursion must accumulate c's gradient across the fused stages."""
+    op = wave_step_op(dt=0.2, dtype="float64")
+    carry = {"u_curr": "u_next", "u_prev": "u_curr"}
+    chain = fused_chain_vjp(op, k, carry, interpret=True, tile_rows=16)
+    u0 = rand(4, (48, 32)) * 0.1
+    state = {"u_curr": u0, "u_prev": rand(5, (48, 32)) * 0.1,
+             "c": 2.0 + 0.1 * rand(6, (48, 32)) ** 2}
+    cots = {n: rand(10 + i, (48, 32)) for i, n in enumerate(state)}
+
+    new_state, cot0 = chain(state, cots)
+    ref_state, ref_cot = _seq_vjp(op, carry, state, cots, k)
+    for n in state:
+        np.testing.assert_allclose(new_state[n], ref_state[n],
+                                   rtol=RTOL, atol=ATOL, err_msg=f"state {n}")
+        np.testing.assert_allclose(cot0[n], ref_cot[n],
+                                   rtol=RTOL, atol=ATOL, err_msg=f"cot {n}")
