@@ -33,13 +33,19 @@ __all__ = ["fused_chain_vjp"]
 
 
 def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
+                    periodic: bool = True,
                     interpret: Optional[bool] = None,
                     tile_rows: Optional[int] = None,
                     vmem_limit_bytes: int = 100 * 1024 * 1024):
-    """Build ``g(state, cot_state) -> (state_k, cot_0)`` for a periodic
-    2D op: advances k steps AND pulls cotangents back through them, all in
-    one kernel.  ``cot_state``/``cot_0`` are cotangent dicts keyed like the
-    state (cotangent of the state after/before the k steps)."""
+    """Build ``g(state, cot_state) -> (state_k, cot_0)`` for a 2D op:
+    advances k steps AND pulls cotangents back through them, all in one
+    kernel.  ``cot_state``/``cot_0`` are cotangent dicts keyed like the
+    state (cotangent of the state after/before the k steps).
+
+    ``periodic=False`` reproduces the bounded-domain semantics exactly:
+    each forward stage zeroes its global ghost frame, each reverse stage
+    masks the adjoint reads to the forward interior (the exact-VJP rule),
+    and gradients land in the ghost cells interior reads touched."""
     from .pallas_kernel import _on_tpu, _pick_divisor_tile, _shift_lateral
 
     fwd_prog = forward_program(op)
@@ -88,14 +94,29 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
         def fn(state, cots):
             arrays, ups, downs = [], [], []
             for n in all_in:
+                is_cot = n.startswith("cot_")
                 arr = (state[n] if n in state
                        else cots[n[4:]]).astype(dtype)
                 arrays.append(arr)
                 xr = arr.reshape((nb, t, cols))
                 if LO:
-                    ups.append(jnp.roll(xr[:, t - LO:], 1, axis=0))
+                    if periodic:
+                        ups.append(jnp.roll(xr[:, t - LO:], 1, axis=0))
+                    else:
+                        first = (jnp.zeros((1, LO, cols), dtype) if is_cot
+                                 else jnp.broadcast_to(xr[:1, :1],
+                                                       (1, LO, cols)))
+                        ups.append(jnp.concatenate(
+                            [first, xr[:-1, t - LO:]], 0))
                 if HI:
-                    downs.append(jnp.roll(xr[:, :HI], -1, axis=0))
+                    if periodic:
+                        downs.append(jnp.roll(xr[:, :HI], -1, axis=0))
+                    else:
+                        last = (jnp.zeros((1, HI, cols), dtype) if is_cot
+                                else jnp.broadcast_to(xr[-1:, -1:],
+                                                      (1, HI, cols)))
+                        downs.append(jnp.concatenate(
+                            [xr[1:, :HI], last], 0))
             n_in = len(all_in)
             n_up, n_dn = len(ups), len(downs)
 
@@ -104,6 +125,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                 up_refs = refs[n_in:n_in + n_up]
                 dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
                 outs = refs[n_in + n_up + n_dn:]
+                tile_i = pl.program_id(0)
 
                 full: Dict[str, jax.Array] = {}
                 for kk, n in enumerate(all_in):
@@ -131,7 +153,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                         start = lo_f + acc.offsets[0]
                         v = jax.lax.slice_in_dim(v, start, start + _er, axis=0)
                         return _shift_lateral(v, acc.offsets[1], 1, False,
-                                              interp, True)
+                                              interp, periodic)
 
                     shape_s = (ext_rows, cols)
                     for st in fwd_prog.steps:
@@ -143,6 +165,19 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                             stage_out[st.target.field.name] = res
                         else:
                             env[st.target] = res
+                    if not periodic:
+                        # sequential semantics: zero the global ghost frame
+                        base = tile_i * t - (LO - (s + 1) * lo_f)
+                        r_ids = (jax.lax.broadcasted_iota(
+                            jnp.int32, shape_s, 0) + base)
+                        m = (r_ids >= lo_f) & (r_ids < rows - hi_f)
+                        if locf or hicf:
+                            c_ids = jax.lax.broadcasted_iota(
+                                jnp.int32, shape_s, 1)
+                            m &= (c_ids >= locf) & (c_ids < cols - hicf)
+                        stage_out = {n: jnp.where(m, v, 0)
+                                     for n, v in stage_out.items()}
+
                     nxt = {}
                     for n in in_names:
                         src = next_src[n]
@@ -176,8 +211,11 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                     env: Dict[object, jax.Array] = {}
                     shape_s = (ext_rows, cols)
 
+                    # global row of output-local 0 in this reverse stage
+                    row0_out = tile_i * t - k * lo_b + (r + 1) * lo_b
+
                     def readb(acc, _er=ext_rows, _prim=prim, _cot=cot,
-                              _po=prim_off):
+                              _po=prim_off, _r0=row0_out):
                         f = acc.field
                         if isinstance(f, AdjointField):
                             primal = f.corresponding_forward_field.name
@@ -193,12 +231,29 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                             for extra in carriers[1:]:
                                 v = v + _cot[extra]
                             start = lo_b + acc.offsets[0]
-                        else:
-                            v = _prim[f.name]
-                            start = _po + lo_b + acc.offsets[0]
+                            v = jax.lax.slice_in_dim(v, start, start + _er,
+                                                     axis=0)
+                            v = _shift_lateral(v, acc.offsets[1], 1,
+                                               not periodic, interp, periodic)
+                            if not periodic:
+                                # exact-VJP: zero the cotangent outside the
+                                # forward interior, in the coordinates of
+                                # the cell being READ
+                                rr = (jax.lax.broadcasted_iota(
+                                    jnp.int32, (_er, cols), 0)
+                                    + _r0 + acc.offsets[0])
+                                cc = (jax.lax.broadcasted_iota(
+                                    jnp.int32, (_er, cols), 1)
+                                    + acc.offsets[1])
+                                m = ((rr >= lo_f) & (rr < rows - hi_f)
+                                     & (cc >= locf) & (cc < cols - hicf))
+                                v = jnp.where(m, v, 0)
+                            return v
+                        v = _prim[f.name]
+                        start = _po + lo_b + acc.offsets[0]
                         v = jax.lax.slice_in_dim(v, start, start + _er, axis=0)
                         return _shift_lateral(v, acc.offsets[1], 1, False,
-                                              interp, True)
+                                              interp, periodic)
 
                     grads_stage: Dict[str, jax.Array] = {}
                     for st in bwd_prog.steps:

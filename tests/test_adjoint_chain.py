@@ -18,8 +18,8 @@ def rand(key, shape):
     return jax.random.normal(jax.random.PRNGKey(key), shape, dtype=jnp.float64)
 
 
-def _seq_vjp(op, carry, state, cots, k):
-    step = make_time_stepper(op, carry, periodic=True)
+def _seq_vjp(op, carry, state, cots, k, periodic=True):
+    step = make_time_stepper(op, carry, periodic=periodic)
     names = list(state)
 
     def run(st):
@@ -32,16 +32,18 @@ def _seq_vjp(op, carry, state, cots, k):
     return out, grads
 
 
+@pytest.mark.parametrize("periodic", [True, False])
 @pytest.mark.parametrize("k", [1, 3])
-def test_heat_adjoint_chain(k):
+def test_heat_adjoint_chain(k, periodic):
     op = heat_step_op(dt=0.1, kappa_field=True, dtype="float64")
     carry = {"u": "u_next"}
-    chain = fused_chain_vjp(op, k, carry, interpret=True, tile_rows=16)
+    chain = fused_chain_vjp(op, k, carry, periodic=periodic,
+                            interpret=True, tile_rows=16)
     state = {"u": rand(0, (48, 32)), "kappa": 1.0 + 0.1 * rand(1, (48, 32)) ** 2}
     cots = {"u": rand(2, (48, 32)), "kappa": rand(3, (48, 32))}
 
     new_state, cot0 = chain(state, cots)
-    ref_state, ref_cot = _seq_vjp(op, carry, state, cots, k)
+    ref_state, ref_cot = _seq_vjp(op, carry, state, cots, k, periodic)
     for n in state:
         np.testing.assert_allclose(new_state[n], ref_state[n],
                                    rtol=RTOL, atol=ATOL, err_msg=f"state {n}")
@@ -49,20 +51,22 @@ def test_heat_adjoint_chain(k):
                                    rtol=RTOL, atol=ATOL, err_msg=f"cot {n}")
 
 
+@pytest.mark.parametrize("periodic", [True, False])
 @pytest.mark.parametrize("k", [1, 4])
-def test_wave_adjoint_chain(k):
+def test_wave_adjoint_chain(k, periodic):
     """Leapfrog: two carried fields + time-constant c — the cotangent
     recursion must accumulate c's gradient across the fused stages."""
     op = wave_step_op(dt=0.2, dtype="float64")
     carry = {"u_curr": "u_next", "u_prev": "u_curr"}
-    chain = fused_chain_vjp(op, k, carry, interpret=True, tile_rows=16)
+    chain = fused_chain_vjp(op, k, carry, periodic=periodic,
+                            interpret=True, tile_rows=16)
     u0 = rand(4, (48, 32)) * 0.1
     state = {"u_curr": u0, "u_prev": rand(5, (48, 32)) * 0.1,
              "c": 2.0 + 0.1 * rand(6, (48, 32)) ** 2}
     cots = {n: rand(10 + i, (48, 32)) for i, n in enumerate(state)}
 
     new_state, cot0 = chain(state, cots)
-    ref_state, ref_cot = _seq_vjp(op, carry, state, cots, k)
+    ref_state, ref_cot = _seq_vjp(op, carry, state, cots, k, periodic)
     for n in state:
         np.testing.assert_allclose(new_state[n], ref_state[n],
                                    rtol=RTOL, atol=ATOL, err_msg=f"state {n}")
