@@ -212,11 +212,15 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
 
 def fused_time_chain(op, k: int, carry_map: Dict[str, str],
                      periodic: bool = False, interpret: Optional[bool] = None,
-                     tile_rows: Optional[int] = None, dtype=None):
+                     tile_rows: Optional[int] = None, dtype=None,
+                     fused_bwd: bool = False):
     """``chain(state: dict) -> state`` advancing ``k`` steps in ONE kernel.
 
     Exact gradients: the backward rule recomputes the k steps with the
-    ordinary single-step custom_vjp ops (recompute-from-checkpoint).
+    ordinary single-step custom_vjp ops (recompute-from-checkpoint), or —
+    with ``fused_bwd=True`` (2D scalar fields) — with ONE fused
+    adjoint-chain kernel (ops/adjoint_chain.py), so both directions are
+    temporally blocked.
     """
     from .pallas_kernel import _on_tpu
     from ..timeloop import make_time_stepper
@@ -255,10 +259,21 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
     def fwd_rule(state):
         return fused_fwd(state), {n: state[n] for n in in_names}
 
-    def bwd_rule(saved, cot):
-        _, pullback = jax.vjp(sequential, saved)
-        (grads,) = pullback(cot)
-        return (grads,)
+    if fused_bwd:
+        from .adjoint_chain import fused_chain_vjp
+
+        adj_chain = fused_chain_vjp(op, k, carry_map, periodic=periodic,
+                                    interpret=interpret,
+                                    tile_rows=tile_rows)
+
+        def bwd_rule(saved, cot):
+            _, cot0 = adj_chain(saved, cot)
+            return (cot0,)
+    else:
+        def bwd_rule(saved, cot):
+            _, pullback = jax.vjp(sequential, saved)
+            (grads,) = pullback(cot)
+            return (grads,)
 
     chain.defvjp(fwd_rule, bwd_rule)
     chain.input_names = in_names

@@ -167,3 +167,31 @@ def test_fused_op_composes_with_time_chain():
     for n in state:
         np.testing.assert_allclose(out_fused[n], seq[n], rtol=RTOL, atol=ATOL,
                                    err_msg=n)
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_fused_bwd_chain_gradients(periodic):
+    """fused_bwd=True: BOTH directions temporally blocked, grads exact."""
+    op = wave_step_op(dt=0.2, dtype="float64")
+    carry = {"u_curr": "u_next", "u_prev": "u_curr"}
+    chain = fused_time_chain(op, 3, carry, periodic=periodic,
+                             interpret=True, tile_rows=16, fused_bwd=True)
+    step = make_time_stepper(op, carry, periodic=periodic)
+    u0 = rand(30, (32, 32)) * 0.1
+    c0 = 2.0 + 0.1 * rand(31, (32, 32)) ** 2
+
+    def loss_fused(c):
+        out = chain({"u_curr": u0, "u_prev": u0, "c": c})
+        return jnp.sum(out["u_curr"] ** 2) + jnp.sum(jnp.sin(out["u_prev"]))
+
+    def loss_seq(c):
+        s = {"u_curr": u0, "u_prev": u0, "c": c}
+        for _ in range(3):
+            s = step(s)
+        return jnp.sum(s["u_curr"] ** 2) + jnp.sum(jnp.sin(s["u_prev"]))
+
+    np.testing.assert_allclose(loss_fused(c0), loss_seq(c0),
+                               rtol=RTOL, atol=ATOL)
+    g_f = jax.grad(loss_fused)(c0)
+    g_s = jax.grad(loss_seq)(c0)
+    np.testing.assert_allclose(g_f, g_s, rtol=RTOL, atol=ATOL)
