@@ -53,10 +53,19 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
     nd = fwd_prog.ndim
     if nd != 2:
         raise ValueError("fused_chain_vjp supports 2D scalar fields")
-    if any(f.index_shape for f in op.forward_input_fields):
-        raise ValueError("fused_chain_vjp supports scalar fields")
-
     in_names = [f.name for f in op.forward_input_fields]
+    fields_by_name = {f.name: f for f in op.forward_input_fields}
+
+    import itertools as _it
+
+    def _components(f):
+        if f.index_shape:
+            return [tuple(c) for c in
+                    _it.product(*(range(s) for s in f.index_shape))]
+        return [()]
+
+    in_keys = [(f.name, idx) for f in op.forward_input_fields
+               for idx in _components(f)]
     out_names = [f.name for f in op.forward_output_fields]
     next_src = {n: carry_map.get(n, n) for n in in_names}
     # reverse flow: cotangent received for state'[n] flows to carry source
@@ -81,7 +90,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
     def build(spatial, dtype, interp):
         rows, cols = spatial
         itemsize = jnp.dtype(dtype).itemsize
-        n_live = len(in_names) * (2 * k + 4) + 8
+        n_live = len(in_keys) * (2 * k + 4) + 8
         t = tile_rows or _pick_divisor_tile(rows, LO, HI,
                                             cols * itemsize * n_live,
                                             vmem_limit_bytes)
@@ -89,16 +98,16 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
             raise ValueError(f"no viable tile for rows={rows}, "
                              f"halo={LO + HI}")
         nb = rows // t
-        all_in = in_names + ["cot_" + n for n in in_names]
+        all_in = [("s", key) for key in in_keys] + [("c", key) for key in in_keys]
 
         def fn(state, cots):
             arrays, ups, downs = [], [], []
-            for n in all_in:
-                is_cot = n.startswith("cot_")
-                arr = (state[n] if n in state
-                       else cots[n[4:]]).astype(dtype)
-                arrays.append(arr)
-                xr = arr.reshape((nb, t, cols))
+            for kind, (name, idx) in all_in:
+                is_cot = kind == "c"
+                arr = (cots[name] if is_cot else state[name]).astype(dtype)
+                plane = arr[(Ellipsis,) + idx] if idx else arr
+                arrays.append(plane)
+                xr = plane.reshape((nb, t, cols))
                 if LO:
                     if periodic:
                         ups.append(jnp.roll(xr[:, t - LO:], 1, axis=0))
@@ -127,21 +136,21 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                 outs = refs[n_in + n_up + n_dn:]
                 tile_i = pl.program_id(0)
 
-                full: Dict[str, jax.Array] = {}
-                for kk, n in enumerate(all_in):
+                full: Dict[tuple, jax.Array] = {}
+                for kk, (kind, key) in enumerate(all_in):
                     parts = []
                     if LO:
                         parts.append(up_refs[kk][0])
                     parts.append(xs[kk][...])
                     if HI:
                         parts.append(dn_refs[kk][0])
-                    full[n] = (jnp.concatenate(parts, axis=0)
-                               if len(parts) > 1 else parts[0])
+                    full[(kind, key)] = (jnp.concatenate(parts, axis=0)
+                                         if len(parts) > 1 else parts[0])
 
                 # ---- phase 1: forward recompute, keep every stage ----
                 # stage s state extent: LO+t+HI − s·(lo_f+hi_f) rows,
                 # aligned so local row 0 sits at global i·t − (LO − s·lo_f)
-                states = [dict((n, full[n]) for n in in_names)]
+                states = [dict((key, full[("s", key)]) for key in in_keys)]
                 for s in range(k):
                     cur = states[-1]
                     ext_rows = (LO + t + HI) - (s + 1) * (lo_f + hi_f)
@@ -149,7 +158,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                     stage_out: Dict[str, jax.Array] = {}
 
                     def readf(acc, _er=ext_rows, _cur=cur):
-                        v = _cur[acc.field.name]
+                        v = _cur[(acc.field.name, acc.index)]
                         start = lo_f + acc.offsets[0]
                         v = jax.lax.slice_in_dim(v, start, start + _er, axis=0)
                         return _shift_lateral(v, acc.offsets[1], 1, False,
@@ -162,7 +171,8 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                         res = jnp.broadcast_to(
                             jnp.asarray(st.fn(*vals), dtype), shape_s)
                         if st.is_main:
-                            stage_out[st.target.field.name] = res
+                            stage_out[(st.target.field.name,
+                                       st.target.index)] = res
                         else:
                             env[st.target] = res
                     if not periodic:
@@ -175,17 +185,17 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                             c_ids = jax.lax.broadcasted_iota(
                                 jnp.int32, shape_s, 1)
                             m &= (c_ids >= locf) & (c_ids < cols - hicf)
-                        stage_out = {n: jnp.where(m, v, 0)
-                                     for n, v in stage_out.items()}
+                        stage_out = {key_: jnp.where(m, v, 0)
+                                     for key_, v in stage_out.items()}
 
                     nxt = {}
-                    for n in in_names:
-                        src = next_src[n]
-                        if src in stage_out:
-                            nxt[n] = stage_out[src]
+                    for name, idx in in_keys:
+                        src = next_src[name]
+                        if (src, idx) in stage_out:
+                            nxt[(name, idx)] = stage_out[(src, idx)]
                         else:
-                            v = cur[src]
-                            nxt[n] = jax.lax.slice_in_dim(
+                            v = cur[(src, idx)]
+                            nxt[(name, idx)] = jax.lax.slice_in_dim(
                                 v, lo_f, lo_f + ext_rows, axis=0)
                     states.append(nxt)
 
@@ -195,9 +205,9 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                 ck_rows = (LO + t + HI) - k * (lo_f + hi_f)
                 # incoming cotangents: full arrays sliced to stage-k extent
                 off0 = k * lo_f  # rows consumed on the low side by fwd
-                cot = {n: jax.lax.slice_in_dim(full["cot_" + n], off0,
-                                               off0 + ck_rows, axis=0)
-                       for n in in_names}
+                cot = {key: jax.lax.slice_in_dim(full[("c", key)], off0,
+                                                 off0 + ck_rows, axis=0)
+                       for key in in_keys}
                 for s in range(k - 1, -1, -1):
                     r = k - 1 - s  # reverse index: 0 first
                     ext_rows = ck_rows - (lo_b + hi_b)  # ck_rows updates per stage
@@ -227,9 +237,9 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                             carriers = feeds_output.get(primal, [])
                             if not carriers:
                                 return jnp.zeros((_er, cols), dtype)
-                            v = _cot[carriers[0]]
+                            v = _cot[(carriers[0], acc.index)]
                             for extra in carriers[1:]:
-                                v = v + _cot[extra]
+                                v = v + _cot[(extra, acc.index)]
                             start = lo_b + acc.offsets[0]
                             v = jax.lax.slice_in_dim(v, start, start + _er,
                                                      axis=0)
@@ -249,7 +259,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                                      & (cc >= locf) & (cc < cols - hicf))
                                 v = jnp.where(m, v, 0)
                             return v
-                        v = _prim[f.name]
+                        v = _prim[(f.name, acc.index)]
                         start = _po + lo_b + acc.offsets[0]
                         v = jax.lax.slice_in_dim(v, start, start + _er, axis=0)
                         return _shift_lateral(v, acc.offsets[1], 1, False,
@@ -262,20 +272,21 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                         res = jnp.broadcast_to(
                             jnp.asarray(st.fn(*vals), dtype), shape_s)
                         if st.is_main:
-                            grads_stage[grad_of[st.target.field.name]] = res
+                            grads_stage[(grad_of[st.target.field.name],
+                                         st.target.index)] = res
                         else:
                             env[st.target] = res
 
                     new_cot = {}
-                    for m in in_names:
-                        v = grads_stage.get(m)
-                        for n in pass_to.get(m, ()):
+                    for name, idx in in_keys:
+                        v = grads_stage.get((name, idx))
+                        for n in pass_to.get(name, ()):
                             pv = jax.lax.slice_in_dim(
-                                cot[n], lo_b, lo_b + ext_rows, axis=0)
+                                cot[(n, idx)], lo_b, lo_b + ext_rows, axis=0)
                             v = pv if v is None else v + pv
                         if v is None:
                             v = jnp.zeros(shape_s, dtype)
-                        new_cot[m] = v
+                        new_cot[(name, idx)] = v
                     cot = new_cot
                     ck_rows = ext_rows
 
@@ -283,13 +294,13 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                 # final state extent: (LO+t+HI) − k(lo_f+hi_f), low offset
                 # k·lo_f − wait: its local row0 is at global i·t − (LO−k·lo_f)
                 fin_off = LO - k * lo_f
-                for j, n in enumerate(in_names):
-                    v = states[k][n]
+                for j, key in enumerate(in_keys):
+                    v = states[k][key]
                     outs[j][...] = jax.lax.slice_in_dim(
                         v, fin_off, fin_off + t, axis=0)
                 # cot frame: rows consumed low side: k·lo_f + k·lo_b = LO
-                for j, n in enumerate(in_names):
-                    outs[len(in_names) + j][...] = cot[n]
+                for j, key in enumerate(in_keys):
+                    outs[len(in_keys) + j][...] = cot[key]
 
             plane = pl.BlockSpec((t, cols), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
@@ -302,16 +313,30 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                 kernel,
                 grid=(nb,),
                 out_shape=tuple(jax.ShapeDtypeStruct((rows, cols), dtype)
-                                for _ in range(2 * len(in_names))),
+                                for _ in range(2 * len(in_keys))),
                 in_specs=[plane] * n_in + [strip_spec(u.shape) for u in ups]
                 + [strip_spec(d.shape) for d in downs],
-                out_specs=tuple(plane for _ in range(2 * len(in_names))),
+                out_specs=tuple(plane for _ in range(2 * len(in_keys))),
                 interpret=interp,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=vmem_limit_bytes),
             )(*arrays, *ups, *downs)
-            new_state = dict(zip(in_names, result[:len(in_names)]))
-            cot_out = dict(zip(in_names, result[len(in_names):]))
+
+            def restack(planes_flat, base):
+                out, pos = {}, base
+                for f in op.forward_input_fields:
+                    comps = _components(f)
+                    planes = [planes_flat[pos + j] for j in range(len(comps))]
+                    pos += len(comps)
+                    if f.index_shape:
+                        out[f.name] = jnp.stack(planes, -1).reshape(
+                            (rows, cols) + f.index_shape)
+                    else:
+                        out[f.name] = planes[0]
+                return out
+
+            new_state = restack(result, 0)
+            cot_out = restack(result, len(in_keys))
             return new_state, cot_out
 
         return fn
@@ -319,11 +344,13 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
     cache = {}
 
     def chain_grad(state, cot_state):
+        f0 = op.forward_input_fields[0]
         arr0 = state[in_names[0]]
-        key = (tuple(arr0.shape), str(arr0.dtype))
+        spatial = tuple(arr0.shape[: f0.spatial_dimensions])
+        key = (spatial, str(arr0.dtype))
         if key not in cache:
             interp = interpret if interpret is not None else not _on_tpu()
-            cache[key] = build(tuple(arr0.shape), arr0.dtype, interp)
+            cache[key] = build(spatial, arr0.dtype, interp)
         return cache[key](state, cot_state)
 
     chain_grad.input_names = in_names
