@@ -90,7 +90,10 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
     def build(spatial, dtype, interp):
         rows, cols = spatial
         itemsize = jnp.dtype(dtype).itemsize
-        n_live = len(in_keys) * (2 * k + 4) + 8
+        # live planes: (k+1) stored stage states + current/next cotangent
+        # sets + pipeline double-buffers; Mosaic roughly doubles again for
+        # temporaries, hence the generous 3k+10 factor
+        n_live = len(in_keys) * (3 * k + 10) + 8
         t = tile_rows or _pick_divisor_tile(rows, LO, HI,
                                             cols * itemsize * n_live,
                                             vmem_limit_bytes)
