@@ -190,6 +190,23 @@ class Field:
 
     # -- identity ------------------------------------------------------------
 
+    def _fingerprint(self) -> tuple:
+        """Everything about a field that affects lowering of its accesses.
+
+        Used to key the Access instance cache: two same-named fields with
+        different fingerprints must NOT share cached Access symbols (sympy's
+        global Symbol cache is keyed by name alone, which would silently
+        retarget ``.field`` on accesses inside previously built ops).
+        """
+        return (
+            self.name,
+            self.spatial_dimensions,
+            self.index_shape,
+            str(self.dtype),
+            self.layout,
+            self.origin,
+        )
+
     def __eq__(self, other):
         return (
             isinstance(other, Field)
@@ -216,9 +233,18 @@ class Field:
         the whole adjoint derivation is built on (reference
         ``_autodiff.py`` ≈L150, SURVEY.md §3.1).
 
-        The symbol name encodes (field, offsets, index) so sympy's cache and
-        equality semantics do the right thing.
+        The symbol name encodes (field, offsets, index) so sympy's equality
+        semantics do the right thing.
+
+        Instance caching is done HERE, keyed by (name, field fingerprint),
+        bypassing sympy's global Symbol cache: that cache is keyed by name
+        alone, so a later Field with the same name but different
+        index_shape/dtype/layout would be handed the cached instance and
+        ``obj.field = field`` would silently retarget accesses inside
+        already-built ops (advisor finding, round 1).
         """
+
+        _instances: dict = {}
 
         def __new__(cls, field: "Field", offsets: Tuple[int, ...], index: Tuple[int, ...]):
             offsets = tuple(int(o) for o in offsets)
@@ -231,10 +257,15 @@ class Field:
             name = f"{field.name}[{','.join(_fmt_offset(o) for o in offsets)}]"
             if index:
                 name += f"({','.join(str(i) for i in index)})"
-            obj = super().__new__(cls, name)
+            key = (name, field._fingerprint())
+            cached = cls._instances.get(key)
+            if cached is not None:
+                return cached
+            obj = sp.Symbol.__xnew__(cls, name)
             obj.field = field
             obj.offsets = offsets
             obj.index = index
+            cls._instances[key] = obj
             return obj
 
         # sympy caches Symbol instances; getnewargs must rebuild identically.

@@ -105,3 +105,24 @@ def test_create_from_numpy_array():
     f = Field.create_from_numpy_array("f", arr, index_dimensions=1)
     assert f.spatial_dimensions == 2
     assert f.index_shape == (3,)
+
+
+def test_same_name_different_fields_do_not_share_access_instances():
+    """Advisor round-1 medium: sympy's Symbol cache is keyed by name alone;
+    a later same-named field must not retarget .field on accesses inside
+    previously built expressions."""
+    scalar = Field("dup", 2)
+    a_scalar = scalar.center
+    assert a_scalar.field.index_shape == ()
+
+    vector = Field("dup", 2, index_shape=(9,))
+    a_vector = vector.center
+    assert a_vector.field.index_shape == (9,)
+    # the earlier access must be untouched
+    assert a_scalar.field.index_shape == ()
+    assert a_scalar.field is scalar
+    assert a_scalar is not a_vector
+
+    # equal-fingerprint fields share the cached instance (cheap + harmless)
+    again = Field("dup", 2)
+    assert again.center is a_scalar
