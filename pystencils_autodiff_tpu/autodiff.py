@@ -144,11 +144,19 @@ def create_backward_assignments(
             if ra.field in constant:
                 continue
             if ra.field in written_fields and ra.field != w_acc.field:
-                # Reading another *output* field is fine only if it is not
-                # also an input elsewhere; chained outputs would need
-                # assignment-level reverse propagation. Keep the reference's
-                # model: outputs are written once, inputs are distinct.
-                pass
+                # Chained outputs (one assignment reading another's output
+                # field) would need assignment-level reverse propagation;
+                # the reference's model is: outputs are written once, inputs
+                # are distinct.  Fail here at derivation time instead of
+                # deep inside lowering with a confusing error about the
+                # adjoint field (advisor finding, round 1).  Inline the
+                # producer (see compose.fuse_ops) to differentiate chains.
+                raise NotImplementedError(
+                    f"assignment writing {w_acc.field.name!r} reads "
+                    f"{ra} — an output of another assignment in this "
+                    f"collection. Chained-output reads are not supported "
+                    f"by the adjoint derivation; inline the producing "
+                    f"assignment (e.g. via compose.fuse_ops) first.")
             jac = sp.diff(fwd.rhs, ra)
             if jac == 0:
                 continue

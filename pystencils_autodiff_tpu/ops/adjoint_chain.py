@@ -11,8 +11,9 @@ through the transposed carry map:
 HBM traffic per k steps ≈ state-in + cotangents-in + gradients-out — the
 adjoint analog of forward temporal blocking (ops/time_chain.py).
 
-Scope (round 1): periodic 2D domains, scalar fields.  ``fused_chain_vjp``
-returns ``chain_grad(state, cotangents) -> (new_state, input_cotangents)``,
+Scope: 2D domains (periodic or bounded), scalar and index-component
+(e.g. D2Q9) fields.  ``fused_chain_vjp`` returns
+``chain_grad(state, cotangents) -> (new_state, input_cotangents)``,
 verified bit-exact against sequential ``jax.vjp``.
 """
 
@@ -55,6 +56,14 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
         raise ValueError("fused_chain_vjp supports 2D scalar fields")
     in_names = [f.name for f in op.forward_input_fields]
     fields_by_name = {f.name: f for f in op.forward_input_fields}
+
+    out_names_all = [f.name for f in op.forward_output_fields]
+    for dst, src in carry_map.items():
+        if dst not in in_names:
+            raise ValueError(f"carry target {dst!r} is not an input ({in_names})")
+        if src not in out_names_all and src not in in_names:
+            raise ValueError(f"carry source {src!r} is neither output "
+                             f"({out_names_all}) nor input ({in_names})")
 
     import itertools as _it
 

@@ -259,6 +259,14 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
     def fwd_rule(state):
         return fused_fwd(state), {n: state[n] for n in in_names}
 
+    def _cast(d):
+        # keep forward/backward precision consistent under a dtype override
+        # (advisor finding, round 1): the fused forward computes in `dtype`,
+        # so the recompute/adjoint must too.
+        if dtype is None:
+            return d
+        return {n: v.astype(dtype) for n, v in d.items()}
+
     if fused_bwd:
         from .adjoint_chain import fused_chain_vjp
 
@@ -267,12 +275,12 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
                                     tile_rows=tile_rows)
 
         def bwd_rule(saved, cot):
-            _, cot0 = adj_chain(saved, cot)
+            _, cot0 = adj_chain(_cast(saved), _cast(cot))
             return (cot0,)
     else:
         def bwd_rule(saved, cot):
-            _, pullback = jax.vjp(sequential, saved)
-            (grads,) = pullback(cot)
+            _, pullback = jax.vjp(sequential, _cast(saved))
+            (grads,) = pullback(_cast(cot))
             return (grads,)
 
     chain.defvjp(fwd_rule, bwd_rule)
