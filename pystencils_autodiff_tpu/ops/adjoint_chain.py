@@ -46,14 +46,22 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
     ``periodic=False`` reproduces the bounded-domain semantics exactly:
     each forward stage zeroes its global ghost frame, each reverse stage
     masks the adjoint reads to the forward interior (the exact-VJP rule),
-    and gradients land in the ghost cells interior reads touched."""
-    from .pallas_kernel import _on_tpu, _pick_divisor_tile, _shift_lateral
+    and gradients land in the ghost cells interior reads touched.
+
+    nd ≥ 3 domains run through the same kernel with leading spatial dims
+    flattened into the row axis (ops/flatten.py): interior and exact-VJP
+    masks test per-dim div/mod coordinates, adjoint reads get inner-dim
+    crossing validity masks, and the per-stage halo is the flattened row
+    *reach* (a unit x-offset spans a whole plane of rows).  Periodic wrap
+    stays 2D-only."""
+    from .flatten import FlatGeom, pick_chain_tile
+    from .pallas_kernel import _on_tpu, _shift_lateral
 
     fwd_prog = forward_program(op)
     bwd_prog = backward_program(op)
     nd = fwd_prog.ndim
-    if nd != 2:
-        raise ValueError("fused_chain_vjp supports 2D scalar fields")
+    if periodic and nd != 2:
+        raise ValueError("periodic fused_chain_vjp supports 2D domains only")
     in_names = [f.name for f in op.forward_input_fields]
     fields_by_name = {f.name: f for f in op.forward_input_fields}
 
@@ -87,25 +95,32 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
         else:
             pass_to[src].append(n)
 
-    (lo_f, hi_f), (locf, hicf) = fwd_prog.ghost
-    (lo_b, hi_b), (locb, hicb) = bwd_prog.ghost
-    LO = k * lo_f + k * lo_b
-    HI = k * hi_f + k * hi_b
+    fwd_ghost = fwd_prog.ghost
+    locf, hicf = fwd_ghost[-1]
 
     bwd_in_fields = bwd_prog.input_fields
     grad_of = {f.name: f.corresponding_forward_field.name
                for f in op.backward_output_fields}
 
     def build(spatial, dtype, interp):
-        rows, cols = spatial
+        geom = FlatGeom(spatial)
+        rows, cols = geom.rows, geom.cols
+        fwd_acc = [at for s in fwd_prog.steps for at in s.atoms
+                   if isinstance(at, Field.Access)]
+        bwd_acc = [at for s in bwd_prog.steps for at in s.atoms
+                   if isinstance(at, Field.Access)]
+        lo_f, hi_f = geom.row_reach(fwd_acc)
+        lo_b, hi_b = geom.row_reach(bwd_acc)
+        LO = k * lo_f + k * lo_b
+        HI = k * hi_f + k * hi_b
         itemsize = jnp.dtype(dtype).itemsize
         # live planes: (k+1) stored stage states + current/next cotangent
         # sets + pipeline double-buffers; Mosaic roughly doubles again for
         # temporaries, hence the generous 3k+10 factor
         n_live = len(in_keys) * (3 * k + 10) + 8
-        t = tile_rows or _pick_divisor_tile(rows, LO, HI,
-                                            cols * itemsize * n_live,
-                                            vmem_limit_bytes)
+        t = tile_rows or pick_chain_tile(rows, LO, HI,
+                                         cols * itemsize * n_live,
+                                         vmem_limit_bytes)
         if t is None or rows % t or t < LO + HI:
             raise ValueError(f"no viable tile for rows={rows}, "
                              f"halo={LO + HI}")
@@ -118,6 +133,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                 is_cot = kind == "c"
                 arr = (cots[name] if is_cot else state[name]).astype(dtype)
                 plane = arr[(Ellipsis,) + idx] if idx else arr
+                plane = plane.reshape((rows, cols))
                 arrays.append(plane)
                 xr = plane.reshape((nb, t, cols))
                 if LO:
@@ -171,9 +187,9 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
 
                     def readf(acc, _er=ext_rows, _cur=cur):
                         v = _cur[(acc.field.name, acc.index)]
-                        start = lo_f + acc.offsets[0]
+                        start = lo_f + geom.row_off(acc.offsets)
                         v = jax.lax.slice_in_dim(v, start, start + _er, axis=0)
-                        return _shift_lateral(v, acc.offsets[1], 1, False,
+                        return _shift_lateral(v, acc.offsets[-1], 1, False,
                                               interp, periodic)
 
                     shape_s = (ext_rows, cols)
@@ -189,14 +205,16 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                             env[st.target] = res
                     if not periodic:
                         # sequential semantics: zero the global ghost frame
+                        # (per-dim interior test; also annihilates inner-
+                        # flattened-dim crossing garbage, interior chain
+                        # rule)
                         base = tile_i * t - (LO - (s + 1) * lo_f)
                         r_ids = (jax.lax.broadcasted_iota(
                             jnp.int32, shape_s, 0) + base)
-                        m = (r_ids >= lo_f) & (r_ids < rows - hi_f)
-                        if locf or hicf:
-                            c_ids = jax.lax.broadcasted_iota(
-                                jnp.int32, shape_s, 1)
-                            m &= (c_ids >= locf) & (c_ids < cols - hicf)
+                        c_ids = jax.lax.broadcasted_iota(
+                            jnp.int32, shape_s, 1)
+                        m = ((r_ids >= 0) & (r_ids < rows)
+                             & geom.interior_mask(r_ids, c_ids, fwd_ghost))
                         stage_out = {key_: jnp.where(m, v, 0)
                                      for key_, v in stage_out.items()}
 
@@ -252,29 +270,33 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                             v = _cot[(carriers[0], acc.index)]
                             for extra in carriers[1:]:
                                 v = v + _cot[(extra, acc.index)]
-                            start = lo_b + acc.offsets[0]
+                            start = lo_b + geom.row_off(acc.offsets)
                             v = jax.lax.slice_in_dim(v, start, start + _er,
                                                      axis=0)
-                            v = _shift_lateral(v, acc.offsets[1], 1,
+                            v = _shift_lateral(v, acc.offsets[-1], 1,
                                                not periodic, interp, periodic)
                             if not periodic:
                                 # exact-VJP: zero the cotangent outside the
-                                # forward interior, in the coordinates of
-                                # the cell being READ
-                                rr = (jax.lax.broadcasted_iota(
-                                    jnp.int32, (_er, cols), 0)
-                                    + _r0 + acc.offsets[0])
+                                # forward interior, in the per-dim
+                                # coordinates of the cell being READ, and
+                                # exclude inner-flattened-dim crossings
+                                r_tgt = (jax.lax.broadcasted_iota(
+                                    jnp.int32, (_er, cols), 0) + _r0)
+                                rr = r_tgt + geom.row_off(acc.offsets)
                                 cc = (jax.lax.broadcasted_iota(
                                     jnp.int32, (_er, cols), 1)
-                                    + acc.offsets[1])
-                                m = ((rr >= lo_f) & (rr < rows - hi_f)
-                                     & (cc >= locf) & (cc < cols - hicf))
+                                    + acc.offsets[-1])
+                                m = ((rr >= 0) & (rr < rows)
+                                     & geom.interior_mask(rr, cc, fwd_ghost))
+                                xm = geom.crossing_mask(r_tgt, acc.offsets)
+                                if xm is not None:
+                                    m &= xm
                                 v = jnp.where(m, v, 0)
                             return v
                         v = _prim[(f.name, acc.index)]
-                        start = _po + lo_b + acc.offsets[0]
+                        start = _po + lo_b + geom.row_off(acc.offsets)
                         v = jax.lax.slice_in_dim(v, start, start + _er, axis=0)
-                        return _shift_lateral(v, acc.offsets[1], 1, False,
+                        return _shift_lateral(v, acc.offsets[-1], 1, False,
                                               interp, periodic)
 
                     grads_stage: Dict[str, jax.Array] = {}
@@ -342,9 +364,9 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                     pos += len(comps)
                     if f.index_shape:
                         out[f.name] = jnp.stack(planes, -1).reshape(
-                            (rows, cols) + f.index_shape)
+                            tuple(spatial) + f.index_shape)
                     else:
-                        out[f.name] = planes[0]
+                        out[f.name] = planes[0].reshape(tuple(spatial))
                 return out
 
             new_state = restack(result, 0)

@@ -39,21 +39,31 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                           periodic: bool,
                           tile_rows: Optional[int] = None,
                           vmem_limit_bytes: int = 100 * 1024 * 1024):
-    """Forward-only fused k-step kernel over a 2D (rows, cols) domain.
+    """Forward-only fused k-step kernel over an nd spatial domain,
+    flattened to (rows, cols) — leading dims merge into the row axis
+    (FlatGeom); per-stage interior masks use per-dim div/mod coordinates,
+    so 3D (and higher) chains run through the same 2D Mosaic-friendly
+    kernel.  Periodic wrap is 2D-only (an inner flattened dim would need
+    per-row wrap shifts).
 
     Index-dimension fields are split into scalar component planes (same
     transform as the blocked strategy) — covers wave/heat/advection and
-    D2Q9 LBM time loops.  3D flattening can be lifted here when needed.
+    D2Q9 LBM time loops.
     """
     import itertools as _it
 
-    from .pallas_kernel import _pick_divisor_tile, _shift_lateral
+    from .flatten import FlatGeom, pick_chain_tile
+    from .pallas_kernel import _shift_lateral
 
     nd = program.ndim
-    if nd != 2:
-        raise ValueError("fused_time_chain kernels support 2D domains")
-    rows, cols = spatial
-    (lo1, hi1), (loc, hic) = program.ghost
+    if periodic and nd != 2:
+        raise ValueError("periodic fused chains support 2D domains only")
+    geom = FlatGeom(spatial)
+    rows, cols = geom.rows, geom.cols
+    ghost = program.ghost
+    all_acc = [at for s in program.steps for at in s.atoms
+               if isinstance(at, Field.Access)]
+    lo1, hi1 = geom.row_reach(all_acc)
     LO, HI = k * lo1, k * hi1
 
     in_names = [f.name for f in program.input_fields]
@@ -71,9 +81,9 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
 
     itemsize = jnp.dtype(dtype).itemsize
     n_live = (len(in_keys) * (k + 2) + 8)
-    t = tile_rows or _pick_divisor_tile(rows, LO, HI,
-                                        cols * itemsize * n_live,
-                                        vmem_limit_bytes)
+    t = tile_rows or pick_chain_tile(rows, LO, HI,
+                                     cols * itemsize * n_live,
+                                     vmem_limit_bytes)
     if t is None or rows % t or t < LO + HI:
         raise ValueError(f"no viable tile for rows={rows}, halo={LO + HI}")
     nb = rows // t
@@ -84,6 +94,7 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
             f = fields_by_name[name]
             arr = inputs[name].astype(dtype)
             plane = arr[(Ellipsis,) + idx] if idx else arr
+            plane = plane.reshape((rows, cols))
             arrays.append(plane)
             xr = plane.reshape((nb, t, cols))
             if LO:
@@ -128,9 +139,9 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
 
                 def read(acc, _er=ext_rows):
                     v = state[(acc.field.name, acc.index)]
-                    start = lo1 + acc.offsets[0]
+                    start = lo1 + geom.row_off(acc.offsets)
                     v = jax.lax.slice_in_dim(v, start, start + _er, axis=0)
-                    return _shift_lateral(v, acc.offsets[1], 1, False,
+                    return _shift_lateral(v, acc.offsets[-1], 1, False,
                                           interpret, periodic)
 
                 shape_s = (ext_rows, cols)
@@ -147,14 +158,15 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
 
                 if not periodic:
                     # sequential semantics: each step zeroes its global
-                    # ghost frame
+                    # ghost frame (per-dim interior test via div/mod of
+                    # the flattened row — also annihilates garbage from
+                    # reads that crossed an inner flattened-dim boundary)
                     base = i * t - margin_lo
                     r_ids = (jax.lax.broadcasted_iota(jnp.int32, shape_s, 0)
                              + base)
-                    m = (r_ids >= lo1) & (r_ids < rows - hi1)
-                    if loc or hic:
-                        c_ids = jax.lax.broadcasted_iota(jnp.int32, shape_s, 1)
-                        m &= (c_ids >= loc) & (c_ids < cols - hic)
+                    c_ids = jax.lax.broadcasted_iota(jnp.int32, shape_s, 1)
+                    m = ((r_ids >= 0) & (r_ids < rows)
+                         & geom.interior_mask(r_ids, c_ids, ghost))
                     stage_out = {key_: jnp.where(m, v, 0)
                                  for key_, v in stage_out.items()}
 
@@ -202,9 +214,9 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
             pos += len(comps)
             if f.index_shape:
                 outputs[f.name] = jnp.stack(planes, -1).reshape(
-                    (rows, cols) + f.index_shape)
+                    tuple(spatial) + f.index_shape)
             else:
-                outputs[f.name] = planes[0]
+                outputs[f.name] = planes[0].reshape(tuple(spatial))
         return outputs
 
     return fn
@@ -218,9 +230,10 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
 
     Exact gradients: the backward rule recomputes the k steps with the
     ordinary single-step custom_vjp ops (recompute-from-checkpoint), or —
-    with ``fused_bwd=True`` (2D scalar fields) — with ONE fused
-    adjoint-chain kernel (ops/adjoint_chain.py), so both directions are
-    temporally blocked.
+    with ``fused_bwd=True`` — with ONE fused adjoint-chain kernel
+    (ops/adjoint_chain.py), so both directions are temporally blocked.
+    Domains of any rank run through the flattened-row kernel (periodic
+    wrap is 2D-only); index-component fields are split into planes.
     """
     from .pallas_kernel import _on_tpu
     from ..timeloop import make_time_stepper
