@@ -73,11 +73,43 @@ def wave_simulate(c: jax.Array, u0: jax.Array, n_steps: int,
 def fwi_gradient(c: jax.Array, u0: jax.Array, observed: jax.Array,
                  receiver_row: int, n_steps: int, dt: float = 0.001,
                  dx: float = 1.0, checkpoint: str = "sqrt",
-                 lowering: str = "jnp", **kwargs):
+                 lowering: str = "jnp", fused_k: Optional[int] = None,
+                 **kwargs):
     """Value and gradient of the FWI misfit w.r.t. the velocity model ``c``.
 
     ``observed``: (n_steps, width) reference seismogram at ``receiver_row``.
+
+    ``fused_k``: run both directions through fused k-step chain kernels
+    (ops.fused_time_chain / ops.fused_chain_vjp) with chain-granularity
+    seismogram recording — the receiver row is extracted inside the fused
+    forward kernel after every stage (probe outputs) and the seismogram
+    residual is injected per stage inside the fused adjoint kernel, so the
+    full FWI gradient is temporally blocked end to end.  Gradients match
+    the sequential checkpointed adjoint (tests/test_fwi_fused.py).
     """
+    if fused_k:
+        if n_steps % fused_k:
+            raise ValueError("n_steps must be a multiple of fused_k")
+        from ..ops.time_chain import fused_time_chain
+
+        op = wave_step_op(dt=dt, dx=dx, dtype=str(c.dtype))
+        carry = {"u_curr": "u_next", "u_prev": "u_curr"}
+        chain = fused_time_chain(op, fused_k, carry, fused_bwd=True,
+                                 probes=[("u_curr", receiver_row)], **kwargs)
+
+        def misfit(c_):
+            state = {"u_curr": u0, "u_prev": u0, "c": c_}
+
+            def body(st, _):
+                st2, (probe,) = chain(st)
+                return st2, probe
+
+            _, chunks = jax.lax.scan(body, state, None,
+                                     length=n_steps // fused_k)
+            seis = chunks.reshape((n_steps,) + chunks.shape[2:])
+            return 0.5 * jnp.sum((seis - observed) ** 2)
+
+        return jax.value_and_grad(misfit)(c)
 
     def record(state):
         return state["u_curr"][receiver_row, :]

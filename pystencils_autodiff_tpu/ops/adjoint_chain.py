@@ -37,7 +37,8 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                     periodic: bool = True,
                     interpret: Optional[bool] = None,
                     tile_rows: Optional[int] = None,
-                    vmem_limit_bytes: int = 100 * 1024 * 1024):
+                    vmem_limit_bytes: int = 100 * 1024 * 1024,
+                    probes=None):
     """Build ``g(state, cot_state) -> (state_k, cot_0)`` for a 2D op:
     advances k steps AND pulls cotangents back through them, all in one
     kernel.  ``cot_state``/``cot_0`` are cotangent dicts keyed like the
@@ -47,6 +48,12 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
     each forward stage zeroes its global ghost frame, each reverse stage
     masks the adjoint reads to the forward interior (the exact-VJP rule),
     and gradients land in the ghost cells interior reads touched.
+
+    ``probes``: list of ``(field_name, flat_row)`` matching the forward
+    chain's per-stage row extraction (ops/time_chain.py) — the returned fn
+    then takes a third argument, a list of per-probe cotangents of shape
+    ``(k, cols)``, injected into the named field's cotangent at that row
+    before each reverse stage (the exact adjoint of recording).
 
     nd ≥ 3 domains run through the same kernel with leading spatial dims
     flattened into the row axis (ops/flatten.py): interior and exact-VJP
@@ -97,6 +104,10 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
 
     fwd_ghost = fwd_prog.ghost
     locf, hicf = fwd_ghost[-1]
+    probes = list(probes or ())
+    for pname, _prow in probes:
+        if fields_by_name[pname].index_shape:
+            raise ValueError(f"probe field {pname!r} must be scalar")
 
     bwd_in_fields = bwd_prog.input_fields
     grad_of = {f.name: f.corresponding_forward_field.name
@@ -127,7 +138,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
         nb = rows // t
         all_in = [("s", key) for key in in_keys] + [("c", key) for key in in_keys]
 
-        def fn(state, cots):
+        def fn(state, cots, probe_cots=()):
             arrays, ups, downs = [], [], []
             for kind, (name, idx) in all_in:
                 is_cot = kind == "c"
@@ -156,12 +167,16 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                             [xr[1:, :HI], last], 0))
             n_in = len(all_in)
             n_up, n_dn = len(ups), len(downs)
+            probe_arrays = [jnp.asarray(pc, dtype) for pc in probe_cots]
+            assert len(probe_arrays) == len(probes)
 
             def kernel(*refs):
                 xs = refs[:n_in]
                 up_refs = refs[n_in:n_in + n_up]
                 dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
-                outs = refs[n_in + n_up + n_dn:]
+                probe_refs = refs[n_in + n_up + n_dn:
+                                  n_in + n_up + n_dn + len(probes)]
+                outs = refs[n_in + n_up + n_dn + len(probes):]
                 tile_i = pl.program_id(0)
 
                 full: Dict[tuple, jax.Array] = {}
@@ -240,6 +255,20 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                        for key in in_keys}
                 for s in range(k - 1, -1, -1):
                     r = k - 1 - s  # reverse index: 0 first
+                    if probes:
+                        # adjoint of per-stage recording: inject the probe
+                        # cotangent for stage s into the cotangent of
+                        # state_{s+1} at the probe row — in EVERY frame row
+                        # matching it (halo copies included; wrapped rows in
+                        # periodic mode), so halo cotangents stay exact
+                        row0_in = tile_i * t - (k - r) * lo_b
+                        rr = (jax.lax.broadcasted_iota(
+                            jnp.int32, (ck_rows, cols), 0) + row0_in)
+                        if periodic:
+                            rr = rr % rows
+                        for p, (pname, prow) in enumerate(probes):
+                            inj = jnp.where(rr == prow, probe_refs[p][s], 0)
+                            cot[(pname, ())] = cot[(pname, ())] + inj
                     ext_rows = ck_rows - (lo_b + hi_b)  # ck_rows updates per stage
                     prim = states[s]
                     # primal state_s extent/alignment: rows consumed low
@@ -343,18 +372,21 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                 return pl.BlockSpec((1,) + shape[1:], lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
 
+            probe_specs = [pl.BlockSpec((k, cols), lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM)
+                           for _ in probes]
             result = pl.pallas_call(
                 kernel,
                 grid=(nb,),
                 out_shape=tuple(jax.ShapeDtypeStruct((rows, cols), dtype)
                                 for _ in range(2 * len(in_keys))),
                 in_specs=[plane] * n_in + [strip_spec(u.shape) for u in ups]
-                + [strip_spec(d.shape) for d in downs],
+                + [strip_spec(d.shape) for d in downs] + probe_specs,
                 out_specs=tuple(plane for _ in range(2 * len(in_keys))),
                 interpret=interp,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=vmem_limit_bytes),
-            )(*arrays, *ups, *downs)
+            )(*arrays, *ups, *downs, *probe_arrays)
 
             def restack(planes_flat, base):
                 out, pos = {}, base
@@ -377,7 +409,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
 
     cache = {}
 
-    def chain_grad(state, cot_state):
+    def chain_grad(state, cot_state, probe_cots=()):
         f0 = op.forward_input_fields[0]
         arr0 = state[in_names[0]]
         spatial = tuple(arr0.shape[: f0.spatial_dimensions])
@@ -385,7 +417,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
         if key not in cache:
             interp = interpret if interpret is not None else not _on_tpu()
             cache[key] = build(spatial, arr0.dtype, interp)
-        return cache[key](state, cot_state)
+        return cache[key](state, cot_state, probe_cots)
 
     chain_grad.input_names = in_names
     chain_grad.k = k

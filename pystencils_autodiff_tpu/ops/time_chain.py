@@ -38,7 +38,8 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                           spatial, dtype, interpret: bool,
                           periodic: bool,
                           tile_rows: Optional[int] = None,
-                          vmem_limit_bytes: int = 100 * 1024 * 1024):
+                          vmem_limit_bytes: int = 100 * 1024 * 1024,
+                          probes=None):
     """Forward-only fused k-step kernel over an nd spatial domain,
     flattened to (rows, cols) — leading dims merge into the row axis
     (FlatGeom); per-stage interior masks use per-dim div/mod coordinates,
@@ -49,6 +50,13 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
     Index-dimension fields are split into scalar component planes (same
     transform as the blocked strategy) — covers wave/heat/advection and
     D2Q9 LBM time loops.
+
+    ``probes``: list of ``(field_name, flat_row)`` — after every stage the
+    kernel extracts that (flattened) row of the named scalar state field
+    (mask-reduced, written once by the owning tile), so per-step
+    observables (e.g. an FWI seismogram at a receiver row) survive
+    temporal blocking.  The wrapped fn then returns ``(state, probe_list)``
+    with each probe of shape ``(k, cols)``.
     """
     import itertools as _it
 
@@ -78,6 +86,11 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
 
     in_keys = [(f.name, idx) for f in program.input_fields
                for idx in _components(f)]
+
+    probes = list(probes or ())
+    for pname, _prow in probes:
+        if fields_by_name[pname].index_shape:
+            raise ValueError(f"probe field {pname!r} must be scalar")
 
     itemsize = jnp.dtype(dtype).itemsize
     n_live = (len(in_keys) * (k + 2) + 8)
@@ -117,6 +130,9 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
             up_refs = refs[n_in:n_in + n_up]
             dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
             outs = refs[n_in + n_up + n_dn:]
+            probe_outs = outs[len(in_keys):]
+            outs = outs[:len(in_keys)]
+            probe_rows = [[] for _ in probes]
             i = pl.program_id(0)
 
             # state planes on the fully-extended tile (LO + t + HI rows)
@@ -181,8 +197,22 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                             v, lo1, lo1 + ext_rows, axis=0)
                 state = new_state
 
+                if probes:
+                    # per-step observable rows: mask-reduce (no dynamic
+                    # indexing in Mosaic); only the owning tile's rows
+                    # contribute, so a later sum over tiles is exact
+                    r_ids = (jax.lax.broadcasted_iota(jnp.int32, shape_s, 0)
+                             + i * t - margin_lo)
+                    own = (r_ids >= i * t) & (r_ids < (i + 1) * t)
+                    for p, (pname, prow) in enumerate(probes):
+                        sel = own & (r_ids == prow)
+                        probe_rows[p].append(jnp.sum(
+                            jnp.where(sel, state[(pname, ())], 0), axis=0))
+
             for ref, key in zip(outs, in_keys):
                 ref[...] = state[key]
+            for p in range(len(probes)):
+                probe_outs[p][...] = jnp.stack(probe_rows[p], axis=0)[None]
 
         plane_spec = pl.BlockSpec((t, cols), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
@@ -191,14 +221,19 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
             return pl.BlockSpec((1,) + shape[1:], lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
 
+        probe_shape = tuple(jax.ShapeDtypeStruct((nb, k, cols), dtype)
+                            for _ in probes)
+        probe_spec = tuple(pl.BlockSpec((1, k, cols), lambda i: (i, 0, 0),
+                                        memory_space=pltpu.VMEM)
+                           for _ in probes)
         result = pl.pallas_call(
             kernel,
             grid=(nb,),
             out_shape=tuple(jax.ShapeDtypeStruct((rows, cols), dtype)
-                            for _ in in_keys),
+                            for _ in in_keys) + probe_shape,
             in_specs=[plane_spec] * n_in + [strip_spec(u.shape) for u in ups]
             + [strip_spec(d.shape) for d in downs],
-            out_specs=tuple(plane_spec for _ in in_keys),
+            out_specs=tuple(plane_spec for _ in in_keys) + probe_spec,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_bytes),
@@ -217,6 +252,11 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                     tuple(spatial) + f.index_shape)
             else:
                 outputs[f.name] = planes[0].reshape(tuple(spatial))
+        if probes:
+            # non-owning tiles wrote zeros — sum collapses to the one row
+            probe_vals = [result[pos + p].sum(axis=0)
+                          for p in range(len(probes))]
+            return outputs, probe_vals
         return outputs
 
     return fn
@@ -225,7 +265,7 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
 def fused_time_chain(op, k: int, carry_map: Dict[str, str],
                      periodic: bool = False, interpret: Optional[bool] = None,
                      tile_rows: Optional[int] = None, dtype=None,
-                     fused_bwd: bool = False):
+                     fused_bwd: bool = False, probes=None):
     """``chain(state: dict) -> state`` advancing ``k`` steps in ONE kernel.
 
     Exact gradients: the backward rule recomputes the k steps with the
@@ -234,12 +274,19 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
     (ops/adjoint_chain.py), so both directions are temporally blocked.
     Domains of any rank run through the flattened-row kernel (periodic
     wrap is 2D-only); index-component fields are split into planes.
+
+    ``probes``: list of ``(field_name, flat_row)`` — the chain then returns
+    ``(state, probe_tuple)`` with one ``(k, cols)`` array per probe holding
+    that row after every step (chain-granularity recording: per-step
+    observables like FWI seismograms survive temporal blocking), and the
+    backward rule injects the probe cotangents exactly.
     """
     from .pallas_kernel import _on_tpu
     from ..timeloop import make_time_stepper
 
     prog = forward_program(op)
     in_names = [f.name for f in op.forward_input_fields]
+    probes = list(probes or ())
 
     seq_step = make_time_stepper(op, carry_map, lowering="pallas",
                                  periodic=periodic,
@@ -247,9 +294,16 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
                                     if interpret is not None else {}))
 
     def sequential(state):
+        recs = [[] for _ in probes]
         for _ in range(k):
             state = seq_step(state)
-        return {n: state[n] for n in in_names}
+            for p, (pname, prow) in enumerate(probes):
+                arr = state[pname]
+                recs[p].append(arr.reshape(-1, arr.shape[-1])[prow])
+        out = {n: state[n] for n in in_names}
+        if probes:
+            return out, tuple(jnp.stack(r) for r in recs)
+        return out
 
     kernel_cache = {}
 
@@ -262,8 +316,13 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
             interp = interpret if interpret is not None else not _on_tpu()
             kernel_cache[key] = _make_chain_kernel_fn(
                 prog, k, carry_map, spatial,
-                dtype or arr0.dtype, interp, periodic, tile_rows=tile_rows)
-        return kernel_cache[key]({n: state[n] for n in in_names})
+                dtype or arr0.dtype, interp, periodic, tile_rows=tile_rows,
+                probes=probes)
+        res = kernel_cache[key]({n: state[n] for n in in_names})
+        if probes:
+            outputs, probe_vals = res
+            return outputs, tuple(probe_vals)
+        return res
 
     @jax.custom_vjp
     def chain(state):
@@ -272,23 +331,28 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
     def fwd_rule(state):
         return fused_fwd(state), {n: state[n] for n in in_names}
 
-    def _cast(d):
+    def _cast(tree):
         # keep forward/backward precision consistent under a dtype override
         # (advisor finding, round 1): the fused forward computes in `dtype`,
         # so the recompute/adjoint must too.
         if dtype is None:
-            return d
-        return {n: v.astype(dtype) for n, v in d.items()}
+            return tree
+        return jax.tree.map(lambda v: v.astype(dtype), tree)
 
     if fused_bwd:
         from .adjoint_chain import fused_chain_vjp
 
         adj_chain = fused_chain_vjp(op, k, carry_map, periodic=periodic,
                                     interpret=interpret,
-                                    tile_rows=tile_rows)
+                                    tile_rows=tile_rows, probes=probes)
 
         def bwd_rule(saved, cot):
-            _, cot0 = adj_chain(_cast(saved), _cast(cot))
+            if probes:
+                cot_state, cot_probes = cot
+                _, cot0 = adj_chain(_cast(saved), _cast(cot_state),
+                                    _cast(tuple(cot_probes)))
+            else:
+                _, cot0 = adj_chain(_cast(saved), _cast(cot))
             return (cot0,)
     else:
         def bwd_rule(saved, cot):
