@@ -23,6 +23,7 @@ from .field import Field
 __all__ = [
     "Assignment",
     "AssignmentCollection",
+    "StagedAssignmentCollection",
     "accesses_in",
     "fields_read",
     "fields_written",
@@ -228,6 +229,60 @@ class AssignmentCollection:
         lines = [f"  {a}" for a in self.subexpressions]
         lines += [f"  {a}" for a in self.main_assignments]
         return "AssignmentCollection(\n" + "\n".join(lines) + "\n)"
+
+
+class StagedAssignmentCollection(AssignmentCollection):
+    """A sequence of assignment collections executed as successive passes:
+    each stage may read fields written by earlier stages (materialised
+    intermediates, e.g. the TF_MAD mode's Jacobian fields — SURVEY.md §3.1
+    ``_autodiff.py`` ≈L220).
+
+    The base-class view (main_assignments/subexpressions/fields_written)
+    is the FINAL stage — the externally visible outputs — while
+    ``fields_read`` spans all stages minus the intermediates, so
+    ``AutoDiffOp``'s field classification sees exactly the external
+    signature.  Lowerings run the stages in order (ops.make_staged_fn);
+    single-pass consumers (fused chains, generated-C backends) reject
+    staged collections with a clear error.
+    """
+
+    def __init__(self, stages: Sequence[AssignmentCollection]):
+        self.stages = [AssignmentCollection.normalize(s) for s in stages]
+        if not self.stages:
+            raise ValueError("need at least one stage")
+        final = self.stages[-1]
+        super().__init__(final.main_assignments, final.subexpressions)
+
+    @property
+    def intermediate_fields(self) -> List[Field]:
+        seen, out = set(), []
+        for st in self.stages[:-1]:
+            for f in st.fields_written:
+                if f not in seen:
+                    seen.add(f)
+                    out.append(f)
+        return out
+
+    @property
+    def fields_read(self) -> List[Field]:
+        inter = set(self.intermediate_fields)
+        seen, out = set(), []
+        for st in self.stages:
+            for f in st.fields_read:
+                if f not in inter and f not in seen:
+                    seen.add(f)
+                    out.append(f)
+        return out
+
+    def new_with_cse(self, symbol_prefix: str = "xi") -> "StagedAssignmentCollection":
+        return StagedAssignmentCollection(
+            [st.new_with_cse(f"{symbol_prefix}s{i}_")
+             for i, st in enumerate(self.stages)])
+
+    def __repr__(self):
+        parts = [f"-- stage {i} --\n{st!r}"
+                 for i, st in enumerate(self.stages)]
+        return "StagedAssignmentCollection(\n" + "\n".join(parts) + "\n)"
 
 
 def accesses_in(expr: sp.Expr) -> List[Field.Access]:

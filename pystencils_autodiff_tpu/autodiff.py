@@ -25,16 +25,24 @@ field accesses, which are shifted along.
 
 Diff modes (parity with the reference's ``DiffModes``):
 
-* ``transposed`` — shift each Jacobian entry immediately and multiply by the
-  shifted adjoint access (operator-transposition order).
-* ``transposed-forward`` (``TF_MAD``) — differentiate first in the *forward*
-  frame (per-assignment products ``∂rhs_a/∂f[o] · ŵ_a[0]``), then transpose
-  each complete product term by ``−o`` to read it as a forward stencil.
+* ``transposed`` — shift each Jacobian entry by ``−o`` and multiply by the
+  shifted adjoint access, all fused into ONE gather assignment per adjoint
+  output (operator-transposition order).
+* ``transposed-forward`` (``TF_MAD``) — differentiate first, then evaluate
+  the transposed operator as a forward stencil (reference ``_autodiff.py``
+  ≈L220, SURVEY.md §3.1): every variable-coefficient Jacobian entry
+  ``∂rhs_a/∂f[o]`` is MATERIALISED as a Jacobian field assignment evaluated
+  at center-relative positions in the forward frame (stage A), and the
+  gather stage reads those fields at ``−o`` like a constant-coefficient
+  forward stencil (stage B) — a ``StagedAssignmentCollection`` lowered as
+  two passes.  Constant Jacobian entries stay inline, so purely
+  constant-coefficient stencils collapse to a single stage.
 
-Both constructions are exact (including variable coefficients); the upstream
-equivalence tests ("both modes produce equivalent backward operators",
-SURVEY.md §4 test_tfmad) are preserved as acceptance tests in
-``tests/test_tfmad.py``.
+The two constructions are *structurally different programs* (different
+kernels, different intermediate storage) computing the same mathematical
+adjoint; the upstream equivalence tests ("both modes produce equivalent
+backward operators", SURVEY.md §4 test_tfmad) are therefore real acceptance
+tests in ``tests/test_tfmad.py``.
 """
 
 from __future__ import annotations
@@ -46,7 +54,8 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 import sympy as sp
 
 from .adjoint_field import DEFAULT_DIFF_PREFIX, AdjointField
-from .assignment import Assignment, AssignmentCollection, AssignmentsLike
+from .assignment import (Assignment, AssignmentCollection, AssignmentsLike,
+                         StagedAssignmentCollection)
 from .field import Field
 
 __all__ = [
@@ -136,6 +145,14 @@ def create_backward_assignments(
     contributions: "collections.OrderedDict[Tuple[Field, Tuple[int, ...]], List[sp.Expr]]" = (
         collections.OrderedDict()
     )
+    # TF_MAD: materialised Jacobian-field assignments (stage A).
+    jac_stage: List[Assignment] = []
+    jac_fields: Dict[str, Field] = {}
+
+    def _off_tag(offsets: Tuple[int, ...], index: Tuple[int, ...]) -> str:
+        parts = [f"m{-o}" if o < 0 else str(o) for o in offsets]
+        parts += [f"i{i}" for i in index]
+        return "_".join(parts)
 
     for fwd in main:
         w_acc = fwd.lhs  # centre access of the written field
@@ -161,16 +178,26 @@ def create_backward_assignments(
             if jac == 0:
                 continue
             inv = _neg(ra.offsets)
-            if mode is DiffModes.TRANSPOSED:
+            w_adj = Field.Access(adj(w_acc.field), inv, w_acc.index)
+            if mode is DiffModes.TRANSPOSED or not jac.atoms(Field.Access):
                 # shift Jacobian entry into the adjoint (gather) frame, then
-                # multiply by the transposed adjoint read.
-                term = shift_expr(jac, inv) * Field.Access(
-                    adj(w_acc.field), inv, w_acc.index)
-            else:  # TF_MAD: build the product in the forward frame, then
-                # transpose the complete term to read it as a forward stencil.
-                fwd_frame = jac * Field.Access(
-                    adj(w_acc.field), (0,) * len(inv), w_acc.index)
-                term = shift_expr(fwd_frame, inv)
+                # multiply by the transposed adjoint read.  Constant entries
+                # shift to themselves, so TF_MAD uses this path for them too.
+                term = shift_expr(jac, inv) * w_adj
+            else:
+                # TF_MAD: materialise the variable-coefficient Jacobian
+                # entry as a field evaluated at center-relative positions in
+                # the FORWARD frame (stage A); the gather reads it at −o
+                # like a constant-coefficient forward stencil (stage B).
+                jname = (f"jac_{w_acc.field.name}"
+                         f"{'_' + _off_tag((), w_acc.index) if w_acc.index else ''}"
+                         f"_{ra.field.name}_{_off_tag(ra.offsets, ra.index)}")
+                if jname not in jac_fields:
+                    J = Field(jname, ra.field.spatial_dimensions,
+                              dtype=ra.field.dtype)
+                    jac_fields[jname] = J
+                    jac_stage.append(Assignment(J.center, jac))
+                term = Field.Access(jac_fields[jname], inv, ()) * w_adj
             key = (ra.field, ra.index)
             contributions.setdefault(key, []).append(term)
 
@@ -181,7 +208,11 @@ def create_backward_assignments(
         backward.append(Assignment(lhs, rhs,
                                    is_accumulation=field in time_constant))
 
-    result = AssignmentCollection(backward)
+    if jac_stage:
+        result = StagedAssignmentCollection(
+            [AssignmentCollection(jac_stage), AssignmentCollection(backward)])
+    else:
+        result = AssignmentCollection(backward)
     if do_common_subexpression_elimination:
         result = result.new_with_cse()
     return result

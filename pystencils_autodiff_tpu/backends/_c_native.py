@@ -26,7 +26,8 @@ import numpy as np
 from ..adjoint_field import AdjointField
 from ..codegen.c_printer import generate_c_source, kernel_symbol_name
 from ..codegen.jit import compile_and_load
-from ..ops.common import StencilProgram, backward_program, forward_program
+from ..ops.common import (StencilProgram, backward_programs, forward_program,
+                          is_staged_backward)
 
 __all__ = ["make_c_stencil", "create_native_function_pair", "NativeKernel"]
 
@@ -121,10 +122,22 @@ class NativeFunctionPair:
     def __init__(self, op, dtype=np.float64):
         self.op = op
         self.fwd_prog = forward_program(op)
-        self.bwd_prog = backward_program(op)
+        # staged backward (TF_MAD): one compiled C kernel per pass, chained
+        self.bwd_progs = backward_programs(op)
+        self.bwd_prog = self.bwd_progs[-1]
         self.dtype = np.dtype(dtype)
         self.forward_kernel = NativeKernel(self.fwd_prog, False, dtype)
-        self.backward_kernel = NativeKernel(self.bwd_prog, True, dtype)
+        self.backward_kernels = [NativeKernel(p, True, dtype)
+                                 for p in self.bwd_progs]
+        self.backward_kernel = self.backward_kernels[-1]
+        inter = (set(op.backward_assignments.intermediate_fields)
+                 if is_staged_backward(op) else set())
+        seen, self._bwd_ext_inputs = set(), []
+        for p in self.bwd_progs:
+            for f in p.input_fields:
+                if f not in inter and f not in seen:
+                    seen.add(f)
+                    self._bwd_ext_inputs.append(f)
 
     def forward(self, **inputs) -> Dict[str, np.ndarray]:
         return self.forward_kernel(inputs)
@@ -142,7 +155,7 @@ class NativeFunctionPair:
         saved = saved or {}
         bwd_in: Dict[str, np.ndarray] = {}
         sl = self.fwd_prog.interior_slices()
-        for f in self.bwd_prog.input_fields:
+        for f in self._bwd_ext_inputs:
             if isinstance(f, AdjointField):
                 primal = f.corresponding_forward_field.name
                 if primal in cotangents:
@@ -157,7 +170,10 @@ class NativeFunctionPair:
                         + f.corresponding_forward_field.index_shape, self.dtype)
             else:
                 bwd_in[f.name] = saved[f.name]
-        grads = self.backward_kernel(bwd_in)
+        env = dict(bwd_in)
+        for kern in self.backward_kernels:
+            grads = kern(env)
+            env.update(grads)
         return {f.corresponding_forward_field.name: grads[f.name]
                 for f in self.op.backward_output_fields}
 

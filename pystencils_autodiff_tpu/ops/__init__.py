@@ -59,5 +59,13 @@ def lower_forward(op, lowering: str = "jnp", **kwargs):
 
 
 def lower_backward(op, lowering: str = "jnp", full_domain: bool = False, **kwargs):
+    from .common import backward_programs, is_staged_backward
+
+    if is_staged_backward(op):
+        from .vjp import make_staged_fn
+
+        # multi-pass backward (TF_MAD): all stages run full-domain
+        return make_staged_fn(backward_programs(op), get_lowering(lowering),
+                              {}, **kwargs)
     prog = backward_program(op)
     return get_lowering(lowering)(prog, full_domain=full_domain, **kwargs)

@@ -30,10 +30,11 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import sympy as sp
 
 from ..adjoint_field import AdjointField
-from ..assignment import AssignmentCollection
+from ..assignment import AssignmentCollection, StagedAssignmentCollection
 from ..field import Field
 
-__all__ = ["Step", "StencilProgram", "make_program", "forward_program", "backward_program"]
+__all__ = ["Step", "StencilProgram", "make_program", "forward_program",
+           "backward_program", "backward_programs", "is_staged_backward"]
 
 
 @dataclass
@@ -172,6 +173,43 @@ def forward_program(op, modules="jax") -> StencilProgram:
     )
 
 
+def is_staged_backward(op) -> bool:
+    """True when the op's backward collection is multi-pass (TF_MAD with
+    materialised Jacobian fields)."""
+    return isinstance(op.backward_assignments, StagedAssignmentCollection)
+
+
+def backward_programs(op, modules="jax") -> List[StencilProgram]:
+    """Per-stage programs of a (possibly staged) backward collection, in
+    execution order.  Single-pass collections yield one program (identical
+    to ``backward_program``)."""
+    coll = op.backward_assignments
+    if not isinstance(coll, StagedAssignmentCollection):
+        return [backward_program(op, modules=modules)]
+    progs = []
+    for i, stage in enumerate(coll.stages[:-1]):
+        progs.append(make_program(
+            stage,
+            input_fields=stage.fields_read,
+            output_fields=stage.fields_written,
+            name=f"{op.op_name}_bwd_stage{i}",
+            modules=modules,
+        ))
+    final = coll.stages[-1]
+    inputs = list(op.backward_input_fields) + list(coll.intermediate_fields)
+    accum_prev = [f for f in final.fields_written
+                  if any(a.is_accumulation and a.lhs.field == f
+                         for a in final.main_assignments)]
+    progs.append(make_program(
+        final,
+        input_fields=inputs + [f for f in accum_prev if f not in inputs],
+        output_fields=op.backward_output_fields,
+        name=f"{op.op_name}_bwd_gather",
+        modules=modules,
+    ))
+    return progs
+
+
 def backward_program(op, modules="jax") -> StencilProgram:
     """Program for an ``AutoDiffOp``'s backward collection.
 
@@ -180,6 +218,12 @@ def backward_program(op, modules="jax") -> StencilProgram:
     adjoint array is an additional input.
     """
     coll = op.backward_assignments
+    if isinstance(coll, StagedAssignmentCollection):
+        raise NotImplementedError(
+            f"{op.op_name}: the backward collection is multi-pass (TF_MAD "
+            f"materialised-Jacobian mode); this consumer supports single-"
+            f"pass backward programs only — use diff_mode='transposed' or "
+            f"the staged lowering (ops.backward_programs / jax_function)")
     inputs = list(op.backward_input_fields)
     accum_prev = [f for f in coll.fields_written
                   if any(a.is_accumulation and a.lhs.field == f

@@ -25,9 +25,31 @@ import jax
 import jax.numpy as jnp
 
 from ..adjoint_field import AdjointField
-from .common import StencilProgram, backward_program, forward_program
+from .common import (StencilProgram, backward_programs, forward_program,
+                     is_staged_backward)
 
-__all__ = ["build_custom_vjp", "build_custom_vjp_from_programs"]
+__all__ = ["build_custom_vjp", "build_custom_vjp_from_programs",
+           "make_staged_fn"]
+
+
+def make_staged_fn(progs, lower, final_kwargs, **kwargs):
+    """Chain lowered per-stage functions: each stage's outputs join the
+    environment the next stage reads from (multi-pass backward programs,
+    e.g. TF_MAD's materialised Jacobian stage).  All stages run
+    full-domain; only the final (gather) stage applies the exact-VJP
+    cotangent masking."""
+    fns = [lower(p, full_domain=True, **kwargs) for p in progs[:-1]]
+    fns.append(lower(progs[-1], full_domain=True, **final_kwargs, **kwargs))
+
+    def fn(inputs):
+        env = dict(inputs)
+        out = env
+        for f in fns:
+            out = f(env)
+            env.update(out)
+        return out
+
+    return fn
 
 
 def _interior_mask_set(program: StencilProgram, cot: jax.Array) -> jax.Array:
@@ -46,14 +68,17 @@ def build_custom_vjp_from_programs(
     fwd_prog: StencilProgram,
     bwd_prog: StencilProgram,
     bwd_masks_cotangents: bool = False,
+    bwd_input_fields=None,
 ):
     """Wire lowered forward/backward dict-functions into a custom_vjp."""
     in_names = [f.name for f in op.forward_input_fields]
     out_names = [f.name for f in op.forward_output_fields]
     saved_names = [f.name for f in op.saved_fields]
     grad_names = [f.corresponding_forward_field.name for f in op.backward_output_fields]
-    # adjoint inputs of the bwd program, in program order
-    bwd_input_fields = bwd_prog.input_fields
+    # adjoint inputs of the bwd program, in program order (overridable for
+    # staged backward programs whose external signature spans stages)
+    if bwd_input_fields is None:
+        bwd_input_fields = bwd_prog.input_fields
 
     def apply(*arrays):
         inputs = dict(zip(in_names, arrays))
@@ -156,19 +181,41 @@ def build_custom_vjp(op, lowering: str = "jnp", periodic: bool = False,
     from . import get_lowering
     lower = get_lowering(lowering)
     fwd_prog = forward_program(op)
-    bwd_prog = backward_program(op)
+    bwd_progs = backward_programs(op)
+    bwd_prog = bwd_progs[-1]
+    staged = is_staged_backward(op)
     if periodic:
         # wrap-around domain: every cell is written, so the VJP needs no
         # interior masking anywhere — the adjoint of a circulant stencil is
         # the transposed circulant, evaluated through the same periodic path
         fwd_fn = lower(fwd_prog, full_domain=False, periodic=True, **kwargs)
-        bwd_full_fn = lower(bwd_prog, full_domain=True, periodic=True, **kwargs)
+        if staged:
+            bwd_full_fn = make_staged_fn(bwd_progs, lower, {},
+                                         periodic=True, **kwargs)
+        else:
+            bwd_full_fn = lower(bwd_prog, full_domain=True, periodic=True,
+                                **kwargs)
     else:
         fwd_fn = lower(fwd_prog, full_domain=False, **kwargs)
         # the lowering applies the exact-VJP cotangent interior mask itself
         # (fused in-kernel for the blocked Pallas strategy)
-        bwd_full_fn = lower(bwd_prog, full_domain=True,
-                            adjoint_mask_ghost=fwd_prog.ghost, **kwargs)
+        if staged:
+            bwd_full_fn = make_staged_fn(
+                bwd_progs, lower,
+                {"adjoint_mask_ghost": fwd_prog.ghost}, **kwargs)
+        else:
+            bwd_full_fn = lower(bwd_prog, full_domain=True,
+                                adjoint_mask_ghost=fwd_prog.ghost, **kwargs)
+    bwd_input_fields = None
+    if staged:
+        inter = set(op.backward_assignments.intermediate_fields)
+        seen, bwd_input_fields = set(), []
+        for p in bwd_progs:
+            for f in p.input_fields:
+                if f not in inter and f not in seen:
+                    seen.add(f)
+                    bwd_input_fields.append(f)
     return build_custom_vjp_from_programs(op, fwd_fn, bwd_full_fn,
                                           fwd_prog, bwd_prog,
-                                          bwd_masks_cotangents=True)
+                                          bwd_masks_cotangents=True,
+                                          bwd_input_fields=bwd_input_fields)

@@ -142,7 +142,16 @@ def test_jacobian_of_assignments():
 
 def test_diff_modes_symbolically_equivalent():
     """Both construction orders must yield the same adjoint operator —
-    the upstream tfmad equivalence contract (SURVEY.md §4)."""
+    the upstream tfmad equivalence contract (SURVEY.md §4).
+
+    TF_MAD is now a *structurally different* two-stage program
+    (materialised Jacobian fields evaluated in the forward frame + a
+    transposed gather); equivalence holds after inlining the stage-A
+    Jacobian definitions shifted to the gather's read offsets."""
+    from pystencils_autodiff_tpu.assignment import StagedAssignmentCollection
+    from pystencils_autodiff_tpu.autodiff import shift_expr
+    from pystencils_autodiff_tpu.field import Field
+
     x, y, k = fields("x, y, k", 2)
     fwd = [Assignment(y.center,
                       k[0, 0] * x[1, 0] + k[1, 0] * x[-1, 0] + x[0, 1] ** 2)]
@@ -150,8 +159,23 @@ def test_diff_modes_symbolically_equivalent():
                                     do_common_subexpression_elimination=False)
     b = create_backward_assignments(fwd, diff_mode=DiffModes.TF_MAD,
                                     do_common_subexpression_elimination=False)
+    # the variable-coefficient entries force a genuinely staged program
+    assert isinstance(b, StagedAssignmentCollection)
+    assert not isinstance(a, StagedAssignmentCollection)
+
+    jac_defs = {asm.lhs.field.name: asm.rhs
+                for st in b.stages[:-1] for asm in st.inlined_main_assignments()}
+    assert jac_defs  # stage A materialises at least one Jacobian field
+
+    def inline_jacs(expr):
+        rep = {acc: shift_expr(jac_defs[acc.field.name], acc.offsets)
+               for acc in expr.atoms(Field.Access)
+               if acc.field.name in jac_defs}
+        return expr.xreplace(rep)
+
     am = {asm.lhs: asm.rhs for asm in a.inlined_main_assignments()}
-    bm = {asm.lhs: asm.rhs for asm in b.inlined_main_assignments()}
+    bm = {asm.lhs: inline_jacs(asm.rhs)
+          for asm in b.inlined_main_assignments()}
     assert am.keys() == bm.keys()
     for lhs in am:
         assert sp.simplify(am[lhs] - bm[lhs]) == 0
