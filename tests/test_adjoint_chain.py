@@ -93,3 +93,23 @@ def test_lbm_adjoint_chain(periodic):
                                rtol=RTOL, atol=ATOL)
     np.testing.assert_allclose(cot0["f"], ref_cot["f"],
                                rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+@pytest.mark.parametrize("k", [1, 4])
+def test_linear_op_fast_path(k, periodic):
+    """Constant-coefficient heat: the backward program reads only adjoint
+    fields, so the chain takes the rolling-stage (linear) fast path — must
+    stay exact vs sequential jax.vjp."""
+    op = heat_step_op(dt=0.1, kappa_field=False, dtype="float64")
+    carry = {"u": "u_next"}
+    chain = fused_chain_vjp(op, k, carry, periodic=periodic,
+                            interpret=True, tile_rows=16)
+    state = {"u": rand(20, (48, 32))}
+    cots = {"u": rand(21, (48, 32))}
+    new_state, cot0 = chain(state, cots)
+    ref_state, ref_cot = _seq_vjp(op, carry, state, cots, k, periodic)
+    np.testing.assert_allclose(new_state["u"], ref_state["u"],
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(cot0["u"], ref_cot["u"],
+                               rtol=RTOL, atol=ATOL)
