@@ -24,6 +24,9 @@ __all__ = [
     "dirichlet",
     "neumann",
     "periodic",
+    "masked_dirichlet",
+    "masked_neumann",
+    "bounce_back",
     "BoundaryHandling",
 ]
 
@@ -92,7 +95,119 @@ def periodic(arr: jax.Array, ghost: GhostSpec,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Flagged-cell (masked) boundary conditions — the TPU-native analog of
+# pystencils' BoundaryHandling with boundary objects over flag arrays
+# (SURVEY.md §1 L1): obstacles of arbitrary shape inside the domain, not
+# just the ghost frame.  All fns are pure jnp (differentiable, jit/shard
+# compatible); masks are static-shaped boolean arrays over the spatial grid.
+
+
+def _expand_mask(mask: jax.Array, arr: jax.Array) -> jax.Array:
+    """Broadcast a spatial mask over trailing index dimensions of ``arr``."""
+    if arr.ndim > mask.ndim:
+        return mask.reshape(mask.shape + (1,) * (arr.ndim - mask.ndim))
+    return mask
+
+
+def masked_dirichlet(arr: jax.Array, mask, value=0.0) -> jax.Array:
+    """Flagged-cell Dirichlet: set ``arr`` to ``value`` wherever ``mask``.
+
+    ``value`` may be a scalar or an array broadcastable to ``arr``; the
+    adjoint (via JAX) zeroes cotangents inside the mask and, when ``value``
+    is a traced array, routes them to it — no custom rule needed.
+    """
+    mask = _expand_mask(jnp.asarray(mask, bool), arr)
+    return jnp.where(mask, jnp.asarray(value, arr.dtype), arr)
+
+
+def masked_neumann(arr: jax.Array, mask) -> jax.Array:
+    """Flagged cells take the mean of their un-flagged face neighbours
+    (zero normal gradient into the obstacle); cells with no fluid
+    neighbour (obstacle interior) are set to 0.
+
+    Neighbour gathering shifts do not wrap: contributions that would cross
+    the domain edge are dropped, so border-touching masks stay local (use
+    the frame BCs for true domain borders).
+    """
+    mask = jnp.asarray(mask, bool)
+    nd = mask.ndim
+    fluid = (~mask).astype(arr.dtype)
+    num = jnp.zeros_like(arr)
+    cnt = jnp.zeros(mask.shape, arr.dtype)
+
+    def shift_nowrap(x, s, d):
+        y = jnp.roll(x, -s, axis=d)
+        idx = [slice(None)] * x.ndim
+        idx[d] = slice(-s, None) if s > 0 else slice(0, -s)
+        return y.at[tuple(idx)].set(0)
+
+    for d in range(nd):
+        for s in (-1, 1):
+            nbr_fluid = shift_nowrap(fluid, s, d)
+            nbr_val = shift_nowrap(arr * _expand_mask(fluid, arr), s, d)
+            num = num + nbr_val * _expand_mask(nbr_fluid, arr)
+            cnt = cnt + nbr_fluid
+    filled = num / _expand_mask(jnp.maximum(cnt, 1), arr)
+    return jnp.where(_expand_mask(mask, arr), filled, arr)
+
+
+def bounce_back(f: jax.Array, solid, u_wall=None, rho_wall: float = 1.0,
+                velocities=None, weights=None) -> jax.Array:
+    """Half-way bounce-back (no-slip / moving wall) ghost-population
+    preparation for pull-scheme LBM steps (models.lbm.d2q9_bgk_op).
+
+    Writes, into every flagged (solid) cell ``s``, the population a
+    neighbouring fluid cell will pull on the next streaming step::
+
+        f_j(s) = f_jbar(s + c_j) + 6 w_j rho_wall (c_j . u_wall)
+
+    i.e. the population that left the fluid towards the wall comes back
+    reversed, plus the Ladd moving-wall momentum term (c_s^2 = 1/3).
+    Apply between steps (before each fused stream+collide); fluid cells
+    pass through unchanged.  Fully differentiable — the adjoint reverses
+    the copies and accumulates wall-velocity gradients, so
+    ``jax.grad(loss)(u_lid)`` works out of the box.
+
+    ``u_wall``: None (no-slip) or a tuple of per-axis wall velocities
+    (scalars or spatial arrays — e.g. the lid row carrying ``u_lid``).
+    ``velocities``/``weights`` default to the D2Q9 set.
+    """
+    if velocities is None:
+        from .models.lbm import D2Q9_VELOCITIES, D2Q9_WEIGHTS
+        velocities = D2Q9_VELOCITIES
+        if weights is None:
+            weights = [float(w) for w in D2Q9_WEIGHTS]
+    velocities = [tuple(int(c) for c in v) for v in velocities]
+    opposite = [velocities.index(tuple(-c for c in v)) for v in velocities]
+    solid = jnp.asarray(solid, bool)
+    nd = solid.ndim
+    if f.ndim != nd + 1 or f.shape[-1] != len(velocities):
+        raise ValueError(
+            f"f must be spatial+({len(velocities)},) for this velocity set; "
+            f"got {f.shape} with {nd}-D mask")
+    if u_wall is not None:
+        u_wall = tuple(jnp.asarray(u, f.dtype) for u in u_wall)
+        if len(u_wall) != nd:
+            raise ValueError(f"u_wall needs {nd} components, got {len(u_wall)}")
+
+    comps = []
+    for j, cj in enumerate(velocities):
+        ghost = jnp.roll(f[..., opposite[j]],
+                         shift=tuple(-c for c in cj), axis=tuple(range(nd)))
+        if u_wall is not None and any(cj):
+            cu = sum((c * u for c, u in zip(cj, u_wall) if c),
+                     jnp.asarray(0.0, f.dtype))
+            ghost = ghost + (6.0 * float(weights[j]) * rho_wall) * cu
+        comps.append(jnp.where(solid, ghost, f[..., j]))
+    return jnp.stack(comps, -1)
+
+
 _BC_FNS = {"dirichlet": dirichlet, "neumann": neumann, "periodic": periodic}
+# masked BCs take (arr, *args) — no ghost-frame spec
+_MASKED_BC_FNS = {"masked_dirichlet": masked_dirichlet,
+                  "masked_neumann": masked_neumann,
+                  "bounce_back": bounce_back}
 
 
 class BoundaryHandling:
@@ -102,13 +217,20 @@ class BoundaryHandling:
     (SURVEY.md §1 L1): specify a BC per field (and optionally per dim);
     call the instance on a state dict to get BC-applied arrays.
 
+    Frame BCs take the ghost spec implicitly; masked (flagged-cell) BCs
+    take their mask (and further args) in the spec tuple.
+
     Example::
 
         bh = BoundaryHandling(op, {"u": "neumann", "p": ("dirichlet", 0.0)})
+        bh = BoundaryHandling(op, {"f": ("bounce_back", solid, (u_lid, 0.0))})
         state = bh(state)
+
+    A spec may also be a *list* of specs applied in order (e.g. a frame
+    fill followed by obstacle bounce-back).
     """
 
-    def __init__(self, op_or_ghost, specs: Dict[str, Union[str, tuple]]):
+    def __init__(self, op_or_ghost, specs: Dict[str, Union[str, tuple, list]]):
         if hasattr(op_or_ghost, "forward_assignments"):
             coll = AssignmentCollection.normalize(op_or_ghost.forward_assignments)
             self.ghost = coll.ghost_layers()
@@ -116,19 +238,26 @@ class BoundaryHandling:
             self.ghost = tuple(op_or_ghost)
         self.specs = {}
         for name, spec in specs.items():
-            if isinstance(spec, str):
-                kind, args = spec, ()
-            else:
-                kind, *args = spec
-            if kind not in _BC_FNS:
-                raise ValueError(f"unknown BC {kind!r}; have {sorted(_BC_FNS)}")
-            self.specs[name] = (kind, tuple(args))
+            chain = spec if isinstance(spec, list) else [spec]
+            parsed = []
+            for s in chain:
+                if isinstance(s, str):
+                    kind, args = s, ()
+                else:
+                    kind, *args = s
+                if kind not in _BC_FNS and kind not in _MASKED_BC_FNS:
+                    raise ValueError(f"unknown BC {kind!r}; have "
+                                     f"{sorted(_BC_FNS) + sorted(_MASKED_BC_FNS)}")
+                parsed.append((kind, tuple(args)))
+            self.specs[name] = parsed
 
     def apply(self, name: str, arr: jax.Array) -> jax.Array:
-        if name not in self.specs:
-            return arr
-        kind, args = self.specs[name]
-        return _BC_FNS[kind](arr, self.ghost, *args)
+        for kind, args in self.specs.get(name, ()):
+            if kind in _MASKED_BC_FNS:
+                arr = _MASKED_BC_FNS[kind](arr, *args)
+            else:
+                arr = _BC_FNS[kind](arr, self.ghost, *args)
+        return arr
 
     def __call__(self, state: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         return {name: self.apply(name, arr) for name, arr in state.items()}
