@@ -1,0 +1,372 @@
+"""Heterogeneous fused chains: k cycles of a *sequence of different ops*
+(RK stages, multi-sweep elastic updates) in ONE Pallas kernel.
+
+``fused_time_chain`` (time_chain.py) amortizes HBM traffic by chaining one
+op k times; many time integrators are instead a fixed *cycle* of distinct
+stencil sweeps per step — SSP-RK3 runs three stages reading both the cycle
+start and the previous stage, a staggered elastic step runs a velocity
+sweep then a stress sweep.  ``fused_stage_chain`` fuses ``k`` full cycles
+of such a sequence into a single kernel: state planes are loaded once with
+a halo wide enough for every stage of every cycle
+(``k * Σ_s reach_s`` rows), the stages run back-to-back on shrinking
+extents, and the final state is written once.
+
+The in-kernel geometry generalizes time_chain._make_chain_kernel_fn: each
+stage consumes its own row reach from the running margin instead of one
+uniform (lo1, hi1) per step.  Domains of any rank run through the
+flattened-row layout (FlatGeom); periodic wrap is 2D-only, like the other
+chain kernels.  Index-component fields are split into scalar planes.
+
+Gradients are exact: the chain is a ``jax.custom_vjp`` whose backward
+recomputes the cycle sequence with the ordinary per-op custom_vjp steps
+and pulls back through them (recompute-from-checkpoint), so cotangents are
+bit-identical to sequential stepping.
+
+Reference anchor: pystencils/waLBerla run such sweep sequences as separate
+generated kernels per sweep with MPI halo exchanges between them
+(SURVEY.md §2.1 #13-15); fusing the sequence is the TPU-native upgrade.
+"""
+
+from __future__ import annotations
+
+import itertools as _it
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..field import Field
+from .common import StencilProgram, forward_program
+from .flatten import FlatGeom, pick_chain_tile
+
+__all__ = ["fused_stage_chain", "stage_stepper"]
+
+
+def stage_stepper(op, carry_map: Dict[str, str], lowering: str = "jnp",
+                  **kwargs):
+    """``step(state) -> state`` for ONE stage of a heterogeneous sequence.
+
+    Unlike ``timeloop.make_time_stepper`` the carry may target any *chain*
+    state field, not just this op's inputs (RK intermediates are written by
+    one stage and read by the next); unmapped state entries pass through.
+    """
+    f = op.jax_function(lowering=lowering, **kwargs)
+    in_names = [fl.name for fl in op.forward_input_fields]
+    out_names = [fl.name for fl in op.forward_output_fields]
+    for dst, src in carry_map.items():
+        if src not in out_names and src not in in_names:
+            raise ValueError(f"carry source {src!r} is neither output "
+                             f"({out_names}) nor input ({in_names})")
+
+    def step(state):
+        outs = f(**{n: state[n] for n in in_names})
+        if not isinstance(outs, tuple):
+            outs = (outs,)
+        env = {**state, **dict(zip(out_names, outs))}
+        new_state = dict(state)
+        for dst, src in carry_map.items():
+            new_state[dst] = env[src]
+        return new_state
+
+    step.input_names = in_names
+    step.output_names = out_names
+    return step
+
+
+def _components(f: Field) -> List[tuple]:
+    if f.index_shape:
+        return [tuple(c) for c in _it.product(*(range(s) for s in f.index_shape))]
+    return [()]
+
+
+def _validate_stages(stages) -> Tuple[List[StencilProgram], List[Dict[str, str]],
+                                      Dict[str, Field], List[str]]:
+    """Compile stage programs, check carry maps, resolve the state signature
+    (union of all stage inputs, first-seen order)."""
+    progs, carries = [], []
+    state_fields: Dict[str, Field] = {}
+    order: List[str] = []
+    for op, carry in stages:
+        prog = forward_program(op)
+        progs.append(prog)
+        carries.append(dict(carry))
+        for f in prog.input_fields:
+            if f.name not in state_fields:
+                state_fields[f.name] = f
+                order.append(f.name)
+            elif state_fields[f.name].index_shape != f.index_shape:
+                raise ValueError(
+                    f"field {f.name!r} has inconsistent index_shape across "
+                    f"stages: {state_fields[f.name].index_shape} vs {f.index_shape}")
+    for prog, carry in zip(progs, carries):
+        out_names = set(prog.output_names)
+        for dst, src in carry.items():
+            if dst not in state_fields:
+                raise ValueError(
+                    f"stage {prog.name}: carry target {dst!r} is not a state "
+                    f"field ({sorted(state_fields)})")
+            if src not in out_names and src not in state_fields:
+                raise ValueError(
+                    f"stage {prog.name}: carry source {src!r} is neither a "
+                    f"stage output ({sorted(out_names)}) nor a state field")
+            src_f = (next(f for f in prog.output_fields if f.name == src)
+                     if src in out_names else state_fields[src])
+            if src_f.index_shape != state_fields[dst].index_shape:
+                raise ValueError(
+                    f"stage {prog.name}: carry {dst!r} <- {src!r} mismatches "
+                    f"index_shape")
+    return progs, carries, state_fields, order
+
+
+def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
+                             carries: Sequence[Dict[str, str]],
+                             state_fields: Dict[str, Field],
+                             state_names: Sequence[str],
+                             k: int, spatial, dtype, interpret: bool,
+                             periodic: bool,
+                             tile_rows: Optional[int] = None,
+                             vmem_limit_bytes: int = 100 * 1024 * 1024):
+    from .pallas_kernel import _shift_lateral
+
+    nd = progs[0].ndim
+    if any(p.ndim != nd for p in progs):
+        raise ValueError("all stages must share the spatial rank")
+    if periodic and nd != 2:
+        raise ValueError("periodic fused chains support 2D domains only")
+    geom = FlatGeom(spatial)
+    rows, cols = geom.rows, geom.cols
+
+    reaches = []
+    for prog in progs:
+        acc = [at for s in prog.steps for at in s.atoms
+               if isinstance(at, Field.Access)]
+        reaches.append(geom.row_reach(acc))
+    lo_cyc = sum(lo for lo, _ in reaches)
+    hi_cyc = sum(hi for _, hi in reaches)
+    LO, HI = k * lo_cyc, k * hi_cyc
+
+    state_keys = [(n, idx) for n in state_names
+                  for idx in _components(state_fields[n])]
+
+    itemsize = jnp.dtype(dtype).itemsize
+    n_live = len(state_keys) * (len(progs) + 3) + 8
+    t = tile_rows or pick_chain_tile(rows, LO, HI,
+                                     cols * itemsize * n_live,
+                                     vmem_limit_bytes)
+    if t is None or rows % t or t < LO + HI:
+        raise ValueError(f"no viable tile for rows={rows}, halo={LO + HI}")
+    nb = rows // t
+
+    def fn(inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        arrays, ups, downs = [], [], []
+        for name, idx in state_keys:
+            arr = inputs[name].astype(dtype)
+            plane = arr[(Ellipsis,) + idx] if idx else arr
+            plane = plane.reshape((rows, cols))
+            arrays.append(plane)
+            xr = plane.reshape((nb, t, cols))
+            if LO:
+                if periodic:
+                    ups.append(jnp.roll(xr[:, t - LO:], 1, axis=0))
+                else:
+                    first = jnp.broadcast_to(xr[:1, :1], (1, LO, cols))
+                    ups.append(jnp.concatenate([first, xr[:-1, t - LO:]], 0))
+            if HI:
+                if periodic:
+                    downs.append(jnp.roll(xr[:, :HI], -1, axis=0))
+                else:
+                    last = jnp.broadcast_to(xr[-1:, -1:], (1, HI, cols))
+                    downs.append(jnp.concatenate([xr[1:, :HI], last], 0))
+        n_in = len(state_keys)
+        n_up, n_dn = len(ups), len(downs)
+
+        def kernel(*refs):
+            xs = refs[:n_in]
+            up_refs = refs[n_in:n_in + n_up]
+            dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
+            outs = refs[n_in + n_up + n_dn:]
+            i = pl.program_id(0)
+
+            state: Dict[tuple, jax.Array] = {}
+            for kk, key in enumerate(state_keys):
+                parts = []
+                if LO:
+                    parts.append(up_refs[kk][0])
+                parts.append(xs[kk][...])
+                if HI:
+                    parts.append(dn_refs[kk][0])
+                state[key] = (jnp.concatenate(parts, axis=0)
+                              if len(parts) > 1 else parts[0])
+
+            used_lo = used_hi = 0
+            for _cycle in range(k):
+                for prog, carry, (lo_s, hi_s) in zip(progs, carries, reaches):
+                    used_lo += lo_s
+                    used_hi += hi_s
+                    margin_lo = LO - used_lo
+                    ext_rows = t + margin_lo + (HI - used_hi)
+                    stage_out: Dict[tuple, jax.Array] = {}
+                    env: Dict[object, jax.Array] = {}
+
+                    def read(acc, _er=ext_rows, _lo=lo_s):
+                        v = state[(acc.field.name, acc.index)]
+                        start = _lo + geom.row_off(acc.offsets)
+                        v = jax.lax.slice_in_dim(v, start, start + _er, axis=0)
+                        return _shift_lateral(v, acc.offsets[-1], 1, False,
+                                              interpret, periodic)
+
+                    shape_s = (ext_rows, cols)
+                    for step_ in prog.steps:
+                        vals = [read(at) if isinstance(at, Field.Access)
+                                else env[at] for at in step_.atoms]
+                        res = jnp.broadcast_to(
+                            jnp.asarray(step_.fn(*vals), dtype), shape_s)
+                        if step_.is_main:
+                            stage_out[(step_.target.field.name,
+                                       step_.target.index)] = res
+                        else:
+                            env[step_.target] = res
+
+                    if not periodic:
+                        # match sequential semantics: each stage's output is
+                        # freshly allocated with a zero ghost frame (per-dim
+                        # interior test on the global flattened row; also
+                        # annihilates inner-dim crossing garbage)
+                        base = i * t - margin_lo
+                        r_ids = (jax.lax.broadcasted_iota(
+                            jnp.int32, shape_s, 0) + base)
+                        c_ids = jax.lax.broadcasted_iota(jnp.int32, shape_s, 1)
+                        m = ((r_ids >= 0) & (r_ids < rows)
+                             & geom.interior_mask(r_ids, c_ids, prog.ghost))
+                        stage_out = {key_: jnp.where(m, v, 0)
+                                     for key_, v in stage_out.items()}
+
+                    new_state = {}
+                    for name, idx in state_keys:
+                        src = carry.get(name, name)
+                        if (src, idx) in stage_out:
+                            new_state[(name, idx)] = stage_out[(src, idx)]
+                        else:
+                            v = state[(src, idx)]
+                            new_state[(name, idx)] = jax.lax.slice_in_dim(
+                                v, lo_s, lo_s + ext_rows, axis=0)
+                    state = new_state
+
+            for ref, key in zip(outs, state_keys):
+                ref[...] = state[key]
+
+        plane_spec = pl.BlockSpec((t, cols), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+
+        def strip_spec(shape):
+            return pl.BlockSpec((1,) + shape[1:], lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        result = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            out_shape=tuple(jax.ShapeDtypeStruct((rows, cols), dtype)
+                            for _ in state_keys),
+            in_specs=[plane_spec] * n_in + [strip_spec(u.shape) for u in ups]
+            + [strip_spec(d.shape) for d in downs],
+            out_specs=tuple(plane_spec for _ in state_keys),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_bytes),
+        )(*arrays, *ups, *downs)
+        if not isinstance(result, (tuple, list)):
+            result = (result,)
+
+        outputs: Dict[str, jax.Array] = {}
+        pos = 0
+        for n in state_names:
+            f = state_fields[n]
+            comps = _components(f)
+            planes = [result[pos + j] for j in range(len(comps))]
+            pos += len(comps)
+            if f.index_shape:
+                outputs[n] = jnp.stack(planes, -1).reshape(
+                    tuple(spatial) + f.index_shape)
+            else:
+                outputs[n] = planes[0].reshape(tuple(spatial))
+        return outputs
+
+    return fn
+
+
+def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
+                      k: int = 1, periodic: bool = False,
+                      interpret: Optional[bool] = None,
+                      tile_rows: Optional[int] = None, dtype=None):
+    """``chain(state: dict) -> state`` advancing ``k`` full cycles of the
+    stage sequence in ONE kernel.
+
+    ``stages``: sequence of ``(op, carry_map)`` — each op an ``AutoDiffOp``
+    sweep, each carry map sending state-field names to that stage's output
+    (or another state field) exactly as in ``make_time_stepper``.  The state
+    signature is the union of all stage inputs; fields a later stage
+    introduces (e.g. RK intermediates) must be present in the initial state
+    (zeros are fine — they are overwritten before any stage reads them if
+    the cycle is well-formed).
+
+    Gradients are exact via sequential recompute of the per-op custom_vjp
+    steps in the backward rule.
+    """
+    from .pallas_kernel import _on_tpu
+
+    stages = [(op, dict(carry)) for op, carry in stages]
+    if not stages:
+        raise ValueError("no stages")
+    progs, carries, state_fields, state_names = _validate_stages(stages)
+
+    seq_steps = [stage_stepper(op, carry, lowering="pallas",
+                               periodic=periodic,
+                               **({"interpret": interpret}
+                                  if interpret is not None else {}))
+                 for op, carry in stages]
+
+    def sequential(state):
+        for _ in range(k):
+            for step in seq_steps:
+                state = step(state)
+        return {n: state[n] for n in state_names}
+
+    kernel_cache = {}
+
+    def fused_fwd(state):
+        f0 = state_fields[state_names[0]]
+        arr0 = state[state_names[0]]
+        spatial = tuple(arr0.shape[: f0.spatial_dimensions])
+        key = (spatial, str(arr0.dtype))
+        if key not in kernel_cache:
+            interp = interpret if interpret is not None else not _on_tpu()
+            kernel_cache[key] = _make_stage_chain_kernel(
+                progs, carries, state_fields, state_names, k, spatial,
+                dtype or arr0.dtype, interp, periodic, tile_rows=tile_rows)
+        return kernel_cache[key]({n: state[n] for n in state_names})
+
+    @jax.custom_vjp
+    def chain(state):
+        return fused_fwd(state)
+
+    def fwd_rule(state):
+        return fused_fwd(state), {n: state[n] for n in state_names}
+
+    def _cast(tree):
+        if dtype is None:
+            return tree
+        return jax.tree.map(lambda v: v.astype(dtype), tree)
+
+    def bwd_rule(saved, cot):
+        _, pullback = jax.vjp(sequential, _cast(saved))
+        (grads,) = pullback(_cast(cot))
+        return (grads,)
+
+    chain.defvjp(fwd_rule, bwd_rule)
+    chain.input_names = list(state_names)
+    chain.k = k
+    chain.n_stages = len(stages)
+    return chain

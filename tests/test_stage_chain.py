@@ -1,0 +1,135 @@
+"""Heterogeneous fused chains (ops.fused_stage_chain): k cycles of a
+sequence of different ops in one kernel must match sequential per-op
+stepping bit-exactly — state AND gradients (VERDICT round 1, next #8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pystencils_autodiff_tpu.models.advection import weno5_rk3_stages
+from pystencils_autodiff_tpu.models.elastic import (elastic_stress_op,
+                                                    elastic_velocity_op)
+from pystencils_autodiff_tpu.ops.stage_chain import (fused_stage_chain,
+                                                     stage_stepper)
+
+RTOL, ATOL = 1e-12, 1e-12
+
+
+def rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype=jnp.float64)
+
+
+def _sequential(stages, state, k, periodic):
+    steps = [stage_stepper(op, carry, periodic=periodic)
+             for op, carry in stages]
+
+    def run(st):
+        for _ in range(k):
+            for step in steps:
+                st = step(st)
+        return {n: st[n] for n in state}
+
+    return run
+
+
+def elastic_stages(dtype="float64"):
+    vel = elastic_velocity_op(dt=0.01, dtype=dtype)
+    stress = elastic_stress_op(dt=0.01, dtype=dtype)
+    return [
+        (vel, {"vx": "vx_next", "vy": "vy_next"}),
+        (stress, {"sxx": "sxx_next", "syy": "syy_next", "sxy": "sxy_next"}),
+    ]
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+@pytest.mark.parametrize("k", [1, 3])
+def test_elastic_two_sweep_chain(k, periodic):
+    """Velocity then stress sweep, k cycles fused: bit-exact state."""
+    stages = elastic_stages()
+    chain = fused_stage_chain(stages, k, periodic=periodic,
+                              interpret=True, tile_rows=16)
+    state = {n: rand(i, (48, 32))
+             for i, n in enumerate(["vx", "vy", "sxx", "syy", "sxy"])}
+    out = chain(state)
+    ref = _sequential(stages, state, k, periodic)(state)
+    for n in state:
+        np.testing.assert_allclose(out[n], ref[n], rtol=RTOL, atol=ATOL,
+                                   err_msg=f"state {n}")
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_elastic_chain_gradients_exact(periodic):
+    """Cotangents through the fused chain == sequential jax.vjp."""
+    stages = elastic_stages()
+    k = 2
+    chain = fused_stage_chain(stages, k, periodic=periodic,
+                              interpret=True, tile_rows=16)
+    state = {n: rand(10 + i, (32, 32))
+             for i, n in enumerate(["vx", "vy", "sxx", "syy", "sxy"])}
+    cots = {n: rand(20 + i, (32, 32))
+            for i, n in enumerate(["vx", "vy", "sxx", "syy", "sxy"])}
+
+    out, pull = jax.vjp(chain, state)
+    (grads,) = pull(cots)
+    ref_run = _sequential(stages, state, k, periodic)
+    ref_out, ref_pull = jax.vjp(ref_run, state)
+    (ref_grads,) = ref_pull(cots)
+    for n in state:
+        np.testing.assert_allclose(out[n], ref_out[n], rtol=RTOL, atol=ATOL)
+        np.testing.assert_allclose(grads[n], ref_grads[n],
+                                   rtol=RTOL, atol=ATOL, err_msg=f"grad {n}")
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+@pytest.mark.parametrize("k", [1, 2])
+def test_weno5_rk3_chain(k, periodic):
+    """Three SSP-RK3 WENO5 stages per cycle (nonlinear, ghost width 3):
+    fused k cycles bit-exact vs sequential, including RK intermediates."""
+    stages, names = weno5_rk3_stages(a=1.0, dt=0.3, dx=1.0, ndim=2)
+    chain = fused_stage_chain(stages, k, periodic=periodic,
+                              interpret=True, tile_rows=16)
+    u0 = jnp.sin(2 * jnp.pi * jnp.arange(64) / 64)[None, :] * jnp.ones((48, 1))
+    u0 = u0 + 0.1 * rand(0, (48, 64))
+    state = {"u": u0, "u_s1": jnp.zeros_like(u0), "u_s2": jnp.zeros_like(u0)}
+    out = chain(state)
+    ref = _sequential(stages, state, k, periodic)(state)
+    for n in names:
+        np.testing.assert_allclose(out[n], ref[n], rtol=1e-11, atol=1e-11,
+                                   err_msg=f"state {n}")
+
+
+def test_weno5_rk3_gradient():
+    """Gradient of a loss on the advected field w.r.t. the initial
+    condition through the fused RK3 chain == sequential jax.grad."""
+    stages, names = weno5_rk3_stages(a=1.0, dt=0.3, dx=1.0, ndim=2)
+    k = 2
+    chain = fused_stage_chain(stages, k, periodic=True,
+                              interpret=True, tile_rows=16)
+    u0 = 0.3 * rand(5, (32, 32))
+    zeros = jnp.zeros_like(u0)
+
+    def loss_fused(u):
+        out = chain({"u": u, "u_s1": zeros, "u_s2": zeros})
+        return jnp.sum(out["u"] ** 2)
+
+    seq = _sequential(stages, {"u": u0, "u_s1": zeros, "u_s2": zeros},
+                      k, True)
+
+    def loss_seq(u):
+        return jnp.sum(seq({"u": u, "u_s1": zeros, "u_s2": zeros})["u"] ** 2)
+
+    g_f = jax.grad(loss_fused)(u0)
+    g_s = jax.grad(loss_seq)(u0)
+    np.testing.assert_allclose(g_f, g_s, rtol=1e-11, atol=1e-11)
+
+
+def test_stage_chain_validation():
+    stages = elastic_stages()
+    with pytest.raises(ValueError, match="carry source"):
+        fused_stage_chain([(stages[0][0], {"vx": "nope"})], 1, interpret=True)
+    with pytest.raises(ValueError, match="carry target"):
+        fused_stage_chain([(stages[0][0], {"zz": "vx_next"})], 1,
+                          interpret=True)
+    with pytest.raises(ValueError, match="no stages"):
+        fused_stage_chain([], 1)
