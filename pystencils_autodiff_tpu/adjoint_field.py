@@ -32,6 +32,10 @@ class AdjointField(Field):
             origin=forward_field.origin,
             field_type=forward_field.field_type,
         )
+        # layout above is the spatial permutation only; the index-dim
+        # placement (SoA) must carry over too so gradients come back in the
+        # primal's storage layout
+        self.index_major = getattr(forward_field, "index_major", False)
         self.corresponding_forward_field = forward_field
         self.diff_prefix = diff_prefix
         self.latex_name = r"\hat{%s}" % forward_field.name

@@ -227,6 +227,63 @@ def get_jacobian_of_assignments(assignments: AssignmentsLike,
     return rhs.jacobian(sp.Matrix(list(diff_variables)))
 
 
+def _layout_transpose_axes(f, to_storage: bool):
+    """Transpose axes mapping a field's runtime array between its storage
+    spatial order (``f.layout``, outer→inner loop order) and logical order,
+    accounting for index-dim placement.  None when already row-major."""
+    import numpy as np
+
+    sd = f.spatial_dimensions
+    perm = f.layout
+    if perm == tuple(range(sd)):
+        return None
+    sp = perm if to_storage else tuple(int(i) for i in np.argsort(perm))
+    ni = f.index_dimensions
+    if getattr(f, "index_major", False):
+        return tuple(range(ni)) + tuple(ni + i for i in sp)
+    return tuple(sp) + tuple(sd + i for i in range(ni))
+
+
+def _wrap_layout_permutations(op, fn):
+    """Honour non-row-major spatial layouts at the jax_function boundary:
+    permute inputs storage→logical, outputs logical→storage.  The transposes
+    sit OUTSIDE the custom_vjp, so JAX transposes them in the backward pass
+    and gradients come back in each input's storage layout."""
+    import jax.numpy as jnp
+
+    in_fields = list(op.forward_input_fields)
+    out_fields = list(op.forward_output_fields)
+    by_name = {f.name: f for f in in_fields}
+
+    def to_logical(f, a):
+        axes = _layout_transpose_axes(f, to_storage=False)
+        return a if axes is None else jnp.transpose(a, axes)
+
+    def to_storage(f, a):
+        axes = _layout_transpose_axes(f, to_storage=True)
+        return a if axes is None else jnp.transpose(a, axes)
+
+    def wrapped(*arrays, **kw_arrays):
+        if kw_arrays:
+            conv = {n: (to_logical(by_name[n], a) if n in by_name else a)
+                    for n, a in kw_arrays.items()}
+            res = fn(*arrays, **conv)
+        else:
+            if len(arrays) != len(in_fields):
+                return fn(*arrays)  # let fn raise its arity error
+            res = fn(*(to_logical(f, a) for f, a in zip(in_fields, arrays)))
+        if isinstance(res, tuple):
+            return tuple(to_storage(f, r) for f, r in zip(out_fields, res))
+        return to_storage(out_fields[0], res)
+
+    for attr in ("input_names", "output_names", "op", "forward_program",
+                 "backward_program"):
+        if hasattr(fn, attr):
+            setattr(wrapped, attr, getattr(fn, attr))
+    wrapped.__name__ = getattr(fn, "__name__", op.op_name)
+    return wrapped
+
+
 class AutoDiffOp:
     """Forward stencil + symbolically derived adjoint, with lowering hooks.
 
@@ -335,12 +392,25 @@ class AutoDiffOp:
         ``create_tensorflow_op`` native paths (SURVEY.md §2.2).
 
         ``config``: optional ``utils.LoweringConfig`` bundling the knobs
-        (strategy, tile_rows, interpret, dtype, periodic via kwargs)."""
+        (strategy, tile_rows, interpret, dtype, periodic via kwargs).
+
+        Fields with a non-row-major spatial ``layout`` ('f' or a custom
+        permutation) are honoured here: their runtime arrays are permuted
+        storage→logical at entry and back at exit (a jnp.transpose XLA
+        usually fuses; reference parity with pystencils' stride-aware
+        kernels, SURVEY.md §2.1 #8).  Index-dim placement ('soa') needs no
+        wrapper — the lowerings slice component planes natively."""
         from .ops import build_custom_vjp
         if config is not None:
             lowering = config.lowering
             kwargs = {**config.kwargs(), **kwargs}
-        return build_custom_vjp(self, lowering=lowering, **kwargs)
+        fn = build_custom_vjp(self, lowering=lowering, **kwargs)
+        perms = {f.name: f for f in (self.forward_input_fields
+                                     + self.forward_output_fields)
+                 if f.layout != tuple(range(f.spatial_dimensions))}
+        if not perms:
+            return fn
+        return _wrap_layout_permutations(self, fn)
 
     # -- framework bridges (parity with reference backends, SURVEY.md §2.1) --
 

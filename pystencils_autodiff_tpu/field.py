@@ -27,7 +27,8 @@ from typing import Optional, Sequence, Tuple, Union
 import numpy as np
 import sympy as sp
 
-__all__ = ["Field", "FieldType", "fields", "spatial_dims_of", "layout_string"]
+__all__ = ["Field", "FieldType", "fields", "spatial_dims_of", "layout_string",
+           "parse_layout"]
 
 
 class FieldType(Enum):
@@ -46,18 +47,36 @@ def layout_string(layout: Union[str, Sequence[int]], ndim: int) -> Tuple[int, ..
     """Normalise a layout spec to a permutation tuple (loop order, outer→inner).
 
     'c'/'numpy' → row-major (0, 1, ..., ndim-1); 'f'/'fortran' → reversed.
+    'soa'/'aos' fix the *index-dim* placement (structure-of-arrays stores
+    component planes contiguously: index dims lead) and keep row-major
+    spatial order — the index placement itself is returned separately by
+    :func:`parse_layout`.
+    """
+    perm, _ = parse_layout(layout, ndim)
+    return perm
+
+
+def parse_layout(layout: Union[str, Sequence[int]], ndim: int):
+    """(spatial permutation, index_major) of a layout spec.
+
+    ``index_major=True`` ("soa") stores index dims LEADING — runtime arrays
+    are ``index_shape + spatial`` so component planes are contiguous slices
+    (the lowering-friendly layout for many-component fields like D2Q9);
+    default AoS stores them trailing.
     """
     if isinstance(layout, str):
         low = layout.lower()
-        if low in ("c", "numpy", "row"):
-            return tuple(range(ndim))
+        if low in ("c", "numpy", "row", "aos"):
+            return tuple(range(ndim)), False
         if low in ("f", "fortran", "col", "reverse_numpy"):
-            return tuple(reversed(range(ndim)))
+            return tuple(reversed(range(ndim))), False
+        if low == "soa":
+            return tuple(range(ndim)), True
         raise ValueError(f"unknown layout {layout!r}")
     perm = tuple(int(i) for i in layout)
     if sorted(perm) != list(range(ndim)):
         raise ValueError(f"layout {perm} is not a permutation of 0..{ndim-1}")
-    return perm
+    return perm, False
 
 
 _OFFSET_RE = re.compile(r"^-?\d+$")
@@ -85,7 +104,9 @@ class Field:
         differ, e.g. f32 on TPU with f64 CPU oracle).
     layout:
         Loop/memory order of spatial dims, 'c' (default) or 'f' or a
-        permutation tuple.
+        permutation tuple; 'soa' stores index dims LEADING (runtime arrays
+        are ``index_shape + spatial`` — contiguous component planes), the
+        default ('aos') trailing.
     origin:
         Per-spatial-dim offset of sample locations in cell units; (0,)*d for
         cell-centred fields, e.g. (0.5, 0) for an x-face staggered field.
@@ -107,7 +128,10 @@ class Field:
         self.spatial_dimensions = int(spatial_dimensions)
         self.index_shape = tuple(int(s) for s in index_shape)
         self.dtype = _canonical_dtype(dtype)
-        self.layout = layout_string(layout, self.spatial_dimensions)
+        self.layout, self.index_major = parse_layout(layout,
+                                                     self.spatial_dimensions)
+        if self.index_major and not self.index_shape:
+            self.index_major = False  # 'soa' on a scalar field is a no-op
         if origin is None:
             origin = (0.0,) * self.spatial_dimensions
         if len(origin) != self.spatial_dimensions:
@@ -164,19 +188,31 @@ class Field:
         return Field.Access(self, (0,) * self.spatial_dimensions, ())
 
     def __getitem__(self, offsets) -> "Field.Access":
+        """Access at integer *storage* offsets — or, per dim, a fractional
+        *physical* offset that resolves against this field's staggering
+        origin (SURVEY.md hard-part #6): ``vx[0.5, 0]`` on a field with
+        ``origin=(0.5, 0)`` is storage offset ``(0, 0)``; on a cell-centred
+        field it is rejected because no sample exists there.  Integer
+        components always mean storage offsets (the established staggered
+        convention of the model library)."""
         if not isinstance(offsets, tuple):
             offsets = (offsets,)
         if len(offsets) != self.spatial_dimensions:
             raise ValueError(
                 f"{self.name}: expected {self.spatial_dimensions} offsets, got {len(offsets)}")
         offs = []
-        for o in offsets:
+        for d, o in enumerate(offsets):
             oi = int(o)
-            if oi != o:
+            if oi == o:
+                offs.append(oi)
+                continue
+            st = float(o) - self.origin[d]
+            if st != int(st):
                 raise ValueError(
-                    f"non-integer offset {o}; represent staggering via Field origin "
-                    f"(SURVEY.md hard-part #6), not half-integer accesses")
-            offs.append(oi)
+                    f"{self.name}[{offsets}]: physical offset {o} in dim {d} "
+                    f"does not land on this field's grid (origin "
+                    f"{self.origin[d]}); samples exist at origin + integers")
+            offs.append(int(st))
         return Field.Access(self, tuple(offs), ())
 
     def __call__(self, *index) -> "Field.Access":
@@ -204,6 +240,7 @@ class Field:
             self.index_shape,
             str(self.dtype),
             self.layout,
+            self.index_major,
             self.origin,
         )
 
@@ -272,6 +309,18 @@ class Field:
         def __getnewargs_ex__(self):
             return ((self.field, self.offsets, self.index), {})
 
+        def _hashable_content(self):
+            # Distinguish same-named accesses of *different* fields in
+            # sympy's eyes.  The instance cache above dedups per
+            # fingerprint, but sympy's global operation cache (cacheit on
+            # Add/Mul/...) compares by _hashable_content — name alone would
+            # hand an expression built for an earlier same-named field
+            # (e.g. layout 'c') to a later one (layout 'f'), silently
+            # retargeting every atom inside it (round-2 layout bug; round-1
+            # advisor finding was the same disease in the instance cache).
+            return (sp.Symbol._hashable_content(self)
+                    + (self.field._fingerprint(),))
+
         def __call__(self, *index):
             if self.index:
                 raise ValueError("index components already specified")
@@ -280,6 +329,13 @@ class Field:
         @property
         def is_center(self) -> bool:
             return all(o == 0 for o in self.offsets)
+
+        @property
+        def physical_position(self) -> Tuple[float, ...]:
+            """Sample position in physical cell units: storage offset plus
+            the field's staggering origin."""
+            return tuple(o + og for o, og
+                         in zip(self.offsets, self.field.origin))
 
         def shifted(self, shift: Sequence[int]) -> "Field.Access":
             """Return this access translated by ``shift`` (used by the adjoint

@@ -32,15 +32,19 @@ D2Q9_WEIGHTS = [_w0, _ws, _ws, _ws, _ws, _wd, _wd, _wd, _wd]
 
 
 def d2q9_bgk_op(omega: float = 1.7, dtype="float64",
-                compressible: bool = True) -> AutoDiffOp:
+                compressible: bool = True, layout: str = "aos") -> AutoDiffOp:
     """Fused stream+collide BGK step: ``f_out = op(f)``.
 
     ``f`` is a 2D field with index_shape (9,).  Ghost layers are (1,1) per
     dim (the streaming pull); apply periodic/bounce-back boundary fills
     between steps via boundary.py.
+
+    ``layout="soa"`` stores the distribution component-major — runtime
+    arrays are ``(9, H, W)`` and every lowering/chain slices contiguous
+    planes instead of 9-stride gathers (the fast layout for time loops).
     """
-    f = Field("f", 2, index_shape=(9,), dtype=dtype)
-    f_out = Field("f_out", 2, index_shape=(9,), dtype=dtype)
+    f = Field("f", 2, index_shape=(9,), dtype=dtype, layout=layout)
+    f_out = Field("f_out", 2, index_shape=(9,), dtype=dtype, layout=layout)
 
     # streaming reads: component i pulled from x - c_i
     f_in = [f[(-cx, -cy)](i) for i, (cx, cy) in enumerate(D2Q9_VELOCITIES)]
@@ -68,11 +72,14 @@ def d2q9_bgk_op(omega: float = 1.7, dtype="float64",
                       op_name="d2q9_bgk")
 
 
-def macroscopic(f_arr):
-    """Density and velocity fields from a (H, W, 9) distribution array."""
+def macroscopic(f_arr, layout: str = "aos"):
+    """Density and velocity fields from a distribution array — ``(H, W, 9)``
+    for the default AoS layout, ``(9, H, W)`` for ``layout="soa"``."""
     import jax.numpy as jnp
 
-    rho = jnp.sum(f_arr, axis=-1)
-    ux = sum(c[0] * f_arr[..., i] for i, c in enumerate(D2Q9_VELOCITIES)) / rho
-    uy = sum(c[1] * f_arr[..., i] for i, c in enumerate(D2Q9_VELOCITIES)) / rho
+    axis = 0 if layout == "soa" else -1
+    comp = (lambda i: f_arr[i]) if layout == "soa" else (lambda i: f_arr[..., i])
+    rho = jnp.sum(f_arr, axis=axis)
+    ux = sum(c[0] * comp(i) for i, c in enumerate(D2Q9_VELOCITIES)) / rho
+    uy = sum(c[1] * comp(i) for i, c in enumerate(D2Q9_VELOCITIES)) / rho
     return rho, ux, uy

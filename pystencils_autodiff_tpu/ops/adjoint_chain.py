@@ -28,7 +28,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..adjoint_field import AdjointField
 from ..field import Field
-from .common import StencilProgram, backward_program, forward_program
+from .common import (StencilProgram, assemble_planes, backward_program,
+                     forward_program, plane_view, require_row_major,
+                     storage_spatial)
 
 __all__ = ["fused_chain_vjp", "transposed_linear_op"]
 
@@ -77,14 +79,15 @@ def transposed_linear_op(op, carry_map: Dict[str, str]):
             pass_to[src].append(n)
 
     fwd_in = {f.name: f for f in op.forward_input_fields}
-    cot_field = {m: Field(f"cot_{m}", f.spatial_dimensions,
-                          index_shape=f.index_shape, dtype=f.dtype,
-                          layout=f.layout)
-                 for m, f in fwd_in.items()}
-    cot_out_field = {m: Field(f"cot_{m}_out", f.spatial_dimensions,
-                              index_shape=f.index_shape, dtype=f.dtype,
-                              layout=f.layout)
-                     for m, f in fwd_in.items()}
+
+    def _like(name, f):
+        nf = Field(name, f.spatial_dimensions, index_shape=f.index_shape,
+                   dtype=f.dtype, layout=f.layout)
+        nf.index_major = getattr(f, "index_major", False)  # 'soa' carry-over
+        return nf
+
+    cot_field = {m: _like(f"cot_{m}", f) for m, f in fwd_in.items()}
+    cot_out_field = {m: _like(f"cot_{m}_out", f) for m, f in fwd_in.items()}
 
     def substituted(expr):
         mapping = {}
@@ -227,6 +230,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
     bwd_in_fields = bwd_prog.input_fields
     grad_of = {f.name: f.corresponding_forward_field.name
                for f in op.backward_output_fields}
+    require_row_major(op.forward_input_fields, "fused_chain_vjp")
 
     # ---- linear twin-chain fast path --------------------------------------
     # Linear op + periodic domain + no probes: the k-step VJP is (Aᵀ)ᵏ, so
@@ -295,8 +299,8 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
             for kind, (name, idx) in all_in:
                 is_cot = kind == "c"
                 arr = (cots[name] if is_cot else state[name]).astype(dtype)
-                plane = arr[(Ellipsis,) + idx] if idx else arr
-                plane = plane.reshape((rows, cols))
+                plane = plane_view(fields_by_name[name], arr, idx).reshape(
+                    (rows, cols))
                 arrays.append(plane)
                 xr = plane.reshape((nb, t, cols))
                 if LO:
@@ -551,11 +555,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                     comps = _components(f)
                     planes = [planes_flat[pos + j] for j in range(len(comps))]
                     pos += len(comps)
-                    if f.index_shape:
-                        out[f.name] = jnp.stack(planes, -1).reshape(
-                            tuple(spatial) + f.index_shape)
-                    else:
-                        out[f.name] = planes[0].reshape(tuple(spatial))
+                    out[f.name] = assemble_planes(f, planes, spatial)
                 return out
 
             new_state = restack(result, 0)
@@ -569,7 +569,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
     def chain_grad(state, cot_state, probe_cots=()):
         f0 = op.forward_input_fields[0]
         arr0 = state[in_names[0]]
-        spatial = tuple(arr0.shape[: f0.spatial_dimensions])
+        spatial = storage_spatial(f0, arr0)
         key = (spatial, str(arr0.dtype))
         if key not in cache:
             interp = interpret if interpret is not None else not _on_tpu()

@@ -18,27 +18,27 @@ import jax
 import jax.numpy as jnp
 
 from ..field import Field
-from .common import StencilProgram, is_adjoint
+from .common import (StencilProgram, assemble_planes, field_components,
+                     is_adjoint, plane_view, spatial_index, storage_spatial)
 
 __all__ = ["make_jnp_stencil", "evaluate_program"]
 
 
 def _spatial_shape(program: StencilProgram, inputs: Dict[str, jax.Array]) -> Tuple[int, ...]:
     for f in program.input_fields:
-        arr = inputs[f.name]
-        return tuple(arr.shape[: f.spatial_dimensions])
+        return storage_spatial(f, inputs[f.name])
     raise ValueError("program has no inputs")
 
 
 def _access_view(program: StencilProgram, arrays: Dict[str, jax.Array], acc) -> jax.Array:
     sl = program.interior_slices(acc.offsets)
-    view = arrays[acc.field.name][sl]
+    arr = arrays[acc.field.name]
     if acc.index:
-        view = view[(Ellipsis,) + tuple(acc.index)]
+        arr = plane_view(acc.field, arr, tuple(acc.index))
     elif acc.field.index_dimensions:
         # whole-component read of an index field without component selection
         raise ValueError(f"access {acc} to index field must select components")
-    return view
+    return arr[sl]
 
 
 def evaluate_program(
@@ -46,16 +46,12 @@ def evaluate_program(
     arrays: Dict[str, jax.Array],
     interior_shape: Tuple[int, ...],
     dtype,
-) -> Dict[str, jax.Array]:
-    """Run the step list on interior-shaped views; returns per-(field)
-    interior value arrays keyed by output field name (with index dims)."""
+) -> Dict[str, Dict[tuple, jax.Array]]:
+    """Run the step list on interior-shaped views; returns per-component
+    interior planes keyed by output field name then index tuple."""
     env: Dict[object, jax.Array] = {}
-    out_vals: Dict[str, jax.Array] = {}
-    for f in program.output_fields:
-        if f.index_shape:
-            out_vals[f.name] = jnp.zeros(interior_shape + f.index_shape, dtype)
-        else:
-            out_vals[f.name] = jnp.zeros(interior_shape, dtype)
+    out_vals: Dict[str, Dict[tuple, jax.Array]] = {
+        f.name: {} for f in program.output_fields}
 
     for step in program.steps:
         vals = []
@@ -67,15 +63,18 @@ def evaluate_program(
         res = step.fn(*vals)
         res = jnp.broadcast_to(jnp.asarray(res, dtype), interior_shape)
         if step.is_main:
-            tgt = step.target
-            name = tgt.field.name
-            if tgt.index:
-                out_vals[name] = out_vals[name].at[(Ellipsis,) + tuple(tgt.index)].set(res)
-            else:
-                out_vals[name] = res
+            out_vals[step.target.field.name][tuple(step.target.index)] = res
         else:
             env[step.target] = res
     return out_vals
+
+
+def _spatial_pads(f: Field, ghost) -> tuple:
+    """jnp.pad spec padding the spatial dims of a storage-layout array."""
+    idx_pads = ((0, 0),) * f.index_dimensions
+    if getattr(f, "index_major", False):
+        return idx_pads + tuple(ghost)
+    return tuple(ghost) + idx_pads
 
 
 def _pad_input(f: Field, arr: jax.Array, ghost) -> jax.Array:
@@ -83,9 +82,8 @@ def _pad_input(f: Field, arr: jax.Array, ghost) -> jax.Array:
     (mathematically required — no contributions from outside the domain);
     primal fields edge-replicate so e.g. divisions by a coefficient stay
     finite (the padded values are always multiplied by a zero adjoint)."""
-    pads = tuple(ghost) + ((0, 0),) * f.index_dimensions
     mode = "constant" if is_adjoint(f) else "edge"
-    return jnp.pad(arr, pads, mode=mode)
+    return jnp.pad(arr, _spatial_pads(f, ghost), mode=mode)
 
 
 def _mask_adjoint_inputs(program, inputs, ghost_spec):
@@ -95,11 +93,11 @@ def _mask_adjoint_inputs(program, inputs, ghost_spec):
     for f in program.input_fields:
         if is_adjoint(f):
             arr = inputs[f.name]
-            nd = program.ndim
-            sl = tuple(slice(lo, arr.shape[d] - hi)
-                       for d, (lo, hi) in enumerate(ghost_spec))
-            pads = tuple(ghost_spec) + ((0, 0),) * (arr.ndim - nd)
-            out[f.name] = jnp.pad(arr[sl + (Ellipsis,)], pads)
+            spatial = storage_spatial(f, arr)
+            sl = tuple(slice(lo, s - hi)
+                       for s, (lo, hi) in zip(spatial, ghost_spec))
+            out[f.name] = jnp.pad(arr[spatial_index(f, sl)],
+                                  _spatial_pads(f, ghost_spec))
     return out
 
 
@@ -117,7 +115,7 @@ def _evaluate_periodic(program: StencilProgram, inputs, dtype):
     def read(acc):
         arr = inputs[acc.field.name]
         if acc.index:
-            arr = arr[(Ellipsis,) + tuple(acc.index)]
+            arr = plane_view(acc.field, arr, tuple(acc.index))
         elif acc.field.index_dimensions:
             raise ValueError(f"access {acc} to index field must select components")
         shifts = tuple(-o for o in acc.offsets)
@@ -137,15 +135,9 @@ def _evaluate_periodic(program: StencilProgram, inputs, dtype):
     outputs: Dict[str, jax.Array] = {}
     for f in program.output_fields:
         comps = out_vals[f.name]
-        if f.index_shape:
-            import itertools
-
-            zeros = jnp.zeros(shape, dtype)
-            planes = [comps.get(idx, zeros) for idx in
-                      itertools.product(*(range(s) for s in f.index_shape))]
-            val = jnp.stack(planes, -1).reshape(shape + f.index_shape)
-        else:
-            val = comps[()]
+        zeros = jnp.zeros(shape, dtype)
+        val = assemble_planes(f, [comps.get(idx, zeros)
+                                  for idx in field_components(f)], shape)
         if f in program.accum_fields and f.name in inputs:
             val = val + inputs[f.name]
         outputs[f.name] = val
@@ -187,22 +179,29 @@ def make_jnp_stencil(program: StencilProgram, full_domain: bool = False,
         vals = evaluate_program(program, arrays, interior, out_dtype)
 
         outputs: Dict[str, jax.Array] = {}
+        spatial = _spatial_shape(program, inputs)
+        zeros_int = jnp.zeros(interior, out_dtype)
         for f in program.output_fields:
-            val = vals[f.name]
+            comps = vals[f.name]
             accum = f in program.accum_fields
             if full_domain:
+                val = assemble_planes(
+                    f, [comps.get(idx, zeros_int)
+                        for idx in field_components(f)], interior)
                 if accum:
                     prev = inputs.get(f.name)
                     outputs[f.name] = val if prev is None else prev + val
                 else:
                     outputs[f.name] = val
             else:
-                shape = _spatial_shape(program, inputs) + f.index_shape
                 sl = program.interior_slices()
+                planes = [jnp.zeros(spatial, out_dtype).at[sl].set(
+                    comps.get(idx, zeros_int)) for idx in field_components(f)]
+                val = assemble_planes(f, planes, spatial)
                 if accum and f.name in inputs:
-                    outputs[f.name] = inputs[f.name].at[sl].add(val)
+                    outputs[f.name] = inputs[f.name] + val
                 else:
-                    outputs[f.name] = jnp.zeros(shape, out_dtype).at[sl].set(val)
+                    outputs[f.name] = val
         return outputs
 
     fn.program = program

@@ -42,7 +42,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..field import Field
-from .common import StencilProgram, is_adjoint
+from .common import (StencilProgram, assemble_planes, is_adjoint, plane_view,
+                     spatial_index, storage_spatial)
 
 __all__ = ["make_pallas_stencil"]
 
@@ -362,8 +363,9 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
     arrays, ups, downs = [], [], []
     for f, idx in in_keys:
         arr = inputs[f.name].astype(dtype)
-        flat = arr.reshape((rows_total, cols) + f.index_shape)
-        plane = flat[(Ellipsis,) + idx] if idx else flat
+        # SoA ('soa' layout): component planes are contiguous leading slices;
+        # AoS: strided trailing-dim gather (the lazy SoA transform)
+        plane = plane_view(f, arr, idx).reshape((rows_total, cols))
         zero_fill = is_adjoint(f)
         if pad_rows:
             plane = jnp.pad(plane, ((0, pad_rows), (0, 0)),
@@ -522,18 +524,14 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
     if not isinstance(result, (tuple, list)):
         result = (result,)
 
-    # restack component planes into (spatial..., index...) arrays
+    # restack component planes into the field's storage layout
     outputs: Dict[str, jax.Array] = {}
     pos = 0
     for f in program.output_fields:
         comps = _components(f)
         planes = [result[pos + j][:rows_total] for j in range(len(comps))]
         pos += len(comps)
-        if f.index_shape:
-            stacked = jnp.stack(planes, axis=-1)
-            outputs[f.name] = stacked.reshape(tuple(spatial) + f.index_shape)
-        else:
-            outputs[f.name] = planes[0].reshape(tuple(spatial))
+        outputs[f.name] = assemble_planes(f, planes, spatial)
     return outputs
 
 
@@ -768,7 +766,7 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
         f0 = program.input_fields[0]
         arr0 = inputs[f0.name]
         out_dtype = dtype or arr0.dtype
-        spatial = tuple(arr0.shape[: f0.spatial_dimensions])
+        spatial = storage_spatial(f0, arr0)
 
         if periodic:
             # in-kernel wrap-around is implemented for the 2D blocked path
@@ -840,14 +838,37 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
                     arr = inputs[f.name]
                     sl = tuple(slice(lo, s - hi) for (lo, hi), s
                                in zip(adjoint_mask_ghost, spatial))
-                    pads = tuple((lo, hi) for lo, hi in adjoint_mask_ghost)
-                    pads += ((0, 0),) * f.index_dimensions
-                    masked[f.name] = jnp.pad(arr[sl + (Ellipsis,)], pads)
+                    sp_pads = tuple((lo, hi) for lo, hi in adjoint_mask_ghost)
+                    idx_pads = ((0, 0),) * f.index_dimensions
+                    pads = (idx_pads + sp_pads
+                            if getattr(f, "index_major", False)
+                            else sp_pads + idx_pads)
+                    masked[f.name] = jnp.pad(arr[spatial_index(f, sl)], pads)
             inputs_eff = masked
         else:
             inputs_eff = inputs
 
         if strat == "whole":
+            # the whole-array kernel indexes AoS (trailing index dims);
+            # normalise SoA fields at the wrapper (tiny arrays by definition)
+            soa_in = [f for f in program.input_fields
+                      if getattr(f, "index_major", False)]
+            soa_out = [f for f in program.output_fields
+                       if getattr(f, "index_major", False)]
+            if soa_in or soa_out:
+                conv = dict(inputs_eff)
+                for f in soa_in:
+                    ni = f.index_dimensions
+                    conv[f.name] = jnp.moveaxis(
+                        inputs_eff[f.name], tuple(range(ni)),
+                        tuple(range(-ni, 0)))
+                res = _run_whole_array(program, conv, spatial, out_dtype,
+                                       full_domain, interp)
+                for f in soa_out:
+                    ni = f.index_dimensions
+                    res[f.name] = jnp.moveaxis(
+                        res[f.name], tuple(range(-ni, 0)), tuple(range(ni)))
+                return res
             return _run_whole_array(program, inputs_eff, spatial, out_dtype,
                                     full_domain, interp)
         if strat == "blocked":

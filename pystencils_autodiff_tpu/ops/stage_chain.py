@@ -39,7 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..field import Field
-from .common import StencilProgram, forward_program
+from .common import (StencilProgram, assemble_planes, forward_program,
+                     plane_view, require_row_major, storage_spatial)
 from .flatten import FlatGeom, pick_chain_tile
 
 __all__ = ["fused_stage_chain", "stage_stepper"]
@@ -164,8 +165,8 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
         arrays, ups, downs = [], [], []
         for name, idx in state_keys:
             arr = inputs[name].astype(dtype)
-            plane = arr[(Ellipsis,) + idx] if idx else arr
-            plane = plane.reshape((rows, cols))
+            plane = plane_view(state_fields[name], arr, idx).reshape(
+                (rows, cols))
             arrays.append(plane)
             xr = plane.reshape((nb, t, cols))
             if LO:
@@ -287,11 +288,7 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
             comps = _components(f)
             planes = [result[pos + j] for j in range(len(comps))]
             pos += len(comps)
-            if f.index_shape:
-                outputs[n] = jnp.stack(planes, -1).reshape(
-                    tuple(spatial) + f.index_shape)
-            else:
-                outputs[n] = planes[0].reshape(tuple(spatial))
+            outputs[n] = assemble_planes(f, planes, spatial)
         return outputs
 
     return fn
@@ -321,6 +318,7 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
     if not stages:
         raise ValueError("no stages")
     progs, carries, state_fields, state_names = _validate_stages(stages)
+    require_row_major(state_fields.values(), "fused_stage_chain")
 
     seq_steps = [stage_stepper(op, carry, lowering="pallas",
                                periodic=periodic,
@@ -339,7 +337,7 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
     def fused_fwd(state):
         f0 = state_fields[state_names[0]]
         arr0 = state[state_names[0]]
-        spatial = tuple(arr0.shape[: f0.spatial_dimensions])
+        spatial = storage_spatial(f0, arr0)
         key = (spatial, str(arr0.dtype))
         if key not in kernel_cache:
             interp = interpret if interpret is not None else not _on_tpu()

@@ -28,7 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..field import Field
-from .common import StencilProgram, forward_program
+from .common import (StencilProgram, assemble_planes, forward_program,
+                     plane_view, require_row_major, storage_spatial)
 
 __all__ = ["fused_time_chain"]
 
@@ -106,8 +107,7 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
         for name, idx in in_keys:
             f = fields_by_name[name]
             arr = inputs[name].astype(dtype)
-            plane = arr[(Ellipsis,) + idx] if idx else arr
-            plane = plane.reshape((rows, cols))
+            plane = plane_view(f, arr, idx).reshape((rows, cols))
             arrays.append(plane)
             xr = plane.reshape((nb, t, cols))
             if LO:
@@ -247,11 +247,7 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
             comps = _components(f)
             planes = [result[pos + j] for j in range(len(comps))]
             pos += len(comps)
-            if f.index_shape:
-                outputs[f.name] = jnp.stack(planes, -1).reshape(
-                    tuple(spatial) + f.index_shape)
-            else:
-                outputs[f.name] = planes[0].reshape(tuple(spatial))
+            outputs[f.name] = assemble_planes(f, planes, spatial)
         if probes:
             # non-owning tiles wrote zeros — sum collapses to the one row
             probe_vals = [result[pos + p].sum(axis=0)
@@ -286,6 +282,7 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
 
     prog = forward_program(op)
     in_names = [f.name for f in op.forward_input_fields]
+    require_row_major(op.forward_input_fields, "fused_time_chain")
     probes = list(probes or ())
 
     seq_step = make_time_stepper(op, carry_map, lowering="pallas",
@@ -310,7 +307,7 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
     def fused_fwd(state):
         f0 = op.forward_input_fields[0]
         arr0 = state[in_names[0]]
-        spatial = tuple(arr0.shape[: f0.spatial_dimensions])
+        spatial = storage_spatial(f0, arr0)
         key = (spatial, str(arr0.dtype))
         if key not in kernel_cache:
             interp = interpret if interpret is not None else not _on_tpu()

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from ..adjoint_field import AdjointField
 from .common import (StencilProgram, backward_programs, forward_program,
-                     is_staged_backward)
+                     is_staged_backward, spatial_index, storage_shape,
+                     storage_spatial)
 
 __all__ = ["build_custom_vjp", "build_custom_vjp_from_programs",
            "make_staged_fn"]
@@ -52,13 +53,17 @@ def make_staged_fn(progs, lower, final_kwargs, **kwargs):
     return fn
 
 
-def _interior_mask_set(program: StencilProgram, cot: jax.Array) -> jax.Array:
+def _interior_mask_set(program: StencilProgram, field, cot: jax.Array) -> jax.Array:
     """Zero the cotangent outside the forward interior (slice+pad — cheaper
-    than a scatter on TPU)."""
+    than a scatter on TPU).  ``field`` is the forward output the cotangent
+    belongs to (its storage layout places the index dims)."""
     sl = program.interior_slices()
-    extra = cot.ndim - program.ndim
-    pads = tuple(program.ghost) + ((0, 0),) * extra
-    return jnp.pad(cot[sl + (Ellipsis,)], pads)
+    idx_pads = ((0, 0),) * (cot.ndim - program.ndim)
+    if getattr(field, "index_major", False):
+        pads = idx_pads + tuple(program.ghost)
+    else:
+        pads = tuple(program.ghost) + idx_pads
+    return jnp.pad(cot[spatial_index(field, sl)], pads)
 
 
 def build_custom_vjp_from_programs(
@@ -95,11 +100,10 @@ def build_custom_vjp_from_programs(
         saved = dict(zip(saved_names, residuals))
         # All fields share the spatial shape; recover it from a cotangent.
         out0_field = op.forward_output_fields[0]
-        cot0 = cotangents[0]
-        spatial = (cot0.shape[: out0_field.spatial_dimensions]
-                   if out0_field.index_shape else cot0.shape)
-        in_dtype = cot0.dtype
+        spatial = storage_spatial(out0_field, cotangents[0])
+        in_dtype = cotangents[0].dtype
         cots = dict(zip(out_names, cotangents))
+        out_fields = {f.name: f for f in op.forward_output_fields}
         bwd_inputs: Dict[str, jax.Array] = {}
         for f in bwd_input_fields:
             if isinstance(f, AdjointField):
@@ -109,8 +113,10 @@ def build_custom_vjp_from_programs(
                     # "write-interior-only" forward map.  Skipped when the
                     # lowering fuses the mask into the kernel.
                     cot = cots[primal_name]
-                    bwd_inputs[f.name] = (cot if bwd_masks_cotangents
-                                          else _interior_mask_set(fwd_prog, cot))
+                    bwd_inputs[f.name] = (
+                        cot if bwd_masks_cotangents
+                        else _interior_mask_set(fwd_prog,
+                                                out_fields[primal_name], cot))
                 else:
                     # previous-adjoint input of an accumulation
                     # (time_constant_fields) assignment: within a single
@@ -118,7 +124,7 @@ def build_custom_vjp_from_programs(
                     # scan/loop transpose performs the cross-step summation.
                     primal = f.corresponding_forward_field
                     bwd_inputs[f.name] = jnp.zeros(
-                        tuple(spatial) + primal.index_shape, in_dtype)
+                        storage_shape(primal, spatial), in_dtype)
             else:
                 bwd_inputs[f.name] = saved[f.name]
         grads = bwd_full_fn(bwd_inputs)
@@ -128,7 +134,7 @@ def build_custom_vjp_from_programs(
             if f.name in grad_by_primal:
                 out.append(grad_by_primal[f.name])
             else:  # constant field: zero cotangent
-                out.append(jnp.zeros(tuple(spatial) + f.index_shape, in_dtype))
+                out.append(jnp.zeros(storage_shape(f, spatial), in_dtype))
         return tuple(out)
 
     wrapped = jax.custom_vjp(apply)
@@ -147,20 +153,25 @@ def build_custom_vjp_from_programs(
             arrays = tuple(kw_arrays[n] for n in in_names)
         if len(arrays) != len(in_names):
             raise TypeError(f"expected {len(in_names)} inputs {in_names}, got {len(arrays)}")
-        # all fields share one spatial shape (plus per-field index dims)
+        # all fields share one spatial shape (plus per-field index dims,
+        # trailing for AoS storage, leading for 'soa')
         spatial_shapes = {}
         for f, a in zip(op.forward_input_fields, arrays):
             sd = f.spatial_dimensions
-            if a.ndim != sd + f.index_dimensions:
+            ni = f.index_dimensions
+            if a.ndim != sd + ni:
                 raise ValueError(
-                    f"field {f.name!r}: expected rank {sd + f.index_dimensions} "
-                    f"({sd} spatial + {f.index_dimensions} index dims), got "
+                    f"field {f.name!r}: expected rank {sd + ni} "
+                    f"({sd} spatial + {ni} index dims), got "
                     f"array of rank {a.ndim}")
-            if f.index_shape and tuple(a.shape[sd:]) != f.index_shape:
+            got_idx = (tuple(a.shape[:ni]) if getattr(f, "index_major", False)
+                       else tuple(a.shape[sd:]))
+            if f.index_shape and got_idx != f.index_shape:
+                where = "leading" if getattr(f, "index_major", False) else "trailing"
                 raise ValueError(
-                    f"field {f.name!r}: trailing index dims {a.shape[sd:]} != "
+                    f"field {f.name!r}: {where} index dims {got_idx} != "
                     f"declared index_shape {f.index_shape}")
-            spatial_shapes[f.name] = tuple(a.shape[:sd])
+            spatial_shapes[f.name] = storage_spatial(f, a)
         if len(set(spatial_shapes.values())) > 1:
             raise ValueError(
                 f"all fields must share one spatial shape; got {spatial_shapes}")
