@@ -1,0 +1,117 @@
+"""Recorded call-graph datahandling (VERDICT round 1, missing #4): the
+graph must capture allocations/boundaries/sweeps/comm/timeloops, replay to
+the same results as hand-written stepping, and drive whole-program fusion.
+
+Reference anchor: graph_datahandling.py recording a pystencils DataHandling
+call graph for whole-program codegen (SURVEY.md §2.1 #14)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pystencils_autodiff_tpu.graph_datahandling import (AllocNode,
+                                                        GraphDataHandling,
+                                                        SweepNode,
+                                                        TimeloopNode)
+from pystencils_autodiff_tpu.models.heat import heat_step_op
+from pystencils_autodiff_tpu.models.elastic import (elastic_stress_op,
+                                                    elastic_velocity_op)
+from pystencils_autodiff_tpu.timeloop import make_time_stepper
+
+
+def build_heat_graph(n=24):
+    dh = GraphDataHandling((n - 2, n - 2), ghost_layers=1,
+                           default_dtype=jnp.float64)
+    dh.add_field("u", init=0.0)
+    dh.set_array("u", jax.random.normal(jax.random.PRNGKey(0), (n, n)))
+    op = heat_step_op(dt=0.1, kappa_field=False, dtype="float64")
+    with dh.timeloop() as loop:
+        loop.boundary({"u": "neumann"})
+        loop.communicate("u")
+        loop.sweep(op, {"u": "u_next"})
+    return dh, op
+
+
+def test_graph_records_nodes():
+    dh, op = build_heat_graph()
+    kinds = [type(n).__name__ for n in dh.graph.nodes]
+    assert kinds == ["AllocNode", "TimeloopNode"]
+    body = [type(n).__name__ for n in dh.graph.nodes[1].body]
+    assert body == ["BoundaryNode", "CommNode", "SweepNode"]
+    text = dh.graph.describe()
+    assert "alloc u" in text and "sweep heat" in text
+    assert "neumann" in text and "communicate" in text
+    spec = dh.graph.to_dict()
+    assert spec["nodes"][1]["kind"] == "timeloop"
+    sweep_spec = spec["nodes"][1]["body"][2]
+    assert sweep_spec["reads"] == ["u"] and sweep_spec["carry"] == {"u": "u_next"}
+    # JSON-serialisable (the "generated program" artifact)
+    import json
+    json.loads(dh.graph.to_json())
+
+
+def test_graph_replay_matches_manual_stepping():
+    dh, op = build_heat_graph()
+    run = dh.compile()
+    out = run(dh.state(), 5)["u"]
+
+    from pystencils_autodiff_tpu.boundary import BoundaryHandling
+    bh = BoundaryHandling(op, {"u": "neumann"})
+    step = make_time_stepper(op, {"u": "u_next"}, boundary=bh)
+    st = dh.state()
+    for _ in range(5):
+        st = step(st)
+    np.testing.assert_allclose(out, st["u"], rtol=1e-14, atol=1e-14)
+
+
+def test_graph_replay_differentiable():
+    dh, op = build_heat_graph()
+    run = dh.compile(checkpoint="sqrt")
+    u0 = dh.state()["u"]
+    g = jax.grad(lambda u: jnp.sum(run({"u": u}, 4)["u"] ** 2))(u0)
+    assert np.all(np.isfinite(np.asarray(g))) and float(jnp.abs(g).max()) > 0
+
+
+def test_graph_stage_fusion_matches_replay():
+    """fuse='stages': the recorded multi-sweep timeloop runs as one fused
+    heterogeneous chain, bit-exact vs node-by-node replay."""
+    n = 32
+    dh = GraphDataHandling((n, n), ghost_layers=0, default_dtype=jnp.float64)
+    for name in ["vx", "vy", "sxx", "syy", "sxy"]:
+        dh.add_field(name, init=0.0)
+        dh.set_array(name, 0.1 * jax.random.normal(
+            jax.random.PRNGKey(hash(name) % 100), (n, n)))
+    vel = elastic_velocity_op(dt=0.01, dtype="float64")
+    stress = elastic_stress_op(dt=0.01, dtype="float64")
+    with dh.timeloop() as loop:
+        loop.sweep(vel, {"vx": "vx_next", "vy": "vy_next"})
+        loop.sweep(stress, {"sxx": "sxx_next", "syy": "syy_next",
+                            "sxy": "sxy_next"})
+    replay = dh.compile(lowering="jnp", periodic=True)
+    fused = dh.compile(fuse="stages", k=2, periodic=True, interpret=True,
+                       tile_rows=16)
+    st = dh.state()
+    out_r = replay(st, 4)
+    out_f = fused(st, 4)
+    for name in st:
+        np.testing.assert_allclose(out_f[name], out_r[name],
+                                   rtol=1e-12, atol=1e-12, err_msg=name)
+
+
+def test_graph_symbolic_fusion_matches_replay():
+    dh, op = build_heat_graph()
+    replay = dh.compile()
+    fused = dh.compile(fuse="symbolic")
+    st = dh.state()
+    np.testing.assert_allclose(fused(st, 3)["u"], replay(st, 3)["u"],
+                               rtol=1e-13, atol=1e-13)
+
+
+def test_graph_validation():
+    dh = GraphDataHandling((8, 8), ghost_layers=1)
+    dh.add_field("u")
+    with pytest.raises(ValueError, match="exactly one recorded timeloop"):
+        dh.compile()
+    with pytest.raises(ValueError, match="unknown fuse mode"):
+        build_heat_graph()[0].compile(fuse="bogus")
