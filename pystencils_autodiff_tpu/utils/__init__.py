@@ -1,9 +1,11 @@
-from .benchmark import fetch_timed, roofline_gbps, rtt_baseline
+from .benchmark import (fetch_timed, roofline_gbps, rtt_baseline,
+                        slope_timed)
 from .config import LoweringConfig, log_lowering_decision
 from .profiling import KernelStats, timed_region, trace
 
 __all__ = [
     "fetch_timed",
+    "slope_timed",
     "rtt_baseline",
     "roofline_gbps",
     "LoweringConfig",

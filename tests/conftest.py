@@ -29,6 +29,9 @@ import pytest  # noqa: E402
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "tpu: requires a real TPU device")
+    config.addinivalue_line(
+        "markers", "slow: heavy interpret-mode sweep; skipped unless "
+        "PYSTENCILS_ADTPU_SLOW_TESTS=1 (each slow case keeps a fast canary)")
 
 
 def pytest_collection_modifyitems(config, items):
@@ -41,3 +44,9 @@ def pytest_collection_modifyitems(config, items):
         for item in items:
             if "tpu" in item.keywords:
                 item.add_marker(skip)
+    if not os.environ.get("PYSTENCILS_ADTPU_SLOW_TESTS"):
+        skip_slow = pytest.mark.skip(
+            reason="slow sweep; set PYSTENCILS_ADTPU_SLOW_TESTS=1")
+        for item in items:
+            if "slow" in item.keywords:
+                item.add_marker(skip_slow)
