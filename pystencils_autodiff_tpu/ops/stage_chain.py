@@ -130,7 +130,7 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
                              periodic: bool,
                              tile_rows: Optional[int] = None,
                              vmem_limit_bytes: int = 100 * 1024 * 1024):
-    from .pallas_kernel import _shift_lateral
+    from .pallas_kernel import _round_up, _shift_lateral
 
     nd = progs[0].ndim
     if any(p.ndim != nd for p in progs):
@@ -157,9 +157,23 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
     t = tile_rows or pick_chain_tile(rows, LO, HI,
                                      cols * itemsize * n_live,
                                      vmem_limit_bytes)
+    pad_rows = 0
     if t is None or rows % t or t < LO + HI:
-        raise ValueError(f"no viable tile for rows={rows}, halo={LO + HI}")
-    nb = rows // t
+        if periodic:
+            raise ValueError(
+                f"no divisor tile for rows={rows}, halo={LO + HI}; the "
+                f"periodic chain needs a multiple-of-8 divisor tile "
+                f">= the halo (pass tile_rows or resize the domain)")
+        # pad the flattened row axis (same trick as the blocked single-step
+        # path): pad rows are edge copies (finite), every stage output is
+        # masked by the true global row index, so valid cells never depend
+        # on pad content and pad cells are sliced off at the end
+        t = int(tile_rows) if tile_rows else max(256, _round_up(LO + HI + 1, 8))
+        if t < LO + HI:
+            raise ValueError(f"tile_rows={t} smaller than chain halo {LO + HI}")
+        pad_rows = _round_up(rows, t) - rows
+    rows_padded = rows + pad_rows
+    nb = rows_padded // t
 
     def fn(inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         arrays, ups, downs = [], [], []
@@ -167,6 +181,8 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
             arr = inputs[name].astype(dtype)
             plane = plane_view(state_fields[name], arr, idx).reshape(
                 (rows, cols))
+            if pad_rows:
+                plane = jnp.pad(plane, ((0, pad_rows), (0, 0)), mode="edge")
             arrays.append(plane)
             xr = plane.reshape((nb, t, cols))
             if LO:
@@ -269,7 +285,7 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
         result = pl.pallas_call(
             kernel,
             grid=(nb,),
-            out_shape=tuple(jax.ShapeDtypeStruct((rows, cols), dtype)
+            out_shape=tuple(jax.ShapeDtypeStruct((rows_padded, cols), dtype)
                             for _ in state_keys),
             in_specs=[plane_spec] * n_in + [strip_spec(u.shape) for u in ups]
             + [strip_spec(d.shape) for d in downs],
@@ -280,6 +296,8 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
         )(*arrays, *ups, *downs)
         if not isinstance(result, (tuple, list)):
             result = (result,)
+        if pad_rows:
+            result = [r[:rows] for r in result]
 
         outputs: Dict[str, jax.Array] = {}
         pos = 0

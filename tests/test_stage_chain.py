@@ -124,6 +124,36 @@ def test_weno5_rk3_gradient():
     np.testing.assert_allclose(g_f, g_s, rtol=1e-11, atol=1e-11)
 
 
+@pytest.mark.parametrize("shape", [(45, 33), (66, 66)])
+def test_awkward_shapes_pad_on_bounded_domains(shape):
+    """Row counts with no multiple-of-8 divisor run via row padding on the
+    bounded (non-periodic) path — values AND gradients exact."""
+    stages = elastic_stages()
+    k = 2
+    chain = fused_stage_chain(stages, k, periodic=False, interpret=True)
+    names = ["vx", "vy", "sxx", "syy", "sxy"]
+    state = {n: rand(i, shape) for i, n in enumerate(names)}
+    cots = {n: rand(30 + i, shape) for i, n in enumerate(names)}
+    out, pull = jax.vjp(chain, state)
+    (grads,) = pull(cots)
+    ref_run = _sequential(stages, state, k, False)
+    ref_out, ref_pull = jax.vjp(ref_run, state)
+    (ref_grads,) = ref_pull(cots)
+    for n in names:
+        np.testing.assert_allclose(out[n], ref_out[n], rtol=RTOL, atol=ATOL)
+        np.testing.assert_allclose(grads[n], ref_grads[n],
+                                   rtol=RTOL, atol=ATOL, err_msg=f"grad {n}")
+
+
+def test_awkward_shape_periodic_raises_clearly():
+    stages = elastic_stages()
+    chain = fused_stage_chain(stages, 1, periodic=True, interpret=True)
+    state = {n: rand(i, (45, 33))
+             for i, n in enumerate(["vx", "vy", "sxx", "syy", "sxy"])}
+    with pytest.raises(ValueError, match="no divisor tile"):
+        chain(state)
+
+
 def test_stage_chain_validation():
     stages = elastic_stages()
     with pytest.raises(ValueError, match="carry source"):
