@@ -84,6 +84,32 @@ class Assignment:
 AssignmentsLike = Union["AssignmentCollection", Sequence[Assignment], Assignment]
 
 
+def _topo_sort_subs(subs: List["Assignment"]) -> List["Assignment"]:
+    """Order subexpression assignments so every symbol's definition precedes
+    its uses (Kahn over the def→use graph; input order breaks ties)."""
+    defined = {a.lhs: a for a in subs}
+    deps = {a.lhs: {s for s in a.rhs.free_symbols if s in defined}
+            for a in subs}
+    out, placed = [], set()
+    pending = list(subs)
+    while pending:
+        progressed = False
+        rest = []
+        for a in pending:
+            if deps[a.lhs] <= placed:
+                out.append(a)
+                placed.add(a.lhs)
+                progressed = True
+            else:
+                rest.append(a)
+        if not progressed:
+            raise ValueError(
+                f"cyclic subexpression dependencies among "
+                f"{[a.lhs for a in rest]}")
+        pending = rest
+    return out
+
+
 class AssignmentCollection:
     """Ordered subexpressions + main (field) assignments.
 
@@ -205,12 +231,32 @@ class AssignmentCollection:
 
     # -- transforms ----------------------------------------------------------
 
-    def new_with_cse(self, symbol_prefix: str = "xi") -> "AssignmentCollection":
+    def new_with_cse(self, symbol_prefix: str = "xi",
+                     preserve_subexpressions: bool = False
+                     ) -> "AssignmentCollection":
         """Common-subexpression-eliminated copy (sympy.cse over all RHSs).
 
         Mirrors ``do_common_subexpression_elimination=True`` in the reference's
         ``create_backward_assignments`` (SURVEY.md §2.1 #2).
+
+        ``preserve_subexpressions=True`` runs CSE over the existing DAG
+        (subexpression definitions + main RHSs) *without* inlining first —
+        for wide collections (D3Q19 adjoints) the inlined trees are huge
+        and ``sp.cse`` over them dominates derivation time.  The combined
+        subexpression list is re-ordered topologically (new CSE symbols may
+        capture pieces referencing existing symbols and vice versa).
         """
+        if preserve_subexpressions and self.subexpressions:
+            exprs = [a.rhs for a in self.all_assignments]
+            replacements, reduced = sp.cse(
+                exprs, symbols=sp.numbered_symbols(symbol_prefix))
+            n_sub = len(self.subexpressions)
+            subs = ([Assignment(sym, e) for sym, e in replacements]
+                    + [Assignment(a.lhs, e) for a, e
+                       in zip(self.subexpressions, reduced[:n_sub])])
+            main = [Assignment(a.lhs, e, a.is_accumulation)
+                    for a, e in zip(self.main_assignments, reduced[n_sub:])]
+            return AssignmentCollection(main, _topo_sort_subs(subs))
         inlined = self.inlined_main_assignments()
         replacements, reduced = sp.cse(
             [a.rhs for a in inlined], symbols=sp.numbered_symbols(symbol_prefix))
@@ -274,7 +320,9 @@ class StagedAssignmentCollection(AssignmentCollection):
                     out.append(f)
         return out
 
-    def new_with_cse(self, symbol_prefix: str = "xi") -> "StagedAssignmentCollection":
+    def new_with_cse(self, symbol_prefix: str = "xi",
+                     preserve_subexpressions: bool = False
+                     ) -> "StagedAssignmentCollection":
         return StagedAssignmentCollection(
             [st.new_with_cse(f"{symbol_prefix}s{i}_")
              for i, st in enumerate(self.stages)])

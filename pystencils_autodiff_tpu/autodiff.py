@@ -125,9 +125,81 @@ def create_backward_assignments(
     """
     mode = DiffModes.coerce(diff_mode)
     coll = AssignmentCollection.normalize(forward_assignments)
-    main = coll.inlined_main_assignments()
+    main = coll.main_assignments
     if not main:
         raise ValueError("no field assignments to differentiate")
+
+    # Chain rule through the subexpression DAG instead of differentiating
+    # fully-inlined expressions: for wide ops (D3Q19: 19 outputs x 19 reads
+    # through rho/u subexpressions) sp.diff over the inlined trees is
+    # O(outputs x reads x tree size) — tens of seconds — while the partials
+    # of the *uninlined* assignments are all small.  ``sub_total[s][acc]``
+    # is the total derivative ds/d(acc), expressed over subexpression
+    # symbols; Jacobian entries stay symbol-bearing all the way into the
+    # backward collection (TRANSPOSED mode), whose subexpressions are the
+    # forward ones plus *shifted copies* (one tiny definition per
+    # (subexpression, used shift) pair) — the whole pipeline (derive, CSE,
+    # lambdify, in-kernel evaluation) then works on compact DAGs.
+    inline_map: Dict[sp.Symbol, sp.Expr] = {}
+    for sub in coll.subexpressions:
+        inline_map[sub.lhs] = sub.rhs.xreplace(inline_map)
+    sub_def_map: Dict[sp.Symbol, sp.Expr] = {s.lhs: s.rhs
+                                             for s in coll.subexpressions}
+    sub_total: Dict[sp.Symbol, Dict[Field.Access, sp.Expr]] = {}
+    for sub in coll.subexpressions:
+        deps = [s for s in sub_total if sub.rhs.has(s)]
+        entry: Dict[Field.Access, sp.Expr] = {
+            acc: sp.diff(sub.rhs, acc)
+            for acc in sub.rhs.atoms(Field.Access)}
+        for s in deps:
+            partial = sp.diff(sub.rhs, s)
+            for acc, d in sub_total[s].items():
+                entry[acc] = entry.get(acc, sp.Integer(0)) + partial * d
+        sub_total[sub.lhs] = entry
+
+    def total_reads(rhs: sp.Expr) -> List[Field.Access]:
+        accs = set(rhs.atoms(Field.Access))
+        for s in sub_total:
+            if rhs.has(s):
+                accs.update(sub_total[s])
+        return sorted(accs, key=sp.default_sort_key)
+
+    def total_diff(rhs: sp.Expr, acc: Field.Access) -> sp.Expr:
+        """d(rhs)/d(acc) through the subexpression chain — compact,
+        symbol-bearing (NOT inlined)."""
+        d = sp.diff(rhs, acc)
+        for s in sub_total:
+            if rhs.has(s) and acc in sub_total[s]:
+                d = d + sp.diff(rhs, s) * sub_total[s][acc]
+        return d
+
+    # Shifted-subexpression machinery: shifting an expression that
+    # references subexpression symbols replaces each symbol by a shifted
+    # twin whose definition is the shifted (still uninlined) forward
+    # definition — one xreplace of a SMALL expression per (sub, shift).
+    shifted_syms: Dict[Tuple[sp.Symbol, Tuple[int, ...]], sp.Symbol] = {}
+    shifted_defs: List[Assignment] = []
+
+    def _shift_sym(s: sp.Symbol, shift: Tuple[int, ...]) -> sp.Symbol:
+        key = (s, shift)
+        if key in shifted_syms:
+            return shifted_syms[key]
+        tag = "_".join(f"m{-o}" if o < 0 else str(o) for o in shift)
+        ns = sp.Symbol(f"{s.name}__s{tag}")
+        shifted_syms[key] = ns
+        # nested dependencies append their definitions first (topo order)
+        shifted_defs.append(Assignment(ns, _shift_with_subs(sub_def_map[s],
+                                                            shift)))
+        return ns
+
+    def _shift_with_subs(expr: sp.Expr, shift: Tuple[int, ...]) -> sp.Expr:
+        if all(x == 0 for x in shift):
+            return expr
+        mapping: Dict[object, object] = {a: a.shifted(shift)
+                                         for a in expr.atoms(Field.Access)}
+        mapping.update({s: _shift_sym(s, shift)
+                        for s in sub_def_map if expr.has(s)})
+        return expr.xreplace(mapping)
 
     constant = set(_coerce_fields(constant_fields))
     time_constant = set(_coerce_fields(time_constant_fields))
@@ -156,7 +228,7 @@ def create_backward_assignments(
 
     for fwd in main:
         w_acc = fwd.lhs  # centre access of the written field
-        read_accesses = sorted(fwd.rhs.atoms(Field.Access), key=sp.default_sort_key)
+        read_accesses = total_reads(fwd.rhs)
         for ra in read_accesses:
             if ra.field in constant:
                 continue
@@ -174,21 +246,25 @@ def create_backward_assignments(
                     f"collection. Chained-output reads are not supported "
                     f"by the adjoint derivation; inline the producing "
                     f"assignment (e.g. via compose.fuse_ops) first.")
-            jac = sp.diff(fwd.rhs, ra)
+            jac = total_diff(fwd.rhs, ra)
             if jac == 0:
                 continue
             inv = _neg(ra.offsets)
             w_adj = Field.Access(adj(w_acc.field), inv, w_acc.index)
-            if mode is DiffModes.TRANSPOSED or not jac.atoms(Field.Access):
+            is_variable = bool(jac.atoms(Field.Access)) or any(
+                jac.has(s) for s in sub_def_map)
+            if mode is DiffModes.TRANSPOSED or not is_variable:
                 # shift Jacobian entry into the adjoint (gather) frame, then
                 # multiply by the transposed adjoint read.  Constant entries
                 # shift to themselves, so TF_MAD uses this path for them too.
-                term = shift_expr(jac, inv) * w_adj
+                term = _shift_with_subs(jac, inv) * w_adj
             else:
                 # TF_MAD: materialise the variable-coefficient Jacobian
                 # entry as a field evaluated at center-relative positions in
                 # the FORWARD frame (stage A); the gather reads it at −o
                 # like a constant-coefficient forward stencil (stage B).
+                # Stage-A assignments are inlined (access-only) — the staged
+                # collection carries no symbol environment across stages.
                 jname = (f"jac_{w_acc.field.name}"
                          f"{'_' + _off_tag((), w_acc.index) if w_acc.index else ''}"
                          f"_{ra.field.name}_{_off_tag(ra.offsets, ra.index)}")
@@ -196,7 +272,8 @@ def create_backward_assignments(
                     J = Field(jname, ra.field.spatial_dimensions,
                               dtype=ra.field.dtype)
                     jac_fields[jname] = J
-                    jac_stage.append(Assignment(J.center, jac))
+                    jac_stage.append(Assignment(J.center,
+                                                jac.xreplace(inline_map)))
                 term = Field.Access(jac_fields[jname], inv, ()) * w_adj
             key = (ra.field, ra.index)
             contributions.setdefault(key, []).append(term)
@@ -208,13 +285,29 @@ def create_backward_assignments(
         backward.append(Assignment(lhs, rhs,
                                    is_accumulation=field in time_constant))
 
+    # Subexpressions of the backward collection: the forward definitions
+    # that are still referenced (transitively) plus the shifted twins, in
+    # dependency order (originals never reference shifted symbols).
+    needed: set = set()
+    stack = [s for a in backward for s in sub_def_map if a.rhs.has(s)]
+    stack += [s for a in shifted_defs for s in sub_def_map if a.rhs.has(s)]
+    while stack:
+        s = stack.pop()
+        if s in needed:
+            continue
+        needed.add(s)
+        stack.extend(t for t in sub_def_map if sub_def_map[s].has(t))
+    bwd_subs = ([s for s in coll.subexpressions if s.lhs in needed]
+                + shifted_defs)
+
     if jac_stage:
         result = StagedAssignmentCollection(
-            [AssignmentCollection(jac_stage), AssignmentCollection(backward)])
+            [AssignmentCollection(jac_stage),
+             AssignmentCollection(backward, bwd_subs)])
     else:
-        result = AssignmentCollection(backward)
+        result = AssignmentCollection(backward, bwd_subs)
     if do_common_subexpression_elimination:
-        result = result.new_with_cse()
+        result = result.new_with_cse(preserve_subexpressions=True)
     return result
 
 

@@ -166,6 +166,51 @@ class StencilProgram:
 _PAIRWISE_ADD_MIN_TERMS = 8
 
 
+class _NonArithmetic(Exception):
+    pass
+
+
+def _emit_py(e: sp.Expr, names: dict) -> str:
+    """Python source for a pure-arithmetic expression (operators only).
+
+    Raises ``_NonArithmetic`` on anything needing a function namespace
+    (sin, Piecewise, non-integer powers, ...) — the caller falls back to
+    ``sp.lambdify``.  This path exists because CSE'd collections contain
+    thousands of tiny +-*/** assignments and lambdify's fixed per-call
+    overhead (~15 ms of printer/namespace machinery) dominated program
+    builds for wide ops (D3Q19: ~25 s; this path: milliseconds).
+    """
+    key = names.get(e)
+    if key is not None:
+        return key
+    if e.is_Integer:
+        return repr(int(e))
+    if e.is_Rational:
+        return f"({int(e.p)}/{int(e.q)})"
+    if e.is_Float:
+        return repr(float(e))
+    if isinstance(e, sp.Add):
+        terms = [_emit_py(a, names) for a in e.args]
+        if len(terms) >= _PAIRWISE_ADD_MIN_TERMS:
+            # balanced pairwise tree (see docstring below): O(log n) f32
+            # accumulation error instead of the left fold's O(n)
+            while len(terms) > 1:
+                nxt = [f"({terms[i]}+{terms[i + 1]})"
+                       for i in range(0, len(terms) - 1, 2)]
+                if len(terms) % 2:
+                    nxt.append(terms[-1])
+                terms = nxt
+            return terms[0]
+        return "(" + "+".join(terms) + ")"
+    if isinstance(e, sp.Mul):
+        return "(" + "*".join(_emit_py(a, names) for a in e.args) + ")"
+    if isinstance(e, sp.Pow):
+        if e.exp.is_Integer:
+            return f"({_emit_py(e.base, names)}**{int(e.exp)})"
+        raise _NonArithmetic(e)
+    raise _NonArithmetic(e)
+
+
 def _compile_rhs(rhs: sp.Expr, atoms: List[object], modules) -> Callable:
     """Lambdify ``rhs`` over ``atoms`` with identifier-safe dummies.
 
@@ -176,6 +221,17 @@ def _compile_rhs(rhs: sp.Expr, atoms: List[object], modules) -> Callable:
     O(log n·ulp) — measured 1e-5 → 1e-6-grade f32 gradient error on the
     aniso27 adjoint (VERDICT round 1, weak #6) at zero extra flops.
     """
+    # fast path: pure arithmetic compiles straight to python source (the
+    # pairwise-tree rule for wide sums is applied inside _emit_py)
+    try:
+        names = {a: f"a{i}" for i, a in enumerate(atoms)}
+        src = _emit_py(rhs, names)
+        args = ", ".join(names.values())
+        return eval(compile(f"lambda {args}: {src}", "<stencil-rhs>", "eval"),
+                    {"__builtins__": {}})
+    except _NonArithmetic:
+        pass
+
     dummies = [sp.Dummy(f"a{i}") for i in range(len(atoms))]
     sub = dict(zip(atoms, dummies))
     expr = rhs.xreplace(sub)
