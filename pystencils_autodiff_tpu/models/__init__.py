@@ -6,7 +6,12 @@ from .burgers import burgers2d_op
 from .diffusion import diffusion3d_op, sharded_diffusion3d
 from .elastic import anisotropic27_op, elastic_stress_op, elastic_velocity_op
 from .heat import heat_step_op, laplacian_op
-from .lbm import D2Q9_VELOCITIES, D2Q9_WEIGHTS, d2q9_bgk_op, macroscopic
+from .lbm import (D2Q9_VELOCITIES, D2Q9_WEIGHTS, D3Q19_VELOCITIES,
+                  D3Q19_WEIGHTS, bgk_op, d2q9_bgk_op, d3q19_bgk_op,
+                  macroscopic)
+from .phasefield import (allen_cahn_op, cahn_hilliard_stages,
+                         ch_update_op, chemical_potential_op,
+                         ginzburg_landau_energy)
 from .wave import fwi_gradient, wave_simulate, wave_step_op
 
 __all__ = [
@@ -15,6 +20,15 @@ __all__ = [
     "macroscopic",
     "D2Q9_VELOCITIES",
     "D2Q9_WEIGHTS",
+    "D3Q19_VELOCITIES",
+    "D3Q19_WEIGHTS",
+    "bgk_op",
+    "d3q19_bgk_op",
+    "allen_cahn_op",
+    "cahn_hilliard_stages",
+    "chemical_potential_op",
+    "ch_update_op",
+    "ginzburg_landau_energy",
     "upwind1_op",
     "weno5_op",
     "burgers2d_op",
