@@ -74,19 +74,22 @@ def test_wave_adjoint_chain(k, periodic):
                                    rtol=RTOL, atol=ATOL, err_msg=f"cot {n}")
 
 
-@pytest.mark.parametrize("periodic", [True, False])
+@pytest.mark.parametrize("periodic", [
+    pytest.param(True, marks=pytest.mark.slow), False])
 def test_lbm_adjoint_chain(periodic):
     """Differentiable LBM temporal blocking: 9-component planes through the
-    fused value+gradient kernel."""
+    fused value+gradient kernel.  (Bounded-domain canary always runs; the
+    periodic variant is slow-marked — interpret-mode D2Q9 adjoints are the
+    most expensive kernels in the suite.)"""
     from pystencils_autodiff_tpu.models.lbm import d2q9_bgk_op
 
     op = d2q9_bgk_op(omega=1.5)
     carry = {"f": "f_out"}
     chain = fused_chain_vjp(op, 2, carry, periodic=periodic,
                             interpret=True, tile_rows=16)
-    f0 = 0.1 + 0.01 * jax.random.uniform(jax.random.PRNGKey(8), (32, 32, 9),
+    f0 = 0.1 + 0.01 * jax.random.uniform(jax.random.PRNGKey(8), (16, 16, 9),
                                          dtype=jnp.float64)
-    cots = {"f": rand(9, (32, 32, 9))}
+    cots = {"f": rand(9, (16, 16, 9))}
     new_state, cot0 = chain({"f": f0}, cots)
     ref_state, ref_cot = _seq_vjp(op, carry, {"f": f0}, cots, 2, periodic)
     np.testing.assert_allclose(new_state["f"], ref_state["f"],

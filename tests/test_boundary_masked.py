@@ -110,17 +110,14 @@ def test_cavity_vortex_forms():
     assert core > 0.01
 
 
-@pytest.mark.parametrize("lowering", ["jnp", "pallas"])
-def test_cavity_gradient_wrt_lid_velocity(lowering):
-    """Gradient of final kinetic energy w.r.t. the (scalar) lid velocity:
-    finite, matches central finite differences, and the Pallas lowering
-    matches the jnp reference exactly."""
-    n, steps = 16, 12
-    op = d2q9_bgk_op(omega=1.6)
+def _cavity_loss(lowering, n=12, steps=3, omega=1.6):
+    """Jitted loss(u_lid): final fluid kinetic energy of a small cavity."""
+    op = d2q9_bgk_op(omega=omega)
     solid = box_mask(n)
     f0 = equilibrium(jnp.ones((n, n)), 0.0, 0.0)
     fluid = jnp.asarray(~np.asarray(solid))
 
+    @jax.jit
     def loss(u_lid):
         step = cavity_step(op, solid, u_lid, lowering=lowering)
         f = f0
@@ -129,22 +126,26 @@ def test_cavity_gradient_wrt_lid_velocity(lowering):
         rho, u0, u1 = macroscopic(f + 1e-30)
         return 0.5 * jnp.sum(jnp.where(fluid, rho * (u0 ** 2 + u1 ** 2), 0.0))
 
+    return loss
+
+
+def test_cavity_gradient_wrt_lid_velocity():
+    """Gradient of final kinetic energy w.r.t. the (scalar) lid velocity is
+    finite and matches central finite differences (jnp lowering)."""
+    loss = _cavity_loss("jnp")
     g = jax.grad(loss)(0.08)
     assert np.isfinite(float(g))
     eps = 1e-6
     fd = (loss(0.08 + eps) - loss(0.08 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-6)
-    if lowering == "pallas":
-        ref = jax.grad(lambda u: loss(u))(0.08)  # pallas loss
-        def loss_jnp(u_lid):
-            step = cavity_step(op, solid, u_lid, lowering="jnp")
-            f = f0
-            for _ in range(steps):
-                f = step({"f": f})["f"]
-            rho, u0, u1 = macroscopic(f + 1e-30)
-            return 0.5 * jnp.sum(jnp.where(fluid, rho * (u0 ** 2 + u1 ** 2), 0.0))
-        g_jnp = jax.grad(loss_jnp)(0.08)
-        np.testing.assert_allclose(float(ref), float(g_jnp), rtol=1e-11)
+
+
+def test_cavity_gradient_pallas_matches_jnp():
+    """The Pallas lowering's lid-velocity gradient equals the jnp
+    reference's (one grad evaluation each)."""
+    g_p = jax.grad(_cavity_loss("pallas"))(0.08)
+    g_j = jax.grad(_cavity_loss("jnp"))(0.08)
+    np.testing.assert_allclose(float(g_p), float(g_j), rtol=1e-11)
 
 
 def test_masked_dirichlet_semantics_and_adjoint():

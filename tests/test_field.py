@@ -55,8 +55,14 @@ def test_fields_helper():
 def test_staggered_origin():
     fx = Field("fx", 2, origin=(0.5, 0.0))
     assert fx.is_staggered
-    with pytest.raises(ValueError):
-        fx[0.5, 0]  # half-integer accesses are rejected; staggering is origin
+    # fractional physical offsets resolve against the origin...
+    assert fx[0.5, 0].offsets == (0, 0)
+    assert fx[-0.5, 0].offsets == (-1, 0)
+    # ...and positions between samples are rejected
+    with pytest.raises(ValueError, match="does not land"):
+        fx[0.25, 0]
+    with pytest.raises(ValueError, match="does not land"):
+        Field("cc", 2)[0.5, 0]  # cell-centred field has no sample there
 
 
 def test_ghost_layers():

@@ -44,8 +44,13 @@ def test_soa_scalar_is_noop_and_fingerprints_differ():
     b = Field("v", 2, index_shape=(3,), dtype="float64", layout="soa")
     assert b.index_major and not a.index_major
     # same-named fields with different storage must not share cached accesses
+    # (the cache is keyed by fingerprint, so equal-fingerprint fields MAY
+    # share an access instance — identity with this exact Field object is
+    # not guaranteed, equality of every lowering-relevant attribute is)
     assert a._fingerprint() != b._fingerprint()
-    assert a.center.field is a and b.center.field is b
+    assert a.center is not b.center
+    assert a.center.field._fingerprint() == a._fingerprint()
+    assert b.center.field._fingerprint() == b._fingerprint()
 
 
 @pytest.mark.parametrize("lowering", ["jnp", "pallas"])
@@ -77,7 +82,7 @@ def test_d2q9_soa_matches_aos(lowering):
     op_s = d2q9_bgk_op(omega=1.6, layout="soa")
     fa = op_a.jax_function(lowering=lowering, **kw)
     fs = op_s.jax_function(lowering=lowering, **kw)
-    f0 = 1.0 + 0.05 * rand(1, (24, 32, 9)) ** 2
+    f0 = 1.0 + 0.05 * rand(1, (16, 24, 9)) ** 2
     out_a = fa(f=f0)
     out_s = fs(f=jnp.moveaxis(f0, -1, 0))
     np.testing.assert_allclose(np.asarray(out_s),
@@ -101,7 +106,7 @@ def test_d2q9_soa_fused_chain():
                             interpret=True, tile_rows=16)
     ch_s = fused_time_chain(op_s, k, {"f": "f_out"}, periodic=True,
                             interpret=True, tile_rows=16)
-    f0 = 1.0 + 0.05 * rand(2, (32, 32, 9)) ** 2
+    f0 = 1.0 + 0.05 * rand(2, (16, 16, 9)) ** 2
     out_a = ch_a({"f": f0})["f"]
     out_s = ch_s({"f": jnp.moveaxis(f0, -1, 0)})["f"]
     np.testing.assert_allclose(np.asarray(out_s),

@@ -89,8 +89,8 @@ def test_weno5_rk3_chain(k, periodic):
     stages, names = weno5_rk3_stages(a=1.0, dt=0.3, dx=1.0, ndim=2)
     chain = fused_stage_chain(stages, k, periodic=periodic,
                               interpret=True, tile_rows=16)
-    u0 = jnp.sin(2 * jnp.pi * jnp.arange(64) / 64)[None, :] * jnp.ones((48, 1))
-    u0 = u0 + 0.1 * rand(0, (48, 64))
+    u0 = jnp.sin(2 * jnp.pi * jnp.arange(32) / 32)[None, :] * jnp.ones((16, 1))
+    u0 = u0 + 0.1 * rand(0, (16, 32))
     state = {"u": u0, "u_s1": jnp.zeros_like(u0), "u_s2": jnp.zeros_like(u0)}
     out = chain(state)
     ref = _sequential(stages, state, k, periodic)(state)
@@ -106,7 +106,7 @@ def test_weno5_rk3_gradient():
     k = 2
     chain = fused_stage_chain(stages, k, periodic=True,
                               interpret=True, tile_rows=16)
-    u0 = 0.3 * rand(5, (32, 32))
+    u0 = 0.3 * rand(5, (16, 32))
     zeros = jnp.zeros_like(u0)
 
     def loss_fused(u):
