@@ -74,9 +74,9 @@ def test_wave_adjoint_chain(k, periodic):
                                    rtol=RTOL, atol=ATOL, err_msg=f"cot {n}")
 
 
-@pytest.mark.parametrize("periodic", [
-    pytest.param(True, marks=pytest.mark.slow), False])
-def test_lbm_adjoint_chain(periodic):
+@pytest.mark.parametrize("k,periodic", [
+    pytest.param(2, True, marks=pytest.mark.slow), (1, False)])
+def test_lbm_adjoint_chain(k, periodic):
     """Differentiable LBM temporal blocking: 9-component planes through the
     fused value+gradient kernel.  (Bounded-domain canary always runs; the
     periodic variant is slow-marked — interpret-mode D2Q9 adjoints are the
@@ -85,13 +85,13 @@ def test_lbm_adjoint_chain(periodic):
 
     op = d2q9_bgk_op(omega=1.5)
     carry = {"f": "f_out"}
-    chain = fused_chain_vjp(op, 2, carry, periodic=periodic,
+    chain = fused_chain_vjp(op, k, carry, periodic=periodic,
                             interpret=True, tile_rows=16)
     f0 = 0.1 + 0.01 * jax.random.uniform(jax.random.PRNGKey(8), (16, 16, 9),
                                          dtype=jnp.float64)
     cots = {"f": rand(9, (16, 16, 9))}
     new_state, cot0 = chain({"f": f0}, cots)
-    ref_state, ref_cot = _seq_vjp(op, carry, {"f": f0}, cots, 2, periodic)
+    ref_state, ref_cot = _seq_vjp(op, carry, {"f": f0}, cots, k, periodic)
     np.testing.assert_allclose(new_state["f"], ref_state["f"],
                                rtol=RTOL, atol=ATOL)
     np.testing.assert_allclose(cot0["f"], ref_cot["f"],

@@ -165,7 +165,7 @@ def test_sharded_staggered_elastic():
 
 @needs_8
 @pytest.mark.parametrize("mesh_shape,axes,dims", [
-    ((4,), ("x",), {0: "x"}),
+    pytest.param((4,), ("x",), {0: "x"}, marks=pytest.mark.slow),
     ((2, 2), ("x", "y"), {0: "x", 1: "y"}),
 ])
 def test_overlap_mode_matches_exactly(mesh_shape, axes, dims):
