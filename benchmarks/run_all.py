@@ -43,11 +43,13 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     small = args.small or not on_tpu
-    n2 = 1024 if small else 8192
+    # small mode smoke-tests the harness itself; interpret-mode fused
+    # chains cost ~grid-points x k python ops, so keep it tiny
+    n2 = 256 if small else 8192
     # 384^3 keeps each array well above VMEM while the chained-scan module
     # stays under the remote-compile HTTP size limit (512^3 chains exceed it)
-    n3 = 64 if small else 384
-    iters = 5 if small else min(args.iters, 10)
+    n3 = 32 if small else 384
+    iters = 2 if small else min(args.iters, 10)
     dtype = jnp.float32
     lowering = "pallas" if on_tpu else "jnp"
     rtt = rtt_baseline()
@@ -71,6 +73,42 @@ def main():
 
     key = jax.random.PRNGKey(0)
 
+    from pystencils_autodiff_tpu.ops.adjoint_chain import fused_chain_vjp
+
+    def bench_chain(name, op, carry, state, k, n_arrays, periodic=True,
+                    calls=4):
+        """Fused value+gradient chain: k steps per kernel, `calls` chained
+        kernels per timed call; GB/s counts the SEQUENTIAL algorithm's
+        minimum traffic (the standard temporal-blocking accounting)."""
+        try:
+            ch = fused_chain_vjp(op, k, carry, periodic=periodic,
+                                 interpret=not on_tpu)
+            names = list(state)
+            cots = {n: jnp.ones_like(state[n]) for n in names}
+
+            @jax.jit
+            def f(st):
+                def body(c, _):
+                    new_state, cot0 = ch(c[0], c[1])
+                    # feed cotangents forward so calls are data-dependent
+                    return (new_state, {n: cot0.get(n, c[1][n])
+                                        for n in names}), None
+                (st2, _), _ = jax.lax.scan(body, (st, cots), None,
+                                           length=calls)
+                return st2[names[0]]
+
+            t = (fetch_timed(f, dict(state)) - rtt) / (k * calls)
+        except Exception as e:
+            print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:140]}",
+                  file=sys.stderr)
+            rows.append((name, float("nan"), 0.0, 0.0, 0.0))
+            return
+        t = max(t, 1e-9)
+        x0 = state[list(state)[0]]
+        ab = x0.size * x0.dtype.itemsize
+        gbps = n_arrays * ab / t / 1e9
+        rows.append((name, t * 1e3, x0.size / t / 1e9, gbps, gbps / peak))
+
     # config 1: 2D Laplacian
     op = laplacian_op()
     f = op.jax_function(lowering=lowering)
@@ -78,6 +116,11 @@ def main():
     bench("1 lap2d fwd", lambda a: f(a), x2, 2)
     bench("1 lap2d fwd+adj", lambda a: jax.grad(
         lambda b: jnp.sum(f(b) * b))(a), x2, 4)
+
+    from pystencils_autodiff_tpu.models import heat_step_op
+    hop = heat_step_op(dt=0.1)
+    bench_chain("1 heat chain k=8 fwd+adj (headline)", hop, {"u": "u_next"},
+                {"u": x2}, k=8, n_arrays=4)
 
     # config 2: 3D variable-kappa diffusion
     op = diffusion3d_op()
@@ -87,6 +130,16 @@ def main():
     bench("2 diff3d fwd", lambda a: f(kappa=k3, u=a), x3, 3)
     bench("2 diff3d fwd+adj", lambda a: jax.grad(
         lambda b: jnp.sum(f(kappa=k3, u=b) * b))(a), x3, 6)
+    # 3D chains: the flattened-row halo grows with the plane size
+    # (k*(n1+1) rows/side), so chain at 256^3 — the 384^3 chain module
+    # crashes the remote compiler and would be ~75% redundant compute
+    # anyway (plane-blocked "2.5D" chains are the structural fix, ROADMAP)
+    nc = min(n3, 256)
+    xc = x3[:nc, :nc, :nc]
+    kc = k3[:nc, :nc, :nc]
+    bench_chain("2 diff3d chain k=2 fwd+adj (256^3)", diffusion3d_op(dt=0.05),
+                {"u": "u_next"}, {"u": xc, "kappa": kc}, k=2, n_arrays=6,
+                periodic=False, calls=2)
 
     # config 3: wave step (the FWI kernel)
     op = wave_step_op()
@@ -95,6 +148,9 @@ def main():
     bench("3 wave fwd", lambda a: f(c=c2, u_curr=a, u_prev=a), x2, 4)
     bench("3 wave fwd+adj", lambda a: jax.grad(
         lambda b: jnp.sum(f(c=c2, u_curr=b, u_prev=b) * b))(a), x2, 8)
+    bench_chain("3 wave chain k=4 fwd+adj", wave_step_op(),
+                {"u_curr": "u_next", "u_prev": "u_curr"},
+                {"u_curr": x2, "u_prev": x2, "c": c2}, k=4, n_arrays=8)
 
     # config 4: anisotropic 27-point
     op = anisotropic27_op()
