@@ -64,7 +64,10 @@ def main():
             st, cot0 = chain({"u": u}, {"u": cu})
             return (st["u"], cot0["u"]), None
 
-        (u, cu), _ = jax.lax.scan(body, (u, cu), None, length=calls)
+        # unroll amortises XLA's while-carry copy of custom-call outputs
+        # (one read+write pass per carried array per iteration otherwise)
+        (u, cu), _ = jax.lax.scan(body, (u, cu), None, length=calls,
+                                  unroll=min(4, calls))
         return u, cu
 
     key = jax.random.PRNGKey(0)
@@ -86,7 +89,8 @@ def main():
                 st, cot0 = chain({"u": carry[0]}, {"u": carry[1]})
                 return (st["u"], cot0["u"]), None
 
-            (u2, cu2), _ = jax.lax.scan(body, (u, cu), None, length=n_calls)
+            (u2, cu2), _ = jax.lax.scan(body, (u, cu), None, length=n_calls,
+                                        unroll=min(4, n_calls))
             return u2, cu2
 
         return lambda uu: f(uu, cu)

@@ -22,11 +22,20 @@ import jax.numpy as jnp
 
 
 def chain(f, iters):
+    """Iterate f with data dependencies, unrolled x4.
+
+    Direct iteration (no per-step combiner: the old ``f(c)*0.999+c*0.001``
+    damping added a full extra read+read+write pass — ~1.2 ms at 8192²f32 —
+    and understated every kernel by ~2x).  Unstable operators grow ~8^k
+    per step but 10 iters stay far below f32 overflow, and timing is
+    magnitude-independent.  ``unroll=4`` amortises XLA's while-loop carry
+    copy of custom-call outputs (device-traced: 1.74 -> 0.93 ms/step on
+    the 8192² heat kernel whose device time is 0.82 ms)."""
     @jax.jit
     def g(x):
         def body(c, _):
-            return f(c) * 0.999 + c * 0.001, None
-        return jax.lax.scan(body, x, None, length=iters)[0]
+            return f(c), None
+        return jax.lax.scan(body, x, None, length=iters, unroll=4)[0]
     return g
 
 
