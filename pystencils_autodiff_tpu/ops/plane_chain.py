@@ -1,0 +1,228 @@
+"""Plane-blocked ("2.5D") fused chains for 3D domains.
+
+The flattened-row chain geometry (time_chain/adjoint_chain over FlatGeom)
+merges leading dims into the row axis, so a ±1 offset in dim 0 becomes a
+±n1-row reach and the k-step chain halo grows ∝ k·n1 — at 384³ a k=2
+chain would be ~75 % redundant compute.  This module tiles dim 0 in
+*planes* instead: the kernel's refs are 3D ``(tile_planes, n1, n2)``
+blocks, the chain halo is ``k·reach`` PLANES (independent of plane size),
+offsets in dims 1/2 are in-plane `pltpu.roll` shifts, and periodic wrap
+works in ALL THREE dims (the flattened path's periodic mode is 2D-only).
+
+Used automatically by ``fused_time_chain`` for 3D states (probes still
+route through the flattened path); the exact-VJP backward recomputes
+through single-step custom_vjp ops exactly like the flattened chain.
+"""
+
+from __future__ import annotations
+
+import itertools as _it
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..field import Field
+from .common import StencilProgram, assemble_planes, plane_view
+
+__all__ = ["make_plane_chain_kernel_fn", "plane_reach", "pick_plane_tile"]
+
+
+def plane_reach(accesses):
+    """(lo, hi) dim-0 plane reach of a set of accesses."""
+    lo = max([0] + [-a.offsets[0] for a in accesses])
+    hi = max([0] + [a.offsets[0] for a in accesses])
+    return lo, hi
+
+
+def pick_plane_tile(n0: int, LO: int, HI: int, plane_bytes_live: int,
+                    vmem_limit: int):
+    """Largest divisor of ``n0`` whose extended block (t+LO+HI planes ×
+    live buffers) fits ~60 % of the VMEM budget; the plane axis needs no
+    8-alignment (Mosaic tiles the last two dims)."""
+    budget = (vmem_limit * 3) // 5
+    best = None
+    for t in range(1, n0 + 1):
+        if n0 % t or t < max(LO + HI, 1):
+            continue
+        if (t + LO + HI) * plane_bytes_live <= budget:
+            best = t
+    if best is not None:
+        return best
+    for t in range(1, n0 + 1):
+        if n0 % t == 0 and t >= max(LO + HI, 1):
+            return t
+    return None
+
+
+def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
+                               carry_map: Dict[str, str],
+                               spatial, dtype, interpret: bool,
+                               periodic: bool,
+                               tile_planes: Optional[int] = None,
+                               vmem_limit_bytes: int = 100 * 1024 * 1024):
+    """Forward-only fused k-step kernel over a 3D domain, tiled in planes."""
+    from .pallas_kernel import _shift_lateral
+
+    if program.ndim != 3:
+        raise ValueError("plane chains are for 3D domains")
+    n0, n1, n2 = spatial
+    ghost = program.ghost
+    all_acc = [at for s in program.steps for at in s.atoms
+               if isinstance(at, Field.Access)]
+    lo1, hi1 = plane_reach(all_acc)
+    LO, HI = k * lo1, k * hi1
+
+    in_names = [f.name for f in program.input_fields]
+    fields_by_name = {f.name: f for f in program.input_fields}
+    next_src = {n: carry_map.get(n, n) for n in in_names}
+
+    def _components(f):
+        if f.index_shape:
+            return [tuple(c) for c in
+                    _it.product(*(range(s) for s in f.index_shape))]
+        return [()]
+
+    in_keys = [(f.name, idx) for f in program.input_fields
+               for idx in _components(f)]
+
+    itemsize = jnp.dtype(dtype).itemsize
+    n_live = len(in_keys) * (k + 2) + 8
+    t = tile_planes or pick_plane_tile(n0, LO, HI,
+                                       n1 * n2 * itemsize * n_live,
+                                       vmem_limit_bytes)
+    if t is None or n0 % t or t < max(LO + HI, 1):
+        raise ValueError(f"no viable plane tile for n0={n0}, "
+                         f"halo={LO + HI} planes")
+    nb = n0 // t
+
+    def fn(inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        arrays, ups, downs = [], [], []
+        for name, idx in in_keys:
+            f = fields_by_name[name]
+            arr = inputs[name].astype(dtype)
+            vol = plane_view(f, arr, idx).reshape((n0, n1, n2))
+            arrays.append(vol)
+            xr = vol.reshape((nb, t, n1, n2))
+            if LO:
+                if periodic:
+                    ups.append(jnp.roll(xr[:, t - LO:], 1, axis=0))
+                else:
+                    first = jnp.broadcast_to(xr[:1, :1], (1, LO, n1, n2))
+                    ups.append(jnp.concatenate([first, xr[:-1, t - LO:]], 0))
+            if HI:
+                if periodic:
+                    downs.append(jnp.roll(xr[:, :HI], -1, axis=0))
+                else:
+                    last = jnp.broadcast_to(xr[-1:, -1:], (1, HI, n1, n2))
+                    downs.append(jnp.concatenate([xr[1:, :HI], last], 0))
+        n_in = len(in_keys)
+        n_up, n_dn = len(ups), len(downs)
+
+        def kernel(*refs):
+            xs = refs[:n_in]
+            up_refs = refs[n_in:n_in + n_up]
+            dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
+            outs = refs[n_in + n_up + n_dn:]
+            i = pl.program_id(0)
+
+            state: Dict[tuple, jax.Array] = {}
+            for kk, key in enumerate(in_keys):
+                parts = []
+                if LO:
+                    parts.append(up_refs[kk][0])
+                parts.append(xs[kk][...])
+                if HI:
+                    parts.append(dn_refs[kk][0])
+                state[key] = (jnp.concatenate(parts, axis=0)
+                              if len(parts) > 1 else parts[0])
+
+            for s in range(k):
+                margin_lo = LO - (s + 1) * lo1
+                ext = t + margin_lo + (HI - (s + 1) * hi1)
+                stage_out: Dict[tuple, jax.Array] = {}
+                env: Dict[object, jax.Array] = {}
+
+                def read(acc, _ext=ext):
+                    v = state[(acc.field.name, acc.index)]
+                    start = lo1 + acc.offsets[0]
+                    v = jax.lax.slice_in_dim(v, start, start + _ext, axis=0)
+                    v = _shift_lateral(v, acc.offsets[1], 1, False,
+                                       interpret, periodic)
+                    return _shift_lateral(v, acc.offsets[2], 2, False,
+                                          interpret, periodic)
+
+                shape_s = (ext, n1, n2)
+                for step_ in program.steps:
+                    vals = [read(at) if isinstance(at, Field.Access)
+                            else env[at] for at in step_.atoms]
+                    res = jnp.broadcast_to(
+                        jnp.asarray(step_.fn(*vals), dtype), shape_s)
+                    if step_.is_main:
+                        stage_out[(step_.target.field.name,
+                                   step_.target.index)] = res
+                    else:
+                        env[step_.target] = res
+
+                if not periodic:
+                    # sequential semantics: zero the global ghost frame
+                    base = i * t - margin_lo
+                    p_ids = (jax.lax.broadcasted_iota(jnp.int32, shape_s, 0)
+                             + base)
+                    a_ids = jax.lax.broadcasted_iota(jnp.int32, shape_s, 1)
+                    b_ids = jax.lax.broadcasted_iota(jnp.int32, shape_s, 2)
+                    (g0l, g0h), (g1l, g1h), (g2l, g2h) = ghost
+                    m = ((p_ids >= g0l) & (p_ids < n0 - g0h)
+                         & (a_ids >= g1l) & (a_ids < n1 - g1h)
+                         & (b_ids >= g2l) & (b_ids < n2 - g2h))
+                    stage_out = {key_: jnp.where(m, v, 0)
+                                 for key_, v in stage_out.items()}
+
+                new_state = {}
+                for name, idx in in_keys:
+                    src = next_src[name]
+                    if (src, idx) in stage_out:
+                        new_state[(name, idx)] = stage_out[(src, idx)]
+                    else:
+                        v = state[(src, idx)]
+                        new_state[(name, idx)] = jax.lax.slice_in_dim(
+                            v, lo1, lo1 + ext, axis=0)
+                state = new_state
+
+            for ref, key in zip(outs, in_keys):
+                ref[...] = state[key]
+
+        vol_spec = pl.BlockSpec((t, n1, n2), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def strip_spec(shape):
+            return pl.BlockSpec((1,) + shape[1:], lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        result = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            out_shape=tuple(jax.ShapeDtypeStruct((n0, n1, n2), dtype)
+                            for _ in in_keys),
+            in_specs=[vol_spec] * n_in + [strip_spec(u.shape) for u in ups]
+            + [strip_spec(d.shape) for d in downs],
+            out_specs=tuple(vol_spec for _ in in_keys),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_bytes),
+        )(*arrays, *ups, *downs)
+        if not isinstance(result, (tuple, list)):
+            result = (result,)
+
+        outputs: Dict[str, jax.Array] = {}
+        pos = 0
+        for f in program.input_fields:
+            comps = _components(f)
+            vols = [result[pos + j] for j in range(len(comps))]
+            pos += len(comps)
+            outputs[f.name] = assemble_planes(f, vols, spatial)
+        return outputs
+
+    return fn

@@ -311,10 +311,20 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
         key = (spatial, str(arr0.dtype))
         if key not in kernel_cache:
             interp = interpret if interpret is not None else not _on_tpu()
-            kernel_cache[key] = _make_chain_kernel_fn(
-                prog, k, carry_map, spatial,
-                dtype or arr0.dtype, interp, periodic, tile_rows=tile_rows,
-                probes=probes)
+            if prog.ndim == 3 and not probes:
+                # plane-blocked ("2.5D") geometry: chain halo is k·reach
+                # PLANES instead of k·reach·n1 flattened rows, and periodic
+                # wrap works in all three dims (ops/plane_chain.py)
+                from .plane_chain import make_plane_chain_kernel_fn
+
+                kernel_cache[key] = make_plane_chain_kernel_fn(
+                    prog, k, carry_map, spatial, dtype or arr0.dtype,
+                    interp, periodic, tile_planes=tile_rows)
+            else:
+                kernel_cache[key] = _make_chain_kernel_fn(
+                    prog, k, carry_map, spatial,
+                    dtype or arr0.dtype, interp, periodic,
+                    tile_rows=tile_rows, probes=probes)
         res = kernel_cache[key]({n: state[n] for n in in_names})
         if probes:
             outputs, probe_vals = res

@@ -92,3 +92,36 @@ def test_periodic_3d_raises():
     op = diffusion3d_op(dt=0.05, dtype="float64")
     with pytest.raises(ValueError, match="2D"):
         fused_chain_vjp(op, 2, CARRY, periodic=True, interpret=True)
+
+
+def test_diffusion3d_periodic_plane_chain():
+    """Plane-blocked 3D chains support FULL periodic wrap (all three dims)
+    — the flattened-row geometry's periodic mode is 2D-only."""
+    op = diffusion3d_op(dt=0.05, dtype="float64")
+    k = 2
+    chain = fused_time_chain(op, k, CARRY, periodic=True, interpret=True)
+    state = _state()
+    out = chain(state)
+
+    step = make_time_stepper(op, CARRY, lowering="jnp", periodic=True)
+    ref = dict(state)
+    for _ in range(k):
+        ref = step(ref)
+    np.testing.assert_allclose(out["u"], ref["u"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(out["kappa"], ref["kappa"],
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_plane_chain_uneven_plane_tile():
+    """Plane counts that aren't multiples of 8 tile fine (the plane axis
+    has no alignment requirement)."""
+    op = diffusion3d_op(dt=0.05, dtype="float64")
+    chain = fused_time_chain(op, 2, CARRY, periodic=False, interpret=True,
+                             tile_rows=7)  # 7 planes/block of the 14 below
+    u = jax.random.normal(jax.random.PRNGKey(3), (14, 10, 16), jnp.float64)
+    kap = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(4), (14, 10, 16),
+                                        jnp.float64) ** 2
+    state = {"u": u, "kappa": kap}
+    out = chain(state)
+    ref = _seq(op, state, 2)
+    np.testing.assert_allclose(out["u"], ref["u"], rtol=RTOL, atol=ATOL)
