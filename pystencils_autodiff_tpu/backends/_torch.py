@@ -72,7 +72,15 @@ class TorchNativeFunctionPair:
         if extension:
             try:
                 self.loaded = self.module.compile(extension=True)
-            except Exception:  # no torch headers / compiler issue
+            except Exception as e:  # no torch headers / compiler issue
+                import warnings
+
+                warnings.warn(
+                    f"torch extension build failed "
+                    f"({type(e).__name__}: {str(e)[:200]}); falling back to "
+                    f"the ctypes path (numpy copies at the boundary). Check "
+                    f"is_extension to detect this programmatically.",
+                    RuntimeWarning, stacklevel=2)
                 self.loaded = None
         if self.loaded is None:
             self.loaded = self.module.compile(extension=False)

@@ -178,6 +178,11 @@ def bounce_back(f: jax.Array, solid, u_wall=None, rho_wall: float = 1.0,
         velocities = D2Q9_VELOCITIES
         if weights is None:
             weights = [float(w) for w in D2Q9_WEIGHTS]
+    elif weights is None and u_wall is not None:
+        raise ValueError(
+            "bounce_back: a moving wall (u_wall) with a custom velocity set "
+            "needs the matching lattice weights — pass weights= (the Ladd "
+            "momentum term is 6 w_j rho (c_j . u_wall))")
     velocities = [tuple(int(c) for c in v) for v in velocities]
     opposite = [velocities.index(tuple(-c for c in v)) for v in velocities]
     solid = jnp.asarray(solid, bool)

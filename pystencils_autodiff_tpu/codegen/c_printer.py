@@ -109,6 +109,14 @@ class _StencilCPrinter(C99CodePrinter):
 def generate_c_source(program: StencilProgram, full_domain: bool,
                       dtype=np.float64, openmp: bool = True) -> str:
     """Emit a self-contained C translation unit for the program."""
+    for f in list(program.input_fields) + list(program.output_fields):
+        if getattr(f, "index_major", False):
+            # the generated loop nests linearize index dims TRAILING (AoS);
+            # an index-major ('soa') array would be silently mis-indexed
+            raise NotImplementedError(
+                f"native C backends index AoS (trailing index dims) only; "
+                f"field {f.name!r} uses layout='soa'. Rebuild the op with "
+                f"the default layout for the C/torch/TF-native paths.")
     dtype = np.dtype(dtype)
     ctype = _CTYPE[dtype]
     printer = _StencilCPrinter(program, full_domain, ctype)

@@ -279,13 +279,23 @@ class GraphDataHandling(DataHandling):
             non_sweeps = [n for n in body
                           if not isinstance(n, (SweepNode, CommNode))]
             periodic = kwargs.pop("periodic", False)
-            if non_sweeps and not periodic:
+            if non_sweeps:
+                # a recorded BoundaryNode cannot fold into the fused chain
+                # (periodic wrap is the chain's own boundary handling, NOT
+                # a replacement for dirichlet/bounce-back fills) — dropping
+                # it would silently change the program
                 raise ValueError(
-                    "fuse='stages' supports sweep/comm-only bodies (or "
-                    "periodic boundaries folded into the chain); found "
-                    f"{[type(n).__name__ for n in non_sweeps]}")
+                    "fuse='stages' supports sweep/comm-only bodies; the "
+                    "chain's own wrap handles periodic domains "
+                    "(periodic=True), but recorded boundary nodes "
+                    f"({[type(n).__name__ for n in non_sweeps]}) cannot be "
+                    "fused — use fuse='none'/'symbolic' for flagged-cell "
+                    "or frame boundary conditions")
             chain = fused_stage_chain([(s.op, s.carry_map) for s in sweeps],
                                       k=k, periodic=periodic, **kwargs)
+            chain_fields = set()
+            for s in sweeps:
+                chain_fields.update(f.name for f in s.op.forward_input_fields)
 
             def run(state: State, n_steps: int) -> State:
                 if n_steps % k:
@@ -293,7 +303,10 @@ class GraphDataHandling(DataHandling):
                                      f"chain depth k={k}")
 
                 def bodyf(c, _):
-                    return chain(c), None
+                    # extra (non-chain) state fields pass through untouched,
+                    # matching fuse='none' semantics
+                    inner = {n: c[n] for n in c if n in chain_fields}
+                    return {**c, **chain(inner)}, None
 
                 out, _ = jax.lax.scan(bodyf, dict(state), None,
                                       length=n_steps // k)
@@ -303,15 +316,32 @@ class GraphDataHandling(DataHandling):
         if fuse == "symbolic":
             from .simulation import Simulation
 
+            # the fused sweep replaces the recorded sweeps IN PLACE: the
+            # sweeps must be contiguous (no boundary node between them, or
+            # fusing would reorder BC application vs the recorded program)
+            sweep_pos = [j for j, n in enumerate(body)
+                         if isinstance(n, SweepNode)]
+            if sweep_pos and sweep_pos != list(
+                    range(sweep_pos[0], sweep_pos[0] + len(sweep_pos))):
+                raise ValueError(
+                    "fuse='symbolic' needs the recorded sweeps to be "
+                    "contiguous; a boundary/comm node between sweeps would "
+                    "be reordered by fusion — use fuse='none'")
             sim = Simulation(self, lowering=lowering, **kwargs)
             for n in body:
                 if isinstance(n, SweepNode):
                     sim.add_sweep(n.op, n.carry_map)
             fused = sim.fused_op()
             carry = fused._fused_carry
-            step = self._step_fn(
-                [n for n in body if isinstance(n, BoundaryNode)]
-                + [SweepNode(fused, carry)], lowering, **kwargs)
+            new_body, placed = [], False
+            for n in body:
+                if isinstance(n, SweepNode):
+                    if not placed:
+                        new_body.append(SweepNode(fused, carry))
+                        placed = True
+                elif isinstance(n, BoundaryNode):
+                    new_body.append(n)
+            step = self._step_fn(new_body, lowering, **kwargs)
 
             def run(state: State, n_steps: int) -> State:
                 return run_timeloop(step, state, n_steps,

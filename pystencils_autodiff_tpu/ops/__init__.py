@@ -60,14 +60,26 @@ def lower_forward(op, lowering: str = "jnp", **kwargs):
     return get_lowering(lowering)(prog, full_domain=False, **kwargs)
 
 
-def lower_backward(op, lowering: str = "jnp", full_domain: bool = False, **kwargs):
+def lower_backward(op, lowering: str = "jnp",
+                   full_domain: "bool | None" = None, **kwargs):
+    """``full_domain=None`` uses each construction's native semantics:
+    interior-write (zeroed ghost ring) for single-pass backwards, and
+    full-domain for staged (TF_MAD) backwards — whose passes cannot run
+    interior-write, so explicitly requesting ``full_domain=False`` on a
+    staged op raises instead of being silently ignored."""
     from .common import backward_programs, is_staged_backward
 
     if is_staged_backward(op):
         from .vjp import make_staged_fn
 
-        # multi-pass backward (TF_MAD): all stages run full-domain
+        if full_domain is False:
+            raise ValueError(
+                "staged (TF_MAD) backward ops run all passes full-domain; "
+                "full_domain=False (interior-write/zeroed-ghost semantics) "
+                "is not available for them — compare in full_domain=True "
+                "or use diff_mode='transposed'")
         return make_staged_fn(backward_programs(op), get_lowering(lowering),
                               {}, **kwargs)
     prog = backward_program(op)
-    return get_lowering(lowering)(prog, full_domain=full_domain, **kwargs)
+    return get_lowering(lowering)(prog, full_domain=bool(full_domain),
+                                  **kwargs)

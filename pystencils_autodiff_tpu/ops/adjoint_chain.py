@@ -29,8 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..adjoint_field import AdjointField
 from ..field import Field
 from .common import (StencilProgram, assemble_planes, backward_program,
-                     forward_program, plane_view, require_row_major,
-                     storage_spatial)
+                     field_components, forward_program, plane_view,
+                     require_row_major, storage_spatial)
 
 __all__ = ["fused_chain_vjp", "transposed_linear_op"]
 
@@ -122,17 +122,10 @@ def transposed_linear_op(op, carry_map: Dict[str, str]):
             return None
         grads_rhs[(m, tgt.index)] = rhs
 
-    import itertools as _it
-
-    def _components(f):
-        if f.index_shape:
-            return [tuple(c) for c in
-                    _it.product(*(range(s) for s in f.index_shape))]
-        return [()]
 
     mains = []
     for m, f in fwd_in.items():
-        for idx in _components(f):
+        for idx in field_components(f):
             rhs = grads_rhs.get((m, idx), sp.Integer(0))
             for n in pass_to.get(m, ()):
                 rhs = rhs + Field.Access(cot_field[n], (0,) * f.spatial_dimensions, idx)
@@ -198,16 +191,9 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
             raise ValueError(f"carry source {src!r} is neither output "
                              f"({out_names_all}) nor input ({in_names})")
 
-    import itertools as _it
-
-    def _components(f):
-        if f.index_shape:
-            return [tuple(c) for c in
-                    _it.product(*(range(s) for s in f.index_shape))]
-        return [()]
 
     in_keys = [(f.name, idx) for f in op.forward_input_fields
-               for idx in _components(f)]
+               for idx in field_components(f)]
     out_names = [f.name for f in op.forward_output_fields]
     next_src = {n: carry_map.get(n, n) for n in in_names}
     # reverse flow: cotangent received for state'[n] flows to carry source
@@ -245,10 +231,12 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
             cot_op, cot_carry, name_of = twin
             fwd_chain = fused_time_chain(op, k, carry_map, periodic=True,
                                          interpret=interpret,
-                                         tile_rows=tile_rows)
+                                         tile_rows=tile_rows,
+                                         vmem_limit_bytes=vmem_limit_bytes)
             cot_chain = fused_time_chain(cot_op, k, cot_carry, periodic=True,
                                          interpret=interpret,
-                                         tile_rows=tile_rows)
+                                         tile_rows=tile_rows,
+                                         vmem_limit_bytes=vmem_limit_bytes)
 
             def chain_grad(state, cot_state, probe_cots=()):
                 new_state = fwd_chain({n: state[n] for n in in_names})
@@ -552,7 +540,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
             def restack(planes_flat, base):
                 out, pos = {}, base
                 for f in op.forward_input_fields:
-                    comps = _components(f)
+                    comps = field_components(f)
                     planes = [planes_flat[pos + j] for j in range(len(comps))]
                     pos += len(comps)
                     out[f.name] = assemble_planes(f, planes, spatial)

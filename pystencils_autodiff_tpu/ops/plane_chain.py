@@ -16,7 +16,6 @@ through single-step custom_vjp ops exactly like the flattened chain.
 
 from __future__ import annotations
 
-import itertools as _it
 from typing import Dict, Optional
 
 import jax
@@ -25,7 +24,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..field import Field
-from .common import StencilProgram, assemble_planes, plane_view
+from .common import (StencilProgram, assemble_planes, field_components,
+                     plane_view)
 
 __all__ = ["make_plane_chain_kernel_fn", "plane_reach", "pick_plane_tile"]
 
@@ -79,14 +79,8 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
     fields_by_name = {f.name: f for f in program.input_fields}
     next_src = {n: carry_map.get(n, n) for n in in_names}
 
-    def _components(f):
-        if f.index_shape:
-            return [tuple(c) for c in
-                    _it.product(*(range(s) for s in f.index_shape))]
-        return [()]
-
     in_keys = [(f.name, idx) for f in program.input_fields
-               for idx in _components(f)]
+               for idx in field_components(f)]
 
     itemsize = jnp.dtype(dtype).itemsize
     n_live = len(in_keys) * (k + 2) + 8
@@ -219,7 +213,7 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
         outputs: Dict[str, jax.Array] = {}
         pos = 0
         for f in program.input_fields:
-            comps = _components(f)
+            comps = field_components(f)
             vols = [result[pos + j] for j in range(len(comps))]
             pos += len(comps)
             outputs[f.name] = assemble_planes(f, vols, spatial)

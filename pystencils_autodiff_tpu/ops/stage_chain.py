@@ -29,7 +29,6 @@ generated kernels per sweep with MPI halo exchanges between them
 
 from __future__ import annotations
 
-import itertools as _it
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -39,8 +38,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..field import Field
-from .common import (StencilProgram, assemble_planes, forward_program,
-                     plane_view, require_row_major, storage_spatial)
+from .common import (StencilProgram, assemble_planes, field_components,
+                     forward_program, plane_view, require_row_major,
+                     storage_spatial)
 from .flatten import FlatGeom, pick_chain_tile
 
 __all__ = ["fused_stage_chain", "stage_stepper"]
@@ -75,12 +75,6 @@ def stage_stepper(op, carry_map: Dict[str, str], lowering: str = "jnp",
     step.input_names = in_names
     step.output_names = out_names
     return step
-
-
-def _components(f: Field) -> List[tuple]:
-    if f.index_shape:
-        return [tuple(c) for c in _it.product(*(range(s) for s in f.index_shape))]
-    return [()]
 
 
 def _validate_stages(stages) -> Tuple[List[StencilProgram], List[Dict[str, str]],
@@ -150,7 +144,7 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
     LO, HI = k * lo_cyc, k * hi_cyc
 
     state_keys = [(n, idx) for n in state_names
-                  for idx in _components(state_fields[n])]
+                  for idx in field_components(state_fields[n])]
 
     itemsize = jnp.dtype(dtype).itemsize
     n_live = len(state_keys) * (len(progs) + 3) + 8
@@ -303,7 +297,7 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
         pos = 0
         for n in state_names:
             f = state_fields[n]
-            comps = _components(f)
+            comps = field_components(f)
             planes = [result[pos + j] for j in range(len(comps))]
             pos += len(comps)
             outputs[n] = assemble_planes(f, planes, spatial)

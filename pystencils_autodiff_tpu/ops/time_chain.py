@@ -28,8 +28,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..field import Field
-from .common import (StencilProgram, assemble_planes, forward_program,
-                     plane_view, require_row_major, storage_spatial)
+from .common import (StencilProgram, assemble_planes, field_components,
+                     forward_program, plane_view, require_row_major,
+                     storage_spatial)
 
 __all__ = ["fused_time_chain"]
 
@@ -59,8 +60,6 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
     temporal blocking.  The wrapped fn then returns ``(state, probe_list)``
     with each probe of shape ``(k, cols)``.
     """
-    import itertools as _it
-
     from .flatten import FlatGeom, pick_chain_tile
     from .pallas_kernel import _shift_lateral
 
@@ -79,14 +78,8 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
     fields_by_name = {f.name: f for f in program.input_fields}
     next_src = {n: carry_map.get(n, n) for n in in_names}
 
-    def _components(f):
-        if f.index_shape:
-            return [tuple(c) for c in
-                    _it.product(*(range(s) for s in f.index_shape))]
-        return [()]
-
     in_keys = [(f.name, idx) for f in program.input_fields
-               for idx in _components(f)]
+               for idx in field_components(f)]
 
     probes = list(probes or ())
     for pname, _prow in probes:
@@ -244,7 +237,7 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
         outputs: Dict[str, jax.Array] = {}
         pos = 0
         for f in program.input_fields:
-            comps = _components(f)
+            comps = field_components(f)
             planes = [result[pos + j] for j in range(len(comps))]
             pos += len(comps)
             outputs[f.name] = assemble_planes(f, planes, spatial)
@@ -261,7 +254,8 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
 def fused_time_chain(op, k: int, carry_map: Dict[str, str],
                      periodic: bool = False, interpret: Optional[bool] = None,
                      tile_rows: Optional[int] = None, dtype=None,
-                     fused_bwd: bool = False, probes=None):
+                     fused_bwd: bool = False, probes=None,
+                     vmem_limit_bytes: int = 100 * 1024 * 1024):
     """``chain(state: dict) -> state`` advancing ``k`` steps in ONE kernel.
 
     Exact gradients: the backward rule recomputes the k steps with the
@@ -319,12 +313,14 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
 
                 kernel_cache[key] = make_plane_chain_kernel_fn(
                     prog, k, carry_map, spatial, dtype or arr0.dtype,
-                    interp, periodic, tile_planes=tile_rows)
+                    interp, periodic, tile_planes=tile_rows,
+                    vmem_limit_bytes=vmem_limit_bytes)
             else:
                 kernel_cache[key] = _make_chain_kernel_fn(
                     prog, k, carry_map, spatial,
                     dtype or arr0.dtype, interp, periodic,
-                    tile_rows=tile_rows, probes=probes)
+                    tile_rows=tile_rows, probes=probes,
+                    vmem_limit_bytes=vmem_limit_bytes)
         res = kernel_cache[key]({n: state[n] for n in in_names})
         if probes:
             outputs, probe_vals = res
@@ -351,7 +347,8 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
 
         adj_chain = fused_chain_vjp(op, k, carry_map, periodic=periodic,
                                     interpret=interpret,
-                                    tile_rows=tile_rows, probes=probes)
+                                    tile_rows=tile_rows, probes=probes,
+                                    vmem_limit_bytes=vmem_limit_bytes)
 
         def bwd_rule(saved, cot):
             if probes:

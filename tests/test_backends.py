@@ -224,3 +224,16 @@ def test_torch_native_pair_is_extension_and_gradchecks():
                for _ in apply.input_names]
     assert torch.autograd.gradcheck(
         lambda *ts: apply(*ts), tuple(tensors), eps=1e-6, atol=1e-8)
+
+
+def test_native_c_backend_rejects_soa_layout():
+    """The generated C loop nests linearize index dims trailing (AoS);
+    'soa' fields must be rejected loudly, not silently mis-indexed
+    (review finding)."""
+    from pystencils_autodiff_tpu.codegen.c_printer import generate_c_source
+    from pystencils_autodiff_tpu.models.lbm import d2q9_bgk_op
+    from pystencils_autodiff_tpu.ops import forward_program
+
+    op = d2q9_bgk_op(omega=1.6, layout="soa")
+    with pytest.raises(NotImplementedError, match="soa"):
+        generate_c_source(forward_program(op), False)

@@ -203,3 +203,15 @@ def test_boundary_handling_spec_chain():
     u = jnp.zeros((6, 6))
     out = np.asarray(bh({"u": u})["u"])
     assert out[0, 0] == 7.0 and out[3, 3] == 9.0 and out[2, 2] == 0.0
+
+
+def test_bounce_back_custom_velocities_need_weights_for_moving_wall():
+    """Custom velocity set + moving wall without matching weights raises
+    instead of crashing on weights[j] (review finding)."""
+    from pystencils_autodiff_tpu.models.lbm import D3Q19_VELOCITIES
+
+    f = jnp.zeros((4, 4, 4, 19))
+    solid = jnp.zeros((4, 4, 4), bool).at[0].set(True)
+    with pytest.raises(ValueError, match="matching lattice weights"):
+        bounce_back(f, solid, u_wall=(0.0, 0.0, 0.1),
+                    velocities=D3Q19_VELOCITIES)

@@ -115,3 +115,66 @@ def test_graph_validation():
         dh.compile()
     with pytest.raises(ValueError, match="unknown fuse mode"):
         build_heat_graph()[0].compile(fuse="bogus")
+
+
+def test_graph_stage_fusion_rejects_boundary_nodes():
+    """Recorded boundary nodes cannot fold into a fused stage chain —
+    dropping them silently would change the program (review finding)."""
+    dh, op = build_heat_graph()
+    with pytest.raises(ValueError, match="boundary nodes"):
+        dh.compile(fuse="stages", k=2, periodic=True)
+
+
+def test_graph_stage_fusion_passes_extra_fields_through():
+    """State fields no sweep touches ride along unchanged, matching
+    fuse='none' semantics (review finding: carry-pytree mismatch)."""
+    n = 32
+    dh = GraphDataHandling((n, n), ghost_layers=0, default_dtype=jnp.float64)
+    dh.add_field("u", init=0.0)
+    dh.add_field("scratch", init=3.0)
+    dh.set_array("u", jax.random.normal(jax.random.PRNGKey(0), (n, n)))
+    from pystencils_autodiff_tpu.models.heat import heat_step_op
+    op = heat_step_op(dt=0.1, kappa_field=False, dtype="float64")
+    with dh.timeloop() as loop:
+        loop.sweep(op, {"u": "u_next"})
+    run = dh.compile(fuse="stages", k=2, periodic=True, interpret=True,
+                     tile_rows=16)
+    out = run(dh.state(), 4)
+    assert np.all(np.asarray(out["scratch"]) == 3.0)
+
+
+def test_graph_symbolic_fusion_rejects_interleaved_boundary():
+    """A boundary node BETWEEN sweeps cannot be preserved by symbolic
+    fusion — reordering it would change the program (review finding)."""
+    n = 16
+    dh = GraphDataHandling((n, n), ghost_layers=1, default_dtype=jnp.float64)
+    for name in ["vx", "vy", "sxx", "syy", "sxy"]:
+        dh.add_field(name, init=0.0)
+    vel = elastic_velocity_op(dt=0.01, dtype="float64")
+    stress = elastic_stress_op(dt=0.01, dtype="float64")
+    with dh.timeloop() as loop:
+        loop.sweep(vel, {"vx": "vx_next", "vy": "vy_next"})
+        loop.boundary({"vx": "neumann"})
+        loop.sweep(stress, {"sxx": "sxx_next", "syy": "syy_next",
+                            "sxy": "sxy_next"})
+    with pytest.raises(ValueError, match="contiguous"):
+        dh.compile(fuse="symbolic")
+
+
+def test_graph_symbolic_fusion_preserves_trailing_boundary_order():
+    """Recorded [sweep, boundary] keeps BC application AFTER the (fused)
+    sweep — round-1 code hoisted all boundaries to the front."""
+    dh = GraphDataHandling((22, 22), ghost_layers=1,
+                           default_dtype=jnp.float64)
+    dh.add_field("u", init=0.0)
+    dh.set_array("u", jax.random.normal(jax.random.PRNGKey(1), (24, 24)))
+    from pystencils_autodiff_tpu.models.heat import heat_step_op
+    op = heat_step_op(dt=0.1, kappa_field=False, dtype="float64")
+    with dh.timeloop() as loop:
+        loop.sweep(op, {"u": "u_next"})
+        loop.boundary({"u": ("dirichlet", 7.0)})
+    out_n = dh.compile()(dh.state(), 3)["u"]
+    out_s = dh.compile(fuse="symbolic")(dh.state(), 3)["u"]
+    np.testing.assert_allclose(out_s, out_n, rtol=1e-13, atol=1e-13)
+    # the trailing dirichlet is visible in the final state
+    assert np.all(np.asarray(out_n)[0, :] == 7.0)
