@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
-__all__ = ["ExportedOp", "export_op", "load_exported", "save_exported"]
+__all__ = ["ExportedOp", "export_op", "export_program", "load_exported",
+           "save_exported"]
 
 
 class ExportedOp:
@@ -68,6 +69,56 @@ def export_op(op, spatial_shape: Sequence[int], dtype=jnp.float32,
         )(*args, *cot_specs)
         return ExportedOp(exp, exp_vjp)
     return ExportedOp(exp)
+
+
+def export_program(run, example_state: Dict[str, jax.Array], n_steps: int,
+                   with_gradient: bool = True,
+                   grad_field: Optional[str] = None,
+                   platforms: Optional[Sequence[str]] = None) -> "ExportedOp":
+    """Export a whole recorded program — ``run(state, n_steps) -> state``
+    from ``GraphDataHandling.compile`` (any fuse mode) or a hand-built
+    timeloop — as a portable StableHLO artifact.
+
+    ``n_steps`` is baked in (exported programs have static control flow).
+    With ``with_gradient`` a VJP artifact is exported alongside: it takes
+    the state fields plus one cotangent per state field and returns the
+    gradients w.r.t. ``grad_field`` (default: every state field).  This is
+    the whole-program analog of the reference's generated simulation app
+    (SURVEY.md §2.1 #15) as a deployable artifact.
+    """
+    names = sorted(example_state)
+    specs = [jax.ShapeDtypeStruct(example_state[n].shape,
+                                  example_state[n].dtype) for n in names]
+
+    def fn(*arrays):
+        out = run(dict(zip(names, arrays)), n_steps)
+        return tuple(out[n] for n in names)
+
+    exp = jax_export.export(
+        jax.jit(fn), platforms=list(platforms) if platforms else None)(*specs)
+    if not with_gradient:
+        return ExportedOp(exp)
+
+    gnames = [grad_field] if grad_field else names
+
+    def vjp_fn(*args_and_cots):
+        primals = args_and_cots[:len(names)]
+        cots = args_and_cots[len(names):]
+
+        def f_of_grads(*gvals):
+            st = dict(zip(names, primals))
+            st.update(zip(gnames, gvals))
+            out = run(st, n_steps)
+            return tuple(out[n] for n in names)
+
+        _, pullback = jax.vjp(f_of_grads,
+                              *[dict(zip(names, primals))[g] for g in gnames])
+        return pullback(tuple(cots))
+
+    exp_vjp = jax_export.export(
+        jax.jit(vjp_fn),
+        platforms=list(platforms) if platforms else None)(*specs, *specs)
+    return ExportedOp(exp, exp_vjp)
 
 
 def save_exported(exported: "ExportedOp", path: str) -> None:
