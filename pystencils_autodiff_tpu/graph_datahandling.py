@@ -224,8 +224,8 @@ class GraphDataHandling(DataHandling):
                              f"have {len(loops)}")
         return loops[0]
 
-    def _step_fn(self, body: List[object], lowering: str, **kwargs
-                 ) -> Callable[[State], State]:
+    def _step_fn(self, body: List[object], lowering: str, mesh=None,
+                 dim_axes=None, **kwargs) -> Callable[[State], State]:
         from .ops.stage_chain import stage_stepper
 
         parts = []
@@ -238,8 +238,18 @@ class GraphDataHandling(DataHandling):
                                         for n in _bh.specs if n in state}}
                 parts.append(bc)
             elif isinstance(node, SweepNode):
+                fn = None
+                if mesh is not None:
+                    # mesh-decomposed sweep: shard_map + ppermute halo
+                    # exchange replaces the reference's generated-MPI-app
+                    # execution of the recorded graph (SURVEY §2.1 #13-15)
+                    from .parallel import ShardedStencil
+
+                    fn = ShardedStencil(node.op, mesh, dim_axes or {0: mesh.axis_names[0]},
+                                        **kwargs)
                 parts.append(stage_stepper(node.op, node.carry_map,
-                                           lowering=lowering, **kwargs))
+                                           lowering=lowering, fn=fn,
+                                           **({} if fn is not None else kwargs)))
             elif isinstance(node, CommNode):
                 pass  # sharded sweeps exchange halos internally
             else:
@@ -262,7 +272,16 @@ class GraphDataHandling(DataHandling):
         ``fuse="stages"``: run the whole timeloop body as a heterogeneous
         fused chain, ``k`` cycles per kernel (boundary nodes must be
         absent or periodic — the chain handles wrap itself).
+
+        ``mesh=``/``dim_axes=`` (fuse='none'): run every recorded sweep
+        mesh-decomposed via ``parallel.ShardedStencil`` (shard_map +
+        ppermute halo exchange) — the recorded graph executed the way the
+        reference's generated waLBerla/MPI app would run it, fully
+        differentiable.  Not supported with fused modes.
         """
+        if kwargs.get("mesh") is not None and fuse != "none":
+            raise ValueError("mesh-decomposed execution supports "
+                             "fuse='none' (fused chains are per-device)")
         body = self._timeloop_node().body
         if fuse == "none":
             step = self._step_fn(body, lowering, **kwargs)

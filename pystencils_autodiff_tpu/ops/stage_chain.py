@@ -47,14 +47,17 @@ __all__ = ["fused_stage_chain", "stage_stepper"]
 
 
 def stage_stepper(op, carry_map: Dict[str, str], lowering: str = "jnp",
-                  **kwargs):
+                  fn=None, **kwargs):
     """``step(state) -> state`` for ONE stage of a heterogeneous sequence.
 
     Unlike ``timeloop.make_time_stepper`` the carry may target any *chain*
     state field, not just this op's inputs (RK intermediates are written by
     one stage and read by the next); unmapped state entries pass through.
+
+    ``fn``: optional prebuilt callable replacing ``op.jax_function`` —
+    e.g. a ``parallel.ShardedStencil`` for mesh-decomposed sweeps.
     """
-    f = op.jax_function(lowering=lowering, **kwargs)
+    f = fn if fn is not None else op.jax_function(lowering=lowering, **kwargs)
     in_names = [fl.name for fl in op.forward_input_fields]
     out_names = [fl.name for fl in op.forward_output_fields]
     for dst, src in carry_map.items():

@@ -178,3 +178,33 @@ def test_graph_symbolic_fusion_preserves_trailing_boundary_order():
     np.testing.assert_allclose(out_s, out_n, rtol=1e-13, atol=1e-13)
     # the trailing dirichlet is visible in the final state
     assert np.all(np.asarray(out_n)[0, :] == 7.0)
+
+
+def test_graph_compiles_to_sharded_execution():
+    """compile(mesh=...) runs every recorded sweep mesh-decomposed
+    (shard_map + ppermute halos) — bit-exact vs single-device replay,
+    gradients included."""
+    from pystencils_autodiff_tpu.parallel import make_mesh
+
+    n = 32
+    dh = GraphDataHandling((n - 2, n - 2), ghost_layers=1,
+                           default_dtype=jnp.float64)
+    dh.add_field("u", init=0.0)
+    dh.set_array("u", jax.random.normal(jax.random.PRNGKey(0), (n, n)))
+    op = heat_step_op(dt=0.1, kappa_field=False, dtype="float64")
+    with dh.timeloop() as loop:
+        loop.sweep(op, {"u": "u_next"})
+    mesh = make_mesh((4,), ("x",))
+    run_sh = dh.compile(mesh=mesh, dim_axes={0: "x"})
+    run_1d = dh.compile()
+    st = dh.state()
+    out_sh = run_sh(st, 5)["u"]
+    out_1d = run_1d(st, 5)["u"]
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_1d),
+                               rtol=1e-14, atol=1e-14)
+    g_sh = jax.grad(lambda a: jnp.sum(run_sh({"u": a}, 3)["u"] ** 2))(st["u"])
+    g_1d = jax.grad(lambda a: jnp.sum(run_1d({"u": a}, 3)["u"] ** 2))(st["u"])
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_1d),
+                               rtol=1e-13, atol=1e-13)
+    with pytest.raises(ValueError, match="fuse='none'"):
+        dh.compile(fuse="stages", mesh=mesh)
