@@ -248,3 +248,26 @@ def test_jit_and_vmap_compose():
     assert out.shape == (4, 8, 8)
     g = jax.vmap(jax.grad(lambda x: jnp.sum(f(x) ** 2)))(xb)
     assert g.shape == (4, 8, 8)
+
+
+def test_periodic_3d_wrap_directional_oracle():
+    """Directional 3D stencil vs a jnp.roll oracle in BOTH lowerings:
+    conservation tests alone cannot catch a wrong wrap (any spatial
+    permutation conserves the moments), so this pins the torus semantics
+    per dimension with distinct prime weights."""
+    import jax
+
+    u, out = fields("u3w, out3w", 3)
+    op = AutoDiffOp([Assignment(out.center,
+                                2 * u[1, 0, 0] + 3 * u[0, 1, 0]
+                                + 5 * u[0, 0, 1] + 7 * u[-1, 0, 0])],
+                    op_name="dir3")
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 10, 16))
+    ref = (2 * jnp.roll(x, -1, 0) + 3 * jnp.roll(x, -1, 1)
+           + 5 * jnp.roll(x, -1, 2) + 7 * jnp.roll(x, 1, 0))
+    for kw in ({"lowering": "jnp"},
+               {"lowering": "pallas", "interpret": True}):
+        f = op.jax_function(periodic=True, **kw)
+        np.testing.assert_allclose(np.asarray(f(x)), np.asarray(ref),
+                                   rtol=1e-13, atol=1e-13,
+                                   err_msg=str(kw))
