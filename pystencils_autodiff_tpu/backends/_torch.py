@@ -150,9 +150,15 @@ def create_autograd_function(autodiff_op, native: bool = False,
             def forward(ctx, *tensors):
                 tensors = tuple(t.detach() for t in tensors)
                 outs = pair.forward(**dict(zip(in_names, tensors)))
-                ctx.saved_tensors_by_name = {
-                    n: t for n, t in zip(in_names, tensors)
-                    if n in saved_names}
+                # route saved primals through save_for_backward so autograd's
+                # version counters catch in-place mutation between forward
+                # and backward (advisor finding, round 2) and the tensors are
+                # released after backward
+                ctx.saved_input_names = [n for n in in_names
+                                         if n in saved_names]
+                ctx.save_for_backward(
+                    *(t for n, t in zip(in_names, tensors)
+                      if n in saved_names))
                 ctx.in_dtypes = [t.dtype for t in tensors]
                 res = tuple(outs[n] for n in out_names)
                 return res if len(res) > 1 else res[0]
@@ -161,7 +167,8 @@ def create_autograd_function(autodiff_op, native: bool = False,
             def backward(ctx, *grad_outputs):
                 cots = {n: g.detach()
                         for n, g in zip(out_names, grad_outputs)}
-                grads = pair.backward(cots, ctx.saved_tensors_by_name)
+                saved = dict(zip(ctx.saved_input_names, ctx.saved_tensors))
+                grads = pair.backward(cots, saved)
                 out = []
                 for n, dt in zip(in_names, ctx.in_dtypes):
                     if n in grads and n not in constant:

@@ -171,9 +171,18 @@ class GraphDataHandling(DataHandling):
                   origin=None):
         f = super().add_field(name, index_shape, dtype=dtype, init=init,
                               origin=origin)
+        # record a scalar init when possible; array-valued inits (which the
+        # underlying DataHandling accepts) get a shape placeholder so the
+        # artifact stays JSON-serialisable (advisor finding, round 2)
+        try:
+            init_rec = float(init)
+        except (TypeError, ValueError):
+            shape = getattr(init, "shape", None)
+            init_rec = (f"array{tuple(shape)}" if shape is not None
+                        else "array")
         self.graph.nodes.append(AllocNode(
             name, tuple(index_shape), str(self.arrays[name].dtype),
-            float(init)))
+            init_rec))
         return f
 
     def _record(self, node):

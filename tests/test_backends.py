@@ -237,3 +237,19 @@ def test_native_c_backend_rejects_soa_layout():
     op = d2q9_bgk_op(omega=1.6, layout="soa")
     with pytest.raises(NotImplementedError, match="soa"):
         generate_c_source(forward_program(op), False)
+
+
+def test_torch_native_inplace_mutation_detected():
+    """Saved primals go through ctx.save_for_backward, so autograd's version
+    counters catch in-place input mutation between forward and backward
+    (advisor finding, round 2)."""
+    op = _varcoeff_op()
+    apply = op.create_pytorch_op(native=True)
+    rng = np.random.default_rng(5)
+    tensors = [torch.tensor(rng.standard_normal((6, 7)), requires_grad=True)
+               for _ in apply.input_names]
+    out = apply(*tensors)
+    with torch.no_grad():
+        tensors[0].add_(1.0)  # mutate a saved input in place
+    with pytest.raises(RuntimeError, match="modified by an inplace"):
+        out.sum().backward()

@@ -208,3 +208,17 @@ def test_graph_compiles_to_sharded_execution():
                                rtol=1e-13, atol=1e-13)
     with pytest.raises(ValueError, match="fuse='none'"):
         dh.compile(fuse="stages", mesh=mesh)
+
+
+def test_add_field_array_init_records_placeholder():
+    """Array-valued init is accepted and recorded as a shape placeholder in
+    the alloc node (advisor finding, round 2)."""
+    import numpy as np
+
+    dh = GraphDataHandling((8, 8), ghost_layers=1, default_dtype=jnp.float64)
+    arr = np.arange(100, dtype=np.float64).reshape(10, 10)
+    dh.add_field("u", init=arr)
+    np.testing.assert_allclose(np.asarray(dh.arrays["u"]), arr)
+    alloc = dh.graph.nodes[0]
+    assert alloc.init == "array(10, 10)"
+    dh.graph.to_json()  # artifact stays serialisable
