@@ -282,15 +282,18 @@ class GraphDataHandling(DataHandling):
         fused chain, ``k`` cycles per kernel (boundary nodes must be
         absent or periodic — the chain handles wrap itself).
 
-        ``mesh=``/``dim_axes=`` (fuse='none'): run every recorded sweep
-        mesh-decomposed via ``parallel.ShardedStencil`` (shard_map +
-        ppermute halo exchange) — the recorded graph executed the way the
-        reference's generated waLBerla/MPI app would run it, fully
-        differentiable.  Not supported with fused modes.
+        ``mesh=``/``dim_axes=``: run the recorded graph mesh-decomposed —
+        with ``fuse='none'`` every sweep runs via ``parallel.ShardedStencil``
+        (shard_map + ppermute halo exchange each step, the way the
+        reference's generated waLBerla/MPI app would run it); with
+        ``fuse='stages'`` the whole body runs as a comm-avoiding
+        ``parallel.ShardedChain`` (ONE k·reach-deep halo exchange per fused
+        k-cycle kernel).  Fully differentiable either way.  Not supported
+        with fuse='symbolic'.
         """
-        if kwargs.get("mesh") is not None and fuse != "none":
+        if kwargs.get("mesh") is not None and fuse == "symbolic":
             raise ValueError("mesh-decomposed execution supports "
-                             "fuse='none' (fused chains are per-device)")
+                             "fuse='none' and fuse='stages'")
         body = self._timeloop_node().body
         if fuse == "none":
             step = self._step_fn(body, lowering, **kwargs)
@@ -319,8 +322,19 @@ class GraphDataHandling(DataHandling):
                     f"({[type(n).__name__ for n in non_sweeps]}) cannot be "
                     "fused — use fuse='none'/'symbolic' for flagged-cell "
                     "or frame boundary conditions")
-            chain = fused_stage_chain([(s.op, s.carry_map) for s in sweeps],
-                                      k=k, periodic=periodic, **kwargs)
+            mesh = kwargs.pop("mesh", None)
+            if mesh is not None:
+                from .parallel import ShardedChain
+
+                dim_axes = kwargs.pop("dim_axes", None)
+                chain = ShardedChain(
+                    [(s.op, s.carry_map) for s in sweeps], k=k, mesh=mesh,
+                    dim_axes=dim_axes or {0: mesh.axis_names[0]},
+                    periodic=periodic, **kwargs)
+            else:
+                chain = fused_stage_chain(
+                    [(s.op, s.carry_map) for s in sweeps],
+                    k=k, periodic=periodic, **kwargs)
             chain_fields = set()
             for s in sweeps:
                 chain_fields.update(f.name for f in s.op.forward_input_fields)

@@ -15,6 +15,7 @@ pallas_kernel._run_blocked docstring).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Sequence, Tuple
 
 import jax
@@ -23,7 +24,18 @@ import numpy as np
 
 from ..field import Field
 
-__all__ = ["FlatGeom", "pick_chain_tile"]
+__all__ = ["FlatGeom", "ShardSpec", "pick_chain_tile"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardSpec:
+    """Tells a fused chain kernel it is running on one halo-extended shard
+    of a larger global domain (parallel.ShardedChain): tile halo strips are
+    built bounded-style (wrap, if any, arrived via the ppermute exchange)
+    and interior masking tests *global* coordinates, supplied at call time
+    as a per-dim base-offset scalar array."""
+    global_spatial: Tuple[int, ...]
+    sharded_dims: Tuple[int, ...]
 
 
 def pick_chain_tile(rows: int, LO: int, HI: int, row_bytes_live: int,
@@ -94,6 +106,26 @@ class FlatGeom:
         lo, hi = ghost[-1]
         if lo or hi:
             m &= (c_ids >= lo) & (c_ids < self.cols - hi)
+        return m
+
+    def interior_mask_global(self, r_ids, c_ids, ghost, bases, global_spatial):
+        """Like ``interior_mask`` but for a local window of a larger global
+        domain (sharded fused chains): per-dim local coordinates — computed
+        against THIS geometry's (halo-extended local) extents — are offset
+        by the traced ``bases`` scalars and tested against the *global*
+        extents, so only the global ghost frame is masked, never the
+        exchanged halo of an interior shard."""
+        m = jnp.ones(r_ids.shape, bool)
+        g_lead = tuple(global_spatial[:-1])
+        for d in range(self.nd - 1):
+            lo, hi = ghost[d]
+            if lo or hi:
+                c = self.dim_coord(r_ids, d) + bases[d]
+                m &= (c >= lo) & (c < g_lead[d] - hi)
+        lo, hi = ghost[-1]
+        if lo or hi:
+            gc = c_ids + bases[self.nd - 1]
+            m &= (gc >= lo) & (gc < global_spatial[-1] - hi)
         return m
 
     def crossing_mask(self, r_ids, offsets):

@@ -41,7 +41,7 @@ from ..field import Field
 from .common import (StencilProgram, assemble_planes, field_components,
                      forward_program, plane_view, require_row_major,
                      storage_spatial)
-from .flatten import FlatGeom, pick_chain_tile
+from .flatten import FlatGeom, ShardSpec, pick_chain_tile
 
 __all__ = ["fused_stage_chain", "stage_stepper"]
 
@@ -141,14 +141,23 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
                              k: int, spatial, dtype, interpret: bool,
                              periodic: bool,
                              tile_rows: Optional[int] = None,
-                             vmem_limit_bytes: int = 100 * 1024 * 1024):
+                             vmem_limit_bytes: int = 100 * 1024 * 1024,
+                             shard: Optional[ShardSpec] = None):
+    """``shard`` (parallel.ShardedChain): ``spatial`` is then the
+    halo-EXTENDED local block; row halo strips are bounded-style even for
+    globally periodic domains (the wrap arrived via ppermute) and interior
+    masks test global coordinates via the ``bases`` scalars the returned fn
+    takes as a second argument."""
     from .pallas_kernel import _round_up, _shift_lateral
 
     nd = progs[0].ndim
     if any(p.ndim != nd for p in progs):
         raise ValueError("all stages must share the spatial rank")
-    if periodic and nd != 2:
+    if periodic and nd != 2 and shard is None:
         raise ValueError("periodic fused chains support 2D domains only")
+    # sharded blocks never wrap rows intra-block: the periodic neighbour
+    # data is in the exchanged halo
+    row_wrap = periodic and shard is None
     geom = FlatGeom(spatial)
     rows, cols = geom.rows, geom.cols
 
@@ -171,7 +180,7 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
                                      vmem_limit_bytes)
     pad_rows = 0
     if t is None or rows % t or t < LO + HI:
-        if periodic:
+        if row_wrap:
             raise ValueError(
                 f"no divisor tile for rows={rows}, halo={LO + HI}; the "
                 f"periodic chain needs a multiple-of-8 divisor tile "
@@ -187,7 +196,7 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
     rows_padded = rows + pad_rows
     nb = rows_padded // t
 
-    def fn(inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    def fn(inputs: Dict[str, jax.Array], bases=None) -> Dict[str, jax.Array]:
         arrays, ups, downs = [], [], []
         for name, idx in state_keys:
             arr = inputs[name].astype(dtype)
@@ -198,25 +207,34 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
             arrays.append(plane)
             xr = plane.reshape((nb, t, cols))
             if LO:
-                if periodic:
+                if row_wrap:
                     ups.append(jnp.roll(xr[:, t - LO:], 1, axis=0))
                 else:
                     first = jnp.broadcast_to(xr[:1, :1], (1, LO, cols))
                     ups.append(jnp.concatenate([first, xr[:-1, t - LO:]], 0))
             if HI:
-                if periodic:
+                if row_wrap:
                     downs.append(jnp.roll(xr[:, :HI], -1, axis=0))
                 else:
                     last = jnp.broadcast_to(xr[-1:, -1:], (1, HI, cols))
                     downs.append(jnp.concatenate([xr[1:, :HI], last], 0))
         n_in = len(state_keys)
         n_up, n_dn = len(ups), len(downs)
+        scalar_ins = []
+        if shard is not None:
+            if bases is None:
+                raise ValueError("sharded chain kernel needs base offsets")
+            scalar_ins.append(jnp.asarray(bases, jnp.int32))
 
         def kernel(*refs):
             xs = refs[:n_in]
             up_refs = refs[n_in:n_in + n_up]
             dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
-            outs = refs[n_in + n_up + n_dn:]
+            rest = refs[n_in + n_up + n_dn:]
+            if shard is not None:
+                bases_ref, rest = rest[0], rest[1:]
+                base_vals = [bases_ref[d] for d in range(nd)]
+            outs = rest
             i = pl.program_id(0)
 
             state: Dict[tuple, jax.Array] = {}
@@ -268,8 +286,16 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
                         r_ids = (jax.lax.broadcasted_iota(
                             jnp.int32, shape_s, 0) + base)
                         c_ids = jax.lax.broadcasted_iota(jnp.int32, shape_s, 1)
-                        m = ((r_ids >= 0) & (r_ids < rows)
-                             & geom.interior_mask(r_ids, c_ids, prog.ghost))
+                        m = (r_ids >= 0) & (r_ids < rows)
+                        if shard is not None:
+                            # one shard of a global domain: mask the GLOBAL
+                            # ghost frame only — an interior shard's halo is
+                            # live data for the early steps of the chain
+                            m &= geom.interior_mask_global(
+                                r_ids, c_ids, prog.ghost, base_vals,
+                                shard.global_spatial)
+                        else:
+                            m &= geom.interior_mask(r_ids, c_ids, prog.ghost)
                         stage_out = {key_: jnp.where(m, v, 0)
                                      for key_, v in stage_out.items()}
 
@@ -298,18 +324,20 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
             return pl.BlockSpec((1,) + shape[1:], lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
 
+        scalar_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)
+                        for _ in scalar_ins]
         result = pl.pallas_call(
             kernel,
             grid=(nb,),
             out_shape=tuple(jax.ShapeDtypeStruct((rows_padded, cols), dtype)
                             for _ in state_keys),
             in_specs=[plane_spec] * n_in + [strip_spec(u.shape) for u in ups]
-            + [strip_spec(d.shape) for d in downs],
+            + [strip_spec(d.shape) for d in downs] + scalar_specs,
             out_specs=tuple(plane_spec for _ in state_keys),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_bytes),
-        )(*arrays, *ups, *downs)
+        )(*arrays, *ups, *downs, *scalar_ins)
         if not isinstance(result, (tuple, list)):
             result = (result,)
         if pad_rows:

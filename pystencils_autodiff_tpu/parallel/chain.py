@@ -1,0 +1,281 @@
+"""Comm-avoiding sharded fused chains: temporal blocking × domain
+decomposition in one step.
+
+``ShardedStencil`` (sharding.py) exchanges halos every time step — k steps
+cost ``2k`` ppermutes per sharded dim.  ``ShardedChain`` joins the two
+flagship capabilities the round-2 verdict said could not be used together:
+each shard exchanges ONE ``k·reach``-deep halo per fused k-cycle chain
+(2 ppermutes per sharded dim, independent of k), then runs the fused
+stage-chain kernel (ops/stage_chain.py) on the halo-extended block.  The
+kernel masks stage outputs by *global* coordinates (an interior shard's
+halo is live data for the early steps), so the result is bit-identical to
+the single-device fused chain — and to sequential stepping.
+
+This is the TPU-native analog of comm-avoiding temporal blocking over MPI
+blocks, the missing piece of the reference's waLBerla story
+(SURVEY.md §2.3 "Domain decomposition" row, §5.7 ring-pipeline note;
+``UniformBlockforestFromConfig`` partitions; waLBerla's communication
+schemes amortise — here the amortisation is ``k`` deep, exact, and
+differentiable).
+
+Gradients: the chain is a ``jax.custom_vjp``; the backward recomputes the
+cycles with sequential ``ShardedStencil`` sweeps and pulls back through
+them (recompute-from-checkpoint) — ppermute transposes give the exact
+transposed exchange, so cotangents are bit-identical to sequential
+stepping.  (A fused comm-avoiding backward is tracked in ROADMAP.md.)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec
+
+from ..ops.flatten import ShardSpec
+from ..ops.stage_chain import (_cycle_initial_reads, _make_stage_chain_kernel,
+                               _validate_stages, stage_stepper)
+from ..ops.common import require_row_major
+from .halo import exchange_dim
+from .sharding import ShardedStencil
+
+__all__ = ["ShardedChain"]
+
+
+def _as_stages(op_or_stages, carry_map):
+    """Normalise a single op + time-stepper carry map to stage form.
+
+    ``make_time_stepper`` semantics differ from ``stage_stepper`` only for
+    unmapped inputs whose name collides with an op output (the time stepper
+    picks the fresh output); expanding the carry to full coverage makes the
+    stage semantics identical.
+    """
+    if carry_map is None:
+        return [(op, dict(carry)) for op, carry in op_or_stages]
+    op = op_or_stages
+    in_names = [f.name for f in op.forward_input_fields]
+    out_names = {f.name for f in op.forward_output_fields}
+    carry = {}
+    for n in in_names:
+        src = carry_map.get(n, n)
+        if n in carry_map or src in out_names:
+            carry[n] = src
+    return [(op, carry)]
+
+
+class ShardedChain:
+    """k fused cycles of a stage sequence per ONE deep halo exchange.
+
+    Parameters
+    ----------
+    op_or_stages : an ``AutoDiffOp`` (with ``carry_map=``, time-chain
+        style) or a ``[(op, carry_map), ...]`` stage list (stage-chain
+        style, see ``ops.fused_stage_chain``).
+    k : fused cycle count per call.
+    mesh : the device mesh.
+    dim_axes : spatial dim → mesh axis name.  Leading (row) dims only —
+        the last spatial dim is the TPU lane dim and stays whole.
+    carry_map : required iff ``op_or_stages`` is a single op.
+    periodic : global periodic wrap (transported by the ppermute
+        exchange across shard boundaries; every leading dim the stencil
+        reaches into must then be in ``dim_axes`` — a size-1 mesh axis is
+        fine).
+    seq_lowering : lowering for the backward rule's sequential sharded
+        recompute (default: jnp on CPU meshes, pallas on TPU).
+    """
+
+    def __init__(self, op_or_stages, k: int, mesh, dim_axes: Dict[int, str],
+                 carry_map: Optional[Dict[str, str]] = None,
+                 periodic: bool = False, interpret: Optional[bool] = None,
+                 tile_rows: Optional[int] = None, dtype=None,
+                 vmem_limit_bytes: int = 100 * 1024 * 1024,
+                 seq_lowering: Optional[str] = None,
+                 intermediates: Sequence[str] = ()):
+        from ..ops.pallas_kernel import _on_tpu
+
+        stages = _as_stages(op_or_stages, carry_map)
+        if not stages:
+            raise ValueError("no stages")
+        self.stages = stages
+        self.k = int(k)
+        self.mesh = mesh
+        self.dim_axes = dict(dim_axes)
+        self.periodic = periodic
+        self._interpret = interpret
+        self._tile_rows = tile_rows
+        self._dtype = dtype
+        self._vmem = vmem_limit_bytes
+
+        progs, carries, state_fields, state_names = _validate_stages(stages)
+        require_row_major(state_fields.values(), "ShardedChain")
+        self.progs, self.carries = progs, carries
+        self.state_fields, self.input_names = state_fields, list(state_names)
+        self.initial_read_fields = _cycle_initial_reads(progs, carries)
+        bad = [n for n in intermediates if n in self.initial_read_fields]
+        if bad:
+            raise ValueError(f"stage cycle is misordered: intermediate "
+                             f"field(s) {bad} are read before written")
+        self.ndim = progs[0].ndim
+
+        # per-dim reach of one full cycle = sum of the stages' ghosts
+        cyc = [(0, 0)] * self.ndim
+        for p in progs:
+            cyc = [(lo + plo, hi + phi)
+                   for (lo, hi), (plo, phi) in zip(cyc, p.ghost)]
+        self.cycle_ghost = cyc
+        # deep halo: k cycles' reach per sharded dim
+        self.halo = {d: (self.k * cyc[d][0], self.k * cyc[d][1])
+                     for d in self.dim_axes}
+
+        for d, ax in self.dim_axes.items():
+            if ax not in mesh.axis_names:
+                raise ValueError(f"axis {ax!r} not in mesh {mesh.axis_names}")
+            if not (0 <= d < self.ndim):
+                raise ValueError(f"dim {d} out of range for {self.ndim}D op")
+            if d == self.ndim - 1:
+                raise ValueError(
+                    "ShardedChain shards leading (row) dims only; the last "
+                    "spatial dim is the TPU lane dim — keep it whole")
+        if periodic:
+            unreachable = [d for d in range(self.ndim - 1)
+                           if d not in self.dim_axes and cyc[d] != (0, 0)]
+            if unreachable:
+                raise ValueError(
+                    f"periodic ShardedChain needs every leading dim the "
+                    f"stencil reaches into in dim_axes (missing {unreachable}"
+                    f"); map it to a size-1 mesh axis if it should not be "
+                    f"decomposed")
+
+        if interpret is None:
+            interpret = not _on_tpu()
+        self._interp = interpret
+        self._seq_lowering = seq_lowering or ("pallas" if _on_tpu() else "jnp")
+        self._kernel_cache: Dict[tuple, object] = {}
+        self._seq_steps: List[object] = []
+
+        names = self.input_names
+
+        @jax.custom_vjp
+        def chain(state):
+            return self._fused(state)
+
+        def fwd_rule(state):
+            return self._fused(state), {n: state[n] for n in names}
+
+        def bwd_rule(saved, cot):
+            _, pull = jax.vjp(self._sequential, self._cast(saved))
+            (grads,) = pull(self._cast(cot))
+            return (grads,)
+
+        chain.defvjp(fwd_rule, bwd_rule)
+        self._chain = chain
+
+    # -- public API ----------------------------------------------------------
+
+    def __call__(self, state: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        return self._chain({n: state[n] for n in self.input_names})
+
+    def partition_spec(self, field) -> PartitionSpec:
+        entries = [self.dim_axes.get(d) for d in range(self.ndim)]
+        entries += [None] * field.index_dimensions
+        return PartitionSpec(*entries)
+
+    def input_shardings(self):
+        return {n: NamedSharding(self.mesh, self.partition_spec(f))
+                for n, f in self.state_fields.items()}
+
+    # -- fused forward -------------------------------------------------------
+
+    def _fused(self, state):
+        specs = {n: self.partition_spec(self.state_fields[n])
+                 for n in self.input_names}
+        out = jax.shard_map(self._local_fn, mesh=self.mesh,
+                            in_specs=(specs,), out_specs=specs,
+                            check_vma=False)(state)
+        return out
+
+    def _local_fn(self, local_state):
+        names = self.input_names
+        a0 = local_state[names[0]]
+        local_spatial = tuple(a0.shape[: self.ndim])
+        for d, (lo, hi) in self.halo.items():
+            n_shards = self.mesh.shape[self.dim_axes[d]]
+            if max(lo, hi) > local_spatial[d]:
+                raise ValueError(
+                    f"chain halo {max(lo, hi)} along dim {d} exceeds the "
+                    f"local shard extent {local_spatial[d]} "
+                    f"({n_shards} shards): reduce k or the mesh axis size")
+        ext_spatial = tuple(
+            s + sum(self.halo.get(d, (0, 0)))
+            for d, s in enumerate(local_spatial))
+
+        ext = {}
+        for n in names:
+            e = local_state[n]
+            # ascending dim order: later exchanges transport earlier dims'
+            # halos with them, filling corner halos (same as extend_with_halo)
+            for d in sorted(self.halo):
+                lo, hi = self.halo[d]
+                if lo or hi:
+                    e = exchange_dim(e, d, self.dim_axes[d], lo, hi,
+                                     self.periodic)
+            ext[n] = e
+
+        bases = []
+        for d in range(self.ndim):
+            if d in self.dim_axes:
+                idx = lax.axis_index(self.dim_axes[d])
+                bases.append(idx * local_spatial[d] - self.halo[d][0])
+            else:
+                bases.append(jnp.int32(0))
+        bases = jnp.stack([jnp.asarray(b, jnp.int32) for b in bases])
+
+        dtype = self._dtype or a0.dtype
+        key = (ext_spatial, str(dtype))
+        if key not in self._kernel_cache:
+            global_spatial = tuple(
+                s * self.mesh.shape[self.dim_axes[d]] if d in self.dim_axes
+                else s for d, s in enumerate(local_spatial))
+            shard = ShardSpec(global_spatial=global_spatial,
+                              sharded_dims=tuple(sorted(self.dim_axes)))
+            self._kernel_cache[key] = _make_stage_chain_kernel(
+                self.progs, self.carries, self.state_fields,
+                self.input_names, self.k, ext_spatial, dtype,
+                self._interp, self.periodic, tile_rows=self._tile_rows,
+                vmem_limit_bytes=self._vmem, shard=shard)
+        out_ext = self._kernel_cache[key](ext, bases)
+
+        out = {}
+        for n in names:
+            o = out_ext[n]
+            idx = [slice(None)] * o.ndim
+            for d, (lo, _hi) in self.halo.items():
+                idx[d] = slice(lo, lo + local_spatial[d])
+            out[n] = o[tuple(idx)]
+        return out
+
+    # -- sequential backward recompute --------------------------------------
+
+    def _cast(self, tree):
+        if self._dtype is None:
+            return tree
+        return jax.tree.map(lambda v: v.astype(self._dtype), tree)
+
+    def _sequential(self, state):
+        if not self._seq_steps:
+            kwargs = ({"interpret": self._interpret}
+                      if (self._interpret is not None
+                          and self._seq_lowering == "pallas") else {})
+            self._seq_steps.extend(
+                stage_stepper(op, carry,
+                              fn=ShardedStencil(op, self.mesh, self.dim_axes,
+                                                periodic=self.periodic,
+                                                lowering=self._seq_lowering,
+                                                **kwargs))
+                for op, carry in self.stages)
+        for _ in range(self.k):
+            for step in self._seq_steps:
+                state = step(state)
+        return {n: state[n] for n in self.input_names}

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Dict, Sequence
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..autodiff import AutoDiffOp
@@ -81,6 +82,17 @@ class ShardedStencil:
                 raise ValueError(f"axis {ax!r} not in mesh {mesh.axis_names}")
             if not (0 <= d < self.ndim):
                 raise ValueError(f"dim {d} out of range for {self.ndim}D op")
+        # unsharded dims of a globally periodic domain wrap LOCALLY (the
+        # whole dim lives on every shard); sharded dims wrap via ppermute
+        self._local_wrap_dims = [
+            d for d in range(self.ndim)
+            if periodic and d not in self.dim_axes
+            and (self.ghost[d][0] or self.ghost[d][1])]
+        if self._local_wrap_dims and overlap:
+            raise NotImplementedError(
+                "overlap mode with periodic wrap in an unsharded dim is not "
+                "supported; shard that dim (a size-1 mesh axis works) or "
+                "disable overlap")
 
     def partition_spec(self, field) -> PartitionSpec:
         entries = [self.dim_axes.get(d) for d in range(self.ndim)]
@@ -106,10 +118,28 @@ class ShardedStencil:
             for d in self.dim_axes:
                 lo, hi = self.ghost[d]
                 idx[d] = slice(lo, o.shape[d] - hi)
+            for d in self._local_wrap_dims:
+                lo, hi = self.ghost[d]
+                idx[d] = slice(lo, o.shape[d] - hi)
             return o[tuple(idx)]
 
+        def wrap_extend(a):
+            for d in self._local_wrap_dims:
+                lo, hi = self.ghost[d]
+                parts = []
+                if lo:
+                    parts.append(jax.lax.slice_in_dim(
+                        a, a.shape[d] - lo, a.shape[d], axis=d))
+                parts.append(a)
+                if hi:
+                    parts.append(jax.lax.slice_in_dim(a, 0, hi, axis=d))
+                if len(parts) > 1:
+                    a = jnp.concatenate(parts, axis=d)
+            return a
+
         def local_fn(*locals_):
-            ext = [extend_with_halo(a, self.dim_axes, self.ghost, self.periodic)
+            ext = [wrap_extend(
+                extend_with_halo(a, self.dim_axes, self.ghost, self.periodic))
                    for a in locals_]
             if self.overlap:
                 # bulk result from the raw local block — independent of the

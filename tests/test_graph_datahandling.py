@@ -206,8 +206,10 @@ def test_graph_compiles_to_sharded_execution():
     g_1d = jax.grad(lambda a: jnp.sum(run_1d({"u": a}, 3)["u"] ** 2))(st["u"])
     np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_1d),
                                rtol=1e-13, atol=1e-13)
-    with pytest.raises(ValueError, match="fuse='none'"):
-        dh.compile(fuse="stages", mesh=mesh)
+    # fuse='stages' + mesh is supported since round 3 (ShardedChain);
+    # only symbolic fusion remains per-device
+    with pytest.raises(ValueError, match="fuse='none' and fuse='stages'"):
+        dh.compile(fuse="symbolic", mesh=mesh)
 
 
 def test_add_field_array_init_records_placeholder():

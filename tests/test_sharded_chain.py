@@ -1,0 +1,219 @@
+"""Comm-avoiding sharded fused chains (parallel.ShardedChain): one
+k·reach-deep halo exchange per fused k-cycle chain under shard_map must be
+bit-exact vs single-device sequential stepping — state AND gradients — and
+must issue 2 ppermutes per sharded dim per chain call (vs 2k sequential).
+VERDICT round 2 "Next round" item #1."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pystencils_autodiff_tpu import Assignment, AutoDiffOp, fields
+from pystencils_autodiff_tpu.models.elastic import (elastic_stress_op,
+                                                    elastic_velocity_op)
+from pystencils_autodiff_tpu.ops.stage_chain import stage_stepper
+from pystencils_autodiff_tpu.parallel import ShardedChain, make_mesh
+
+RTOL, ATOL = 1e-12, 1e-12
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype=jnp.float64)
+
+
+def heat_op_2d(dt=0.1):
+    u, u_next = fields("u, u_next", 2)
+    return AutoDiffOp([Assignment(
+        u_next[0, 0],
+        u[0, 0] + dt * (u[1, 0] + u[-1, 0] + u[0, 1] + u[0, -1] - 4 * u[0, 0]))],
+        op_name="heat2d")
+
+
+def diff_op_3d(dt=0.05):
+    u, u_next = fields("u, u_next", 3)
+    return AutoDiffOp([Assignment(
+        u_next[0, 0, 0],
+        u[0, 0, 0] + dt * (u[1, 0, 0] + u[-1, 0, 0] + u[0, 1, 0]
+                           + u[0, -1, 0] + u[0, 0, 1] + u[0, 0, -1]
+                           - 6 * u[0, 0, 0]))],
+        op_name="diff3d")
+
+
+def elastic_stages(dtype="float64"):
+    vel = elastic_velocity_op(dt=0.01, dtype=dtype)
+    stress = elastic_stress_op(dt=0.01, dtype=dtype)
+    return [
+        (vel, {"vx": "vx_next", "vy": "vy_next"}),
+        (stress, {"sxx": "sxx_next", "syy": "syy_next", "sxy": "sxy_next"}),
+    ]
+
+
+def _sequential(stages, k, periodic):
+    steps = [stage_stepper(op, carry, periodic=periodic)
+             for op, carry in stages]
+
+    def run(state):
+        st = dict(state)
+        for _ in range(k):
+            for step in steps:
+                st = step(st)
+        return {n: st[n] for n in state}
+
+    return run
+
+
+@needs_8
+@pytest.mark.parametrize("periodic", [False, True])
+@pytest.mark.parametrize("k", [1, 4])
+def test_heat_chain_1d_decomposition(k, periodic):
+    """Single-op chain, dim 0 over 8 shards: bit-exact vs sequential."""
+    op = heat_op_2d()
+    mesh = make_mesh((8,), ("x",))
+    chain = ShardedChain(op, k, mesh, {0: "x"}, carry_map={"u": "u_next"},
+                         periodic=periodic, interpret=True)
+    u = rand(0, (64, 32))
+    out = chain({"u": u})
+    ref = _sequential([(op, {"u": "u_next"})], k, periodic)({"u": u})
+    np.testing.assert_allclose(np.asarray(out["u"]), np.asarray(ref["u"]),
+                               rtol=RTOL, atol=ATOL)
+
+
+@needs_8
+@pytest.mark.parametrize("periodic", [False, True])
+def test_heat_chain_gradients_exact(periodic):
+    """jax.grad through the sharded fused chain == single-device gradient
+    (the backward is the transposed deep exchange + sequential recompute)."""
+    op = heat_op_2d()
+    k = 3
+    mesh = make_mesh((4,), ("x",))
+    chain = ShardedChain(op, k, mesh, {0: "x"}, carry_map={"u": "u_next"},
+                         periodic=periodic, interpret=True)
+    seq = _sequential([(op, {"u": "u_next"})], k, periodic)
+    u = rand(1, (64, 32))
+
+    g_sh = jax.grad(lambda a: jnp.sum(jnp.sin(chain({"u": a})["u"])))(u)
+    g_se = jax.grad(lambda a: jnp.sum(jnp.sin(seq({"u": a})["u"])))(u)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_se),
+                               rtol=RTOL, atol=ATOL)
+
+
+@needs_8
+@pytest.mark.parametrize("periodic", [False, True])
+def test_elastic_stage_chain_sharded(periodic):
+    """Heterogeneous 2-sweep cycle, fused k=2, 4 shards: state + grads."""
+    stages = elastic_stages()
+    k = 2
+    mesh = make_mesh((4,), ("x",))
+    chain = ShardedChain(stages, k, mesh, {0: "x"}, periodic=periodic,
+                         interpret=True)
+    names = ["vx", "vy", "sxx", "syy", "sxy"]
+    state = {n: rand(i, (64, 32)) for i, n in enumerate(names)}
+    cots = {n: rand(40 + i, (64, 32)) for i, n in enumerate(names)}
+
+    out, pull = jax.vjp(chain, state)
+    (grads,) = pull(cots)
+    seq = _sequential(stages, k, periodic)
+    ref_out, ref_pull = jax.vjp(seq, state)
+    (ref_grads,) = ref_pull(cots)
+    for n in names:
+        np.testing.assert_allclose(np.asarray(out[n]), np.asarray(ref_out[n]),
+                                   rtol=RTOL, atol=ATOL, err_msg=f"state {n}")
+        np.testing.assert_allclose(np.asarray(grads[n]),
+                                   np.asarray(ref_grads[n]),
+                                   rtol=RTOL, atol=ATOL, err_msg=f"grad {n}")
+
+
+@needs_8
+@pytest.mark.parametrize("periodic", [False, True])
+def test_diff3d_chain_2d_decomposition(periodic):
+    """3D domain decomposed over a (2,2) mesh in dims 0 and 1; corner
+    halos ride the second exchange."""
+    op = diff_op_3d()
+    k = 2
+    mesh = make_mesh((2, 2), ("x", "y"))
+    chain = ShardedChain(op, k, mesh, {0: "x", 1: "y"},
+                         carry_map={"u": "u_next"}, periodic=periodic,
+                         interpret=True)
+    u = rand(2, (16, 16, 16))
+    out = chain({"u": u})
+    ref = _sequential([(op, {"u": "u_next"})], k, periodic)({"u": u})
+    np.testing.assert_allclose(np.asarray(out["u"]), np.asarray(ref["u"]),
+                               rtol=RTOL, atol=ATOL)
+
+
+@needs_8
+def test_ppermute_count_is_k_independent():
+    """The comm-avoiding claim, verified on the jaxpr: the fused chain
+    issues 2 ppermutes per sharded dim regardless of k; sequential sharded
+    stepping issues 2 per dim per step."""
+    from pystencils_autodiff_tpu.parallel import ShardedStencil
+
+    op = heat_op_2d()
+    k = 4
+    mesh = make_mesh((4,), ("x",))
+    chain = ShardedChain(op, k, mesh, {0: "x"}, carry_map={"u": "u_next"},
+                         interpret=True)
+    u = rand(3, (64, 32))
+    fused_jaxpr = str(jax.make_jaxpr(lambda a: chain({"u": a})["u"])(u))
+    assert fused_jaxpr.count("ppermute") == 2
+
+    seq_stencil = ShardedStencil(op, mesh, {0: "x"})
+
+    def seq(a):
+        st = {"u": a}
+        for _ in range(k):
+            st = {"u": seq_stencil(st["u"])}
+        return st["u"]
+
+    seq_jaxpr = str(jax.make_jaxpr(seq)(u))
+    assert seq_jaxpr.count("ppermute") == 2 * k
+
+
+@needs_8
+def test_sharded_chain_validation():
+    op = heat_op_2d()
+    mesh = make_mesh((8,), ("x",))
+    # lane dim sharding rejected
+    with pytest.raises(ValueError, match="lane dim"):
+        ShardedChain(op, 2, mesh, {1: "x"}, carry_map={"u": "u_next"},
+                     interpret=True)
+    # periodic with a reached dim missing from dim_axes: 3D op, only dim 0
+    op3 = diff_op_3d()
+    with pytest.raises(ValueError, match="size-1 mesh axis"):
+        ShardedChain(op3, 2, mesh, {0: "x"}, carry_map={"u": "u_next"},
+                     periodic=True, interpret=True)
+    # halo deeper than the local shard extent
+    chain = ShardedChain(op, 16, mesh, {0: "x"}, carry_map={"u": "u_next"},
+                         interpret=True)
+    with pytest.raises(ValueError, match="exceeds the local shard extent"):
+        chain({"u": rand(4, (64, 32))})
+
+
+@needs_8
+def test_graph_compile_fused_sharded_matches_replay():
+    """GraphDataHandling.compile(fuse='stages', mesh=...) — the round-2
+    verdict's lifted restriction — must match node-by-node replay exactly."""
+    from pystencils_autodiff_tpu.graph_datahandling import GraphDataHandling
+    from pystencils_autodiff_tpu.models.heat import heat_step_op
+
+    mesh = make_mesh((4,), ("x",))
+    dh = GraphDataHandling((30, 30), ghost_layers=1,
+                           default_dtype=jnp.float64)
+    dh.add_field("u", init=0.0)
+    dh.set_array("u", rand(7, (32, 32)))
+    hop = heat_step_op(dt=0.1, kappa_field=False, dtype="float64")
+    with dh.timeloop() as loop:
+        loop.sweep(hop, {"u": "u_next"})
+
+    k = 2
+    run_fused = dh.compile(fuse="stages", k=k, mesh=mesh, dim_axes={0: "x"},
+                           interpret=True)
+    run_replay = dh.compile()
+    state = dh.state()
+    out_f = run_fused(state, 2 * k)
+    out_r = run_replay(state, 2 * k)
+    np.testing.assert_allclose(np.asarray(out_f["u"]), np.asarray(out_r["u"]),
+                               rtol=RTOL, atol=ATOL)
