@@ -12,6 +12,7 @@ from __future__ import annotations
 from .common import StencilProgram, backward_program, forward_program, make_program
 from .jnp_ref import make_jnp_stencil
 from .adjoint_chain import fused_chain_vjp
+from .stage_adjoint import fused_stage_chain_vjp
 from .stage_chain import fused_stage_chain
 from .time_chain import fused_time_chain
 from .vjp import build_custom_vjp
@@ -26,6 +27,7 @@ __all__ = [
     "fused_time_chain",
     "fused_chain_vjp",
     "fused_stage_chain",
+    "fused_stage_chain_vjp",
     "lower_forward",
     "lower_backward",
     "get_lowering",

@@ -1,0 +1,385 @@
+"""Fused adjoint for heterogeneous stage chains: value AND gradient of
+``k`` cycles of a multi-op sequence in ONE kernel.
+
+Generalises ``ops/adjoint_chain.py`` (one op, k steps) to the stage form of
+``ops/stage_chain.py`` (RK stages, elastic velocity/stress sweeps,
+Cahn–Hilliard two-sweep): phase 1 recomputes every forward stage of every
+cycle with tile states in registers (saving the pre-stage state only for
+stages whose backward program reads primal values), phase 2 walks the
+``k·S`` stages in reverse, applying each stage's symbolically derived
+backward program and threading cotangents through the *stage-chain* carry
+transpose:
+
+    ĉ_state[m] = Σ_{n mapped to output o of this stage} (∂F_o/∂m)ᵀ·ĉ'[n]
+               + Σ_{n whose effective source is state field m}  ĉ'[n]
+
+where unmapped state entries pass through (their cotangent does too) —
+exactly the transpose of ``stage_stepper`` semantics.
+
+The extent bookkeeping generalises the uniform per-step reach of
+adjoint_chain to prefix sums over the per-stage forward/backward row
+reaches; everything else (flattened-row geometry, bounded-domain interior
+masking in the forward stages, exact-VJP adjoint-read masks in the reverse
+stages) is identical in structure and verified bit-exact against
+sequential ``jax.vjp`` of the per-op custom_vjp steps.
+
+Reference anchor: the upstream library differentiates each generated sweep
+separately and leaves the time loop to torch/TF's tape (SURVEY.md §5.4);
+fusing the whole cycle's adjoint is the TPU-native upgrade (VERDICT
+round 2, next #3).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..adjoint_field import AdjointField
+from ..field import Field
+from .common import (assemble_planes, backward_program, field_components,
+                     plane_view, require_row_major, storage_spatial)
+from .stage_chain import _validate_stages
+
+__all__ = ["fused_stage_chain_vjp"]
+
+
+def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
+                          k: int, periodic: bool = False,
+                          interpret: Optional[bool] = None,
+                          tile_rows: Optional[int] = None,
+                          vmem_limit_bytes: int = 100 * 1024 * 1024):
+    """Build ``g(state, cot_state) -> (state_k, cot_0)`` advancing ``k``
+    cycles of the stage sequence and pulling the state cotangents back
+    through all of them, in one kernel."""
+    from .flatten import FlatGeom, pick_chain_tile
+    from .pallas_kernel import _on_tpu, _shift_lateral
+
+    stages = [(op, dict(carry)) for op, carry in stages]
+    if not stages:
+        raise ValueError("no stages")
+    fwd_progs, carries, state_fields, state_names = _validate_stages(stages)
+    require_row_major(state_fields.values(), "fused_stage_chain_vjp")
+    S = len(stages)
+    nd = fwd_progs[0].ndim
+    if periodic and nd != 2:
+        raise ValueError("periodic fused chains support 2D domains only")
+
+    bwd_progs = [backward_program(op) for op, _ in stages]
+    grad_ofs = [{f.name: f.corresponding_forward_field.name
+                 for f in op.backward_output_fields} for op, _ in stages]
+
+    state_keys = [(n, idx) for n in state_names
+                  for idx in field_components(state_fields[n])]
+
+    # per-stage transposed carry flow (stage_stepper semantics: only mapped
+    # entries consult the stage outputs; unmapped entries pass through)
+    feeds: List[Dict[str, list]] = []
+    passes: List[Dict[str, list]] = []
+    for prog, carry in zip(fwd_progs, carries):
+        outs_j = set(prog.output_names)
+        fj: Dict[str, list] = {}
+        pj: Dict[str, list] = {}
+        for n in state_names:
+            if n in carry:
+                src = carry[n]
+                if src in outs_j:
+                    fj.setdefault(src, []).append(n)
+                else:
+                    pj.setdefault(src, []).append(n)
+            else:
+                pj.setdefault(n, []).append(n)
+        feeds.append(fj)
+        passes.append(pj)
+
+    need_primal = [any(not isinstance(a.field, AdjointField)
+                       for st in bp.steps for a in st.atoms
+                       if isinstance(a, Field.Access))
+                   for bp in bwd_progs]
+
+    def build(spatial, dtype, interp):
+        geom = FlatGeom(spatial)
+        rows, cols = geom.rows, geom.cols
+        lof, hif, lob, hib = [], [], [], []
+        for fp, bp in zip(fwd_progs, bwd_progs):
+            fa = [a for st in fp.steps for a in st.atoms
+                  if isinstance(a, Field.Access)]
+            ba = [a for st in bp.steps for a in st.atoms
+                  if isinstance(a, Field.Access)]
+            lo_f, hi_f = geom.row_reach(fa)
+            lo_b, hi_b = geom.row_reach(ba)
+            lof.append(lo_f), hif.append(hi_f)
+            lob.append(lo_b), hib.append(hi_b)
+        LO = k * (sum(lof) + sum(lob))
+        HI = k * (sum(hif) + sum(hib))
+        n_stages = k * S
+        stage_j = [i % S for i in range(n_stages)]
+        # prefix sums over the flattened (cycle, stage) sequence
+        cumF_lo = [0]
+        cumF = [0]
+        cumB_lo = [0]
+        for i in range(n_stages):
+            j = stage_j[i]
+            cumF_lo.append(cumF_lo[-1] + lof[j])
+            cumF.append(cumF[-1] + lof[j] + hif[j])
+            cumB_lo.append(cumB_lo[-1] + lob[j])
+
+        itemsize = jnp.dtype(dtype).itemsize
+        n_saved = sum(1 for i in range(n_stages) if need_primal[stage_j[i]])
+        n_live = (len(state_keys) * ((3 * n_saved + 10) if n_saved else 24)
+                  + 8)
+        t = tile_rows or pick_chain_tile(rows, LO, HI,
+                                         cols * itemsize * n_live,
+                                         vmem_limit_bytes)
+        if t is None or rows % t or t < LO + HI:
+            raise ValueError(f"no viable tile for rows={rows}, "
+                             f"halo={LO + HI}")
+        nb = rows // t
+        all_in = ([("s", key) for key in state_keys]
+                  + [("c", key) for key in state_keys])
+
+        def fn(state, cots):
+            arrays, ups, downs = [], [], []
+            for kind, (name, idx) in all_in:
+                is_cot = kind == "c"
+                arr = (cots[name] if is_cot else state[name]).astype(dtype)
+                plane = plane_view(state_fields[name], arr, idx).reshape(
+                    (rows, cols))
+                arrays.append(plane)
+                xr = plane.reshape((nb, t, cols))
+                if LO:
+                    if periodic:
+                        ups.append(jnp.roll(xr[:, t - LO:], 1, axis=0))
+                    else:
+                        first = (jnp.zeros((1, LO, cols), dtype) if is_cot
+                                 else jnp.broadcast_to(xr[:1, :1],
+                                                       (1, LO, cols)))
+                        ups.append(jnp.concatenate(
+                            [first, xr[:-1, t - LO:]], 0))
+                if HI:
+                    if periodic:
+                        downs.append(jnp.roll(xr[:, :HI], -1, axis=0))
+                    else:
+                        last = (jnp.zeros((1, HI, cols), dtype) if is_cot
+                                else jnp.broadcast_to(xr[-1:, -1:],
+                                                      (1, HI, cols)))
+                        downs.append(jnp.concatenate(
+                            [xr[1:, :HI], last], 0))
+            n_in = len(all_in)
+            n_up, n_dn = len(ups), len(downs)
+
+            def kernel(*refs):
+                xs = refs[:n_in]
+                up_refs = refs[n_in:n_in + n_up]
+                dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
+                outs = refs[n_in + n_up + n_dn:]
+                tile_i = pl.program_id(0)
+
+                full: Dict[tuple, jax.Array] = {}
+                for kk, (kind, key) in enumerate(all_in):
+                    parts = []
+                    if LO:
+                        parts.append(up_refs[kk][0])
+                    parts.append(xs[kk][...])
+                    if HI:
+                        parts.append(dn_refs[kk][0])
+                    full[(kind, key)] = (jnp.concatenate(parts, axis=0)
+                                         if len(parts) > 1 else parts[0])
+
+                # ---- phase 1: forward recompute over all k·S stages ----
+                cur = {key: full[("s", key)] for key in state_keys}
+                saved: List[Optional[Dict]] = []
+                for i in range(n_stages):
+                    j = stage_j[i]
+                    prog, carry = fwd_progs[j], carries[j]
+                    saved.append(dict(cur) if need_primal[j] else None)
+                    ext_rows = (LO + t + HI) - cumF[i + 1]
+                    env: Dict[object, jax.Array] = {}
+                    stage_out: Dict[tuple, jax.Array] = {}
+
+                    def readf(acc, _er=ext_rows, _cur=cur, _lo=lof[j]):
+                        v = _cur[(acc.field.name, acc.index)]
+                        start = _lo + geom.row_off(acc.offsets)
+                        v = jax.lax.slice_in_dim(v, start, start + _er,
+                                                 axis=0)
+                        return _shift_lateral(v, acc.offsets[-1], 1, False,
+                                              interp, periodic)
+
+                    shape_s = (ext_rows, cols)
+                    for st in prog.steps:
+                        vals = [readf(a) if isinstance(a, Field.Access)
+                                else env[a] for a in st.atoms]
+                        res = jnp.broadcast_to(
+                            jnp.asarray(st.fn(*vals), dtype), shape_s)
+                        if st.is_main:
+                            stage_out[(st.target.field.name,
+                                       st.target.index)] = res
+                        else:
+                            env[st.target] = res
+                    if not periodic:
+                        base = tile_i * t - (LO - cumF_lo[i + 1])
+                        r_ids = (jax.lax.broadcasted_iota(
+                            jnp.int32, shape_s, 0) + base)
+                        c_ids = jax.lax.broadcasted_iota(
+                            jnp.int32, shape_s, 1)
+                        m = ((r_ids >= 0) & (r_ids < rows)
+                             & geom.interior_mask(r_ids, c_ids, prog.ghost))
+                        stage_out = {key_: jnp.where(m, v, 0)
+                                     for key_, v in stage_out.items()}
+
+                    nxt = {}
+                    for name, idx in state_keys:
+                        src = carry.get(name)
+                        if src is not None and (src, idx) in stage_out:
+                            nxt[(name, idx)] = stage_out[(src, idx)]
+                        else:
+                            v = cur[(src if src is not None else name, idx)]
+                            nxt[(name, idx)] = jax.lax.slice_in_dim(
+                                v, lof[j], lof[j] + ext_rows, axis=0)
+                    cur = nxt
+
+                # ---- phase 2: reverse sweep over all stages ----
+                cumF_lo_total = cumF_lo[-1]
+                ck_rows = (LO + t + HI) - cumF[-1]
+                cot = {key: jax.lax.slice_in_dim(
+                    full[("c", key)], cumF_lo_total,
+                    cumF_lo_total + ck_rows, axis=0) for key in state_keys}
+                cumB_done_lo = 0
+                for i in range(n_stages - 1, -1, -1):
+                    j = stage_j[i]
+                    bwd, fwd = bwd_progs[j], fwd_progs[j]
+                    ext_rows = ck_rows - (lob[j] + hib[j])
+                    prim = saved[i]
+                    prim_off = (cumF_lo_total - cumF_lo[i]) + cumB_done_lo
+                    row0_out = tile_i * t - cumB_lo[i]
+                    env: Dict[object, jax.Array] = {}
+                    shape_s = (ext_rows, cols)
+
+                    def readb(acc, _er=ext_rows, _prim=prim, _cot=cot,
+                              _po=prim_off, _r0=row0_out, _j=j):
+                        f = acc.field
+                        if isinstance(f, AdjointField):
+                            primal = f.corresponding_forward_field.name
+                            carriers = feeds[_j].get(primal, [])
+                            if not carriers:
+                                return jnp.zeros((_er, cols), dtype)
+                            v = _cot[(carriers[0], acc.index)]
+                            for extra in carriers[1:]:
+                                v = v + _cot[(extra, acc.index)]
+                            start = lob[_j] + geom.row_off(acc.offsets)
+                            v = jax.lax.slice_in_dim(v, start, start + _er,
+                                                     axis=0)
+                            v = _shift_lateral(v, acc.offsets[-1], 1,
+                                               not periodic, interp,
+                                               periodic)
+                            if not periodic:
+                                r_tgt = (jax.lax.broadcasted_iota(
+                                    jnp.int32, (_er, cols), 0) + _r0)
+                                rr = r_tgt + geom.row_off(acc.offsets)
+                                cc = (jax.lax.broadcasted_iota(
+                                    jnp.int32, (_er, cols), 1)
+                                    + acc.offsets[-1])
+                                m = ((rr >= 0) & (rr < rows)
+                                     & geom.interior_mask(rr, cc,
+                                                          fwd.ghost))
+                                xm = geom.crossing_mask(r_tgt, acc.offsets)
+                                if xm is not None:
+                                    m &= xm
+                                v = jnp.where(m, v, 0)
+                            return v
+                        v = _prim[(f.name, acc.index)]
+                        start = _po + lob[_j] + geom.row_off(acc.offsets)
+                        v = jax.lax.slice_in_dim(v, start, start + _er,
+                                                 axis=0)
+                        return _shift_lateral(v, acc.offsets[-1], 1, False,
+                                              interp, periodic)
+
+                    grads_stage: Dict[tuple, jax.Array] = {}
+                    for st in bwd.steps:
+                        vals = [readb(a) if isinstance(a, Field.Access)
+                                else env[a] for a in st.atoms]
+                        res = jnp.broadcast_to(
+                            jnp.asarray(st.fn(*vals), dtype), shape_s)
+                        if st.is_main:
+                            grads_stage[(grad_ofs[j][st.target.field.name],
+                                         st.target.index)] = res
+                        else:
+                            env[st.target] = res
+
+                    new_cot = {}
+                    for name, idx in state_keys:
+                        v = grads_stage.get((name, idx))
+                        for n in passes[j].get(name, ()):
+                            pv = jax.lax.slice_in_dim(
+                                cot[(n, idx)], lob[j], lob[j] + ext_rows,
+                                axis=0)
+                            v = pv if v is None else v + pv
+                        if v is None:
+                            v = jnp.zeros(shape_s, dtype)
+                        new_cot[(name, idx)] = v
+                    cot = new_cot
+                    ck_rows = ext_rows
+                    cumB_done_lo += lob[j]
+
+                fin_off = LO - cumF_lo_total
+                for jj, key in enumerate(state_keys):
+                    outs[jj][...] = jax.lax.slice_in_dim(
+                        cur[key], fin_off, fin_off + t, axis=0)
+                for jj, key in enumerate(state_keys):
+                    outs[len(state_keys) + jj][...] = cot[key]
+
+            plane = pl.BlockSpec((t, cols), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+
+            def strip_spec(shape):
+                return pl.BlockSpec((1,) + shape[1:], lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+
+            result = pl.pallas_call(
+                kernel,
+                grid=(nb,),
+                out_shape=tuple(jax.ShapeDtypeStruct((rows, cols), dtype)
+                                for _ in range(2 * len(state_keys))),
+                in_specs=[plane] * n_in + [strip_spec(u.shape) for u in ups]
+                + [strip_spec(d.shape) for d in downs],
+                out_specs=tuple(plane for _ in range(2 * len(state_keys))),
+                interpret=interp,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=vmem_limit_bytes),
+            )(*arrays, *ups, *downs)
+
+            def restack(planes_flat, base):
+                out, pos = {}, base
+                for n in state_names:
+                    f = state_fields[n]
+                    comps = field_components(f)
+                    planes = [planes_flat[pos + jj]
+                              for jj in range(len(comps))]
+                    pos += len(comps)
+                    out[n] = assemble_planes(f, planes, spatial)
+                return out
+
+            new_state = restack(result, 0)
+            cot_out = restack(result, len(state_keys))
+            return new_state, cot_out
+
+        return fn
+
+    cache = {}
+
+    def chain_grad(state, cot_state):
+        f0 = state_fields[state_names[0]]
+        arr0 = state[state_names[0]]
+        spatial = storage_spatial(f0, arr0)
+        key = (spatial, str(arr0.dtype))
+        if key not in cache:
+            interp = interpret if interpret is not None else not _on_tpu()
+            cache[key] = build(spatial, arr0.dtype, interp)
+        return cache[key](state, cot_state)
+
+    chain_grad.input_names = list(state_names)
+    chain_grad.k = k
+    return chain_grad

@@ -360,7 +360,9 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
                       k: int = 1, periodic: bool = False,
                       interpret: Optional[bool] = None,
                       tile_rows: Optional[int] = None, dtype=None,
-                      intermediates: Sequence[str] = ()):
+                      intermediates: Sequence[str] = (),
+                      fused_bwd: bool = False,
+                      vmem_limit_bytes: int = 100 * 1024 * 1024):
     """``chain(state: dict) -> state`` advancing ``k`` full cycles of the
     stage sequence in ONE kernel.
 
@@ -381,7 +383,9 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
     live is exposed as ``chain.initial_read_fields`` either way.
 
     Gradients are exact via sequential recompute of the per-op custom_vjp
-    steps in the backward rule.
+    steps in the backward rule, or — with ``fused_bwd=True`` — via ONE
+    fused value+gradient kernel (ops/stage_adjoint.py) so both directions
+    are temporally blocked.
     """
     from .pallas_kernel import _on_tpu
 
@@ -448,10 +452,22 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
             return tree
         return jax.tree.map(lambda v: v.astype(dtype), tree)
 
-    def bwd_rule(saved, cot):
-        _, pullback = jax.vjp(sequential, _cast(saved))
-        (grads,) = pullback(_cast(cot))
-        return (grads,)
+    if fused_bwd:
+        from .stage_adjoint import fused_stage_chain_vjp
+
+        adj_chain = fused_stage_chain_vjp(stages, k, periodic=periodic,
+                                          interpret=interpret,
+                                          tile_rows=tile_rows,
+                                          vmem_limit_bytes=vmem_limit_bytes)
+
+        def bwd_rule(saved, cot):
+            _, cot0 = adj_chain(_cast(saved), _cast(cot))
+            return (cot0,)
+    else:
+        def bwd_rule(saved, cot):
+            _, pullback = jax.vjp(sequential, _cast(saved))
+            (grads,) = pullback(_cast(cot))
+            return (grads,)
 
     chain.defvjp(fwd_rule, bwd_rule)
     chain.input_names = list(state_names)

@@ -220,3 +220,85 @@ def test_intermediate_misorder_raises_at_build_time():
         fused_stage_chain(bad, 1, interpret=True, intermediates=("mu",))
     with pytest.raises(ValueError, match="not state fields"):
         fused_stage_chain(good, 1, interpret=True, intermediates=("zz",))
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+@pytest.mark.parametrize("k", [1, 2])
+def test_fused_backward_elastic(k, periodic):
+    """fused_bwd=True: ONE kernel for k cycles of value+gradient of the
+    elastic 2-sweep cycle — cotangents bit-exact vs sequential jax.vjp
+    (VERDICT round 2, next #3)."""
+    stages = elastic_stages()
+    chain = fused_stage_chain(stages, k, periodic=periodic, interpret=True,
+                              tile_rows=16, fused_bwd=True)
+    names = ["vx", "vy", "sxx", "syy", "sxy"]
+    state = {n: rand(i, (48, 32)) for i, n in enumerate(names)}
+    cots = {n: rand(60 + i, (48, 32)) for i, n in enumerate(names)}
+    out, pull = jax.vjp(chain, state)
+    (grads,) = pull(cots)
+    ref_run = _sequential(stages, state, k, periodic)
+    ref_out, ref_pull = jax.vjp(ref_run, state)
+    (ref_grads,) = ref_pull(cots)
+    for n in names:
+        np.testing.assert_allclose(out[n], ref_out[n], rtol=RTOL, atol=ATOL,
+                                   err_msg=f"state {n}")
+        np.testing.assert_allclose(grads[n], ref_grads[n], rtol=RTOL,
+                                   atol=ATOL, err_msg=f"grad {n}")
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_fused_backward_nonlinear_two_sweep(periodic):
+    """A nonlinear two-sweep cycle (cubic chemical potential feeding a
+    diffusive update — Cahn–Hilliard-shaped): the fused backward must
+    recompute primal stages in-kernel and still match sequential jax.vjp."""
+    from pystencils_autodiff_tpu import Assignment, AutoDiffOp, fields
+
+    c, mu, mu_out, c_next = fields("c, mu, mu_out, c_next", 2)
+    op1 = AutoDiffOp([Assignment(
+        mu_out[0, 0],
+        c[0, 0] ** 3 - c[0, 0]
+        - 0.5 * (c[1, 0] + c[-1, 0] + c[0, 1] + c[0, -1] - 4 * c[0, 0]))],
+        op_name="mu_sweep")
+    op2 = AutoDiffOp([Assignment(
+        c_next[0, 0],
+        c[0, 0] + 0.05 * (mu[1, 0] + mu[-1, 0] + mu[0, 1] + mu[0, -1]
+                          - 4 * mu[0, 0]))],
+        op_name="ch_sweep")
+    stages = [(op1, {"mu": "mu_out"}), (op2, {"c": "c_next"})]
+    k = 2
+    chain = fused_stage_chain(stages, k, periodic=periodic, interpret=True,
+                              tile_rows=16, fused_bwd=True,
+                              intermediates=("mu",))
+    state = {"c": 0.3 * rand(0, (48, 32)), "mu": jnp.zeros((48, 32))}
+    cots = {"c": rand(1, (48, 32)), "mu": rand(2, (48, 32))}
+    out, pull = jax.vjp(chain, state)
+    (grads,) = pull(cots)
+    ref_run = _sequential(stages, state, k, periodic)
+    ref_out, ref_pull = jax.vjp(ref_run, state)
+    (ref_grads,) = ref_pull(cots)
+    for n in ("c", "mu"):
+        np.testing.assert_allclose(out[n], ref_out[n], rtol=RTOL, atol=ATOL,
+                                   err_msg=f"state {n}")
+        np.testing.assert_allclose(grads[n], ref_grads[n], rtol=RTOL,
+                                   atol=ATOL, err_msg=f"grad {n}")
+
+
+def test_fused_backward_weno5_rk3():
+    """The heaviest cycle: 3 SSP-RK3 stages of WENO5 (reach 3, strongly
+    nonlinear) — fused value+gradient matches sequential jax.vjp."""
+    stages, names = weno5_rk3_stages(a=1.0, dt=0.2, dx=1.0, ndim=2)
+    chain = fused_stage_chain(stages, 1, periodic=True, interpret=True,
+                              tile_rows=24, fused_bwd=True)
+    names = list(chain.input_names)
+    state = {n: rand(i, (48, 32)) for i, n in enumerate(names)}
+    cots = {n: rand(20 + i, (48, 32)) for i, n in enumerate(names)}
+    out, pull = jax.vjp(chain, state)
+    (grads,) = pull(cots)
+    ref_run = _sequential(stages, state, 1, True)
+    ref_out, ref_pull = jax.vjp(ref_run, state)
+    (ref_grads,) = ref_pull(cots)
+    for n in names:
+        np.testing.assert_allclose(out[n], ref_out[n], rtol=1e-11, atol=1e-11,
+                                   err_msg=f"state {n}")
+        np.testing.assert_allclose(grads[n], ref_grads[n], rtol=1e-11,
+                                   atol=1e-11, err_msg=f"grad {n}")
