@@ -153,7 +153,7 @@ def masked_neumann(arr: jax.Array, mask) -> jax.Array:
 
 
 def bounce_back(f: jax.Array, solid, u_wall=None, rho_wall: float = 1.0,
-                velocities=None, weights=None) -> jax.Array:
+                velocities=None, weights=None, wrap: bool = False) -> jax.Array:
     """Half-way bounce-back (no-slip / moving wall) ghost-population
     preparation for pull-scheme LBM steps (models.lbm.d2q9_bgk_op).
 
@@ -172,6 +172,12 @@ def bounce_back(f: jax.Array, solid, u_wall=None, rho_wall: float = 1.0,
     ``u_wall``: None (no-slip) or a tuple of per-axis wall velocities
     (scalars or spatial arrays — e.g. the lid row carrying ``u_lid``).
     ``velocities``/``weights`` default to the D2Q9 set.
+
+    Out-of-domain pulls (a frame solid cell whose neighbour ``s + c_j``
+    lies outside the grid) read the edge-clamped value by default — no
+    fluid exists beyond the frame, so the choice is physically irrelevant,
+    and clamping is what the fused chain kernels reproduce exactly.  Pass
+    ``wrap=True`` on genuinely periodic domains.
     """
     if velocities is None:
         from .models.lbm import D2Q9_VELOCITIES, D2Q9_WEIGHTS
@@ -196,10 +202,30 @@ def bounce_back(f: jax.Array, solid, u_wall=None, rho_wall: float = 1.0,
         if len(u_wall) != nd:
             raise ValueError(f"u_wall needs {nd} components, got {len(u_wall)}")
 
+    def shift_clamped(x, shifts):
+        y = jnp.roll(x, shifts, axis=tuple(range(nd)))
+        if wrap:
+            return y
+        for d, s in enumerate(shifts):
+            if not s:
+                continue
+            # overwrite the wrapped rows with the edge value (clamp)
+            idx = [slice(None)] * x.ndim
+            edge_idx = [slice(None)] * x.ndim
+            if s > 0:  # rolled forward: first s rows wrapped from the end
+                idx[d] = slice(0, s)
+                edge_idx[d] = slice(s, s + 1)
+            else:
+                idx[d] = slice(x.shape[d] + s, x.shape[d])
+                edge_idx[d] = slice(x.shape[d] + s - 1, x.shape[d] + s)
+            y = y.at[tuple(idx)].set(
+                jnp.broadcast_to(y[tuple(edge_idx)], y[tuple(idx)].shape))
+        return y
+
     comps = []
     for j, cj in enumerate(velocities):
-        ghost = jnp.roll(f[..., opposite[j]],
-                         shift=tuple(-c for c in cj), axis=tuple(range(nd)))
+        ghost = shift_clamped(f[..., opposite[j]],
+                              tuple(-c for c in cj))
         if u_wall is not None and any(cj):
             cu = sum((c * u for c, u in zip(cj, u_wall) if c),
                      jnp.asarray(0.0, f.dtype))

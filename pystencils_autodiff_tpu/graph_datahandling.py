@@ -28,6 +28,7 @@ from dataclasses import dataclass, field as dc_field
 from typing import Callable, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 
 from .boundary import BoundaryHandling
 from .datahandling import DataHandling
@@ -306,22 +307,70 @@ class GraphDataHandling(DataHandling):
         if fuse == "stages":
             from .ops.stage_chain import fused_stage_chain
 
-            sweeps = [n for n in body if isinstance(n, SweepNode)]
-            non_sweeps = [n for n in body
-                          if not isinstance(n, (SweepNode, CommNode))]
             periodic = kwargs.pop("periodic", False)
-            if non_sweeps:
-                # a recorded BoundaryNode cannot fold into the fused chain
-                # (periodic wrap is the chain's own boundary handling, NOT
-                # a replacement for dirichlet/bounce-back fills) — dropping
-                # it would silently change the program
+            # recorded BoundaryNodes fold into the fused chain as per-stage
+            # BC events (ops/chain_bc.py); inline arrays in the recorded
+            # specs become synthetic pass-through state fields
+            sweeps: List[SweepNode] = []
+            boundary: Dict[int, dict] = {}
+            const_arrays: Dict[str, object] = {}
+            n_synth = 0
+
+            def register_arr(arr):
+                nonlocal n_synth
+                name = f"_bc_arr{n_synth}"
+                n_synth += 1
+                a = jnp.asarray(arr)
+                if a.dtype == bool:
+                    a = a.astype(jnp.float32)
+                const_arrays[name] = a
+                return name
+
+            def as_chain_args(kind, args):
+                if kind in ("dirichlet", "neumann"):
+                    return (kind, *args)
+                if kind == "masked_dirichlet":
+                    mask = register_arr(args[0])
+                    rest = [register_arr(a) if hasattr(a, "shape")
+                            and getattr(a, "ndim", 0) > 0 else a
+                            for a in args[1:]]
+                    return (kind, mask, *rest)
+                if kind == "bounce_back":
+                    mask = register_arr(args[0])
+                    rest = list(args[1:])
+                    if rest and rest[0] is not None:
+                        rest[0] = tuple(
+                            register_arr(u) if getattr(u, "ndim", 0) > 0
+                            else float(u) for u in rest[0])
+                    return (kind, mask, *rest)
                 raise ValueError(
-                    "fuse='stages' supports sweep/comm-only bodies; the "
-                    "chain's own wrap handles periodic domains "
-                    "(periodic=True), but recorded boundary nodes "
-                    f"({[type(n).__name__ for n in non_sweeps]}) cannot be "
-                    "fused — use fuse='none'/'symbolic' for flagged-cell "
-                    "or frame boundary conditions")
+                    f"recorded BC kind {kind!r} cannot fuse into a chain "
+                    f"(periodic domains: pass periodic=True instead)")
+
+            pending_bcs: List[tuple] = []
+            for node in body:
+                if isinstance(node, SweepNode):
+                    if pending_bcs:
+                        stage_specs = boundary.setdefault(len(sweeps), {})
+                        for fname, chain_list in pending_bcs:
+                            specs = stage_specs.setdefault(fname, [])
+                            specs.extend(chain_list)
+                        pending_bcs = []
+                    sweeps.append(node)
+                elif isinstance(node, BoundaryNode):
+                    for fname, chain_list in node.handler.specs.items():
+                        pending_bcs.append((fname, [
+                            as_chain_args(kind, bargs)
+                            for kind, bargs in chain_list]))
+                elif isinstance(node, CommNode):
+                    pass  # chains exchange halos internally
+                else:
+                    raise ValueError(f"unsupported node in timeloop: {node}")
+            if pending_bcs:
+                raise ValueError(
+                    "fuse='stages': a recorded boundary node after the last "
+                    "sweep has no following stage to attach to — record "
+                    "boundaries before the sweep they prepare")
             mesh = kwargs.pop("mesh", None)
             if mesh is not None:
                 from .parallel import ShardedChain
@@ -330,14 +379,13 @@ class GraphDataHandling(DataHandling):
                 chain = ShardedChain(
                     [(s.op, s.carry_map) for s in sweeps], k=k, mesh=mesh,
                     dim_axes=dim_axes or {0: mesh.axis_names[0]},
-                    periodic=periodic, **kwargs)
+                    periodic=periodic, boundary=boundary or None, **kwargs)
             else:
                 chain = fused_stage_chain(
                     [(s.op, s.carry_map) for s in sweeps],
-                    k=k, periodic=periodic, **kwargs)
-            chain_fields = set()
-            for s in sweeps:
-                chain_fields.update(f.name for f in s.op.forward_input_fields)
+                    k=k, periodic=periodic, boundary=boundary or None,
+                    **kwargs)
+            chain_fields = set(chain.input_names) - set(const_arrays)
 
             def run(state: State, n_steps: int) -> State:
                 if n_steps % k:
@@ -346,9 +394,16 @@ class GraphDataHandling(DataHandling):
 
                 def bodyf(c, _):
                     # extra (non-chain) state fields pass through untouched,
-                    # matching fuse='none' semantics
+                    # matching fuse='none' semantics; synthetic BC arrays
+                    # ride the chain but never enter the carried state
                     inner = {n: c[n] for n in c if n in chain_fields}
-                    return {**c, **chain(inner)}, None
+                    inner.update({n: jnp.asarray(a, next(
+                        iter(inner.values())).dtype)
+                        for n, a in const_arrays.items()})
+                    out = chain(inner)
+                    out = {n: v for n, v in out.items()
+                           if n not in const_arrays}
+                    return {**c, **out}, None
 
                 out, _ = jax.lax.scan(bodyf, dict(state), None,
                                       length=n_steps // k)

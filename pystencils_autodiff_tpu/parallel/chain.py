@@ -92,8 +92,10 @@ class ShardedChain:
                  tile_rows: Optional[int] = None, dtype=None,
                  vmem_limit_bytes: int = 100 * 1024 * 1024,
                  seq_lowering: Optional[str] = None,
-                 intermediates: Sequence[str] = ()):
+                 intermediates: Sequence[str] = (),
+                 boundary=None):
         from ..ops.pallas_kernel import _on_tpu
+        from ..ops.chain_bc import (bc_dim_reach, normalize_chain_bcs)
 
         stages = _as_stages(op_or_stages, carry_map)
         if not stages:
@@ -109,6 +111,20 @@ class ShardedChain:
         self._vmem = vmem_limit_bytes
 
         progs, carries, state_fields, state_names = _validate_stages(stages)
+        self.bcs, extra_fields = normalize_chain_bcs(
+            boundary, state_fields,
+            {n: f.index_shape for n, f in state_fields.items()},
+            progs[0].ndim, len(stages),
+            next(iter(state_fields.values())).dtype)
+        if extra_fields:
+            state_fields = {**state_fields, **extra_fields}
+            state_names = list(state_names) + list(extra_fields)
+        if self.bcs and periodic:
+            frame_kinds = [bc.kind for bl in self.bcs.values() for bc in bl
+                           if bc.kind in ("dirichlet", "neumann")]
+            if frame_kinds:
+                raise ValueError(f"frame BCs {frame_kinds} are meaningless "
+                                 f"on a periodic domain")
         require_row_major(state_fields.values(), "ShardedChain")
         self.progs, self.carries = progs, carries
         self.state_fields, self.input_names = state_fields, list(state_names)
@@ -120,10 +136,14 @@ class ShardedChain:
         self.ndim = progs[0].ndim
 
         # per-dim reach of one full cycle = sum of the stages' ghosts
+        # plus any fused-BC read reaches
         cyc = [(0, 0)] * self.ndim
-        for p in progs:
+        for j, p in enumerate(progs):
             cyc = [(lo + plo, hi + phi)
                    for (lo, hi), (plo, phi) in zip(cyc, p.ghost)]
+            for bc in self.bcs.get(j, ()):
+                cyc = [(lo + blo, hi + bhi) for (lo, hi), (blo, bhi)
+                       in zip(cyc, bc_dim_reach(bc, p.ghost, self.ndim))]
         self.cycle_ghost = cyc
         # deep halo: k cycles' reach per sharded dim
         self.halo = {d: (self.k * cyc[d][0], self.k * cyc[d][1])
@@ -244,7 +264,7 @@ class ShardedChain:
                 self.progs, self.carries, self.state_fields,
                 self.input_names, self.k, ext_spatial, dtype,
                 self._interp, self.periodic, tile_rows=self._tile_rows,
-                vmem_limit_bytes=self._vmem, shard=shard)
+                vmem_limit_bytes=self._vmem, shard=shard, bcs=self.bcs)
         out_ext = self._kernel_cache[key](ext, bases)
 
         out = {}
@@ -264,6 +284,8 @@ class ShardedChain:
         return jax.tree.map(lambda v: v.astype(self._dtype), tree)
 
     def _sequential(self, state):
+        from ..ops.chain_bc import apply_bc_sequential
+
         if not self._seq_steps:
             kwargs = ({"interpret": self._interpret}
                       if (self._interpret is not None
@@ -276,6 +298,10 @@ class ShardedChain:
                                                 **kwargs))
                 for op, carry in self.stages)
         for _ in range(self.k):
-            for step in self._seq_steps:
+            for j, step in enumerate(self._seq_steps):
+                for bc in self.bcs.get(j, ()):
+                    state = apply_bc_sequential(state, bc,
+                                                self.progs[j].ghost,
+                                                self.periodic)
                 state = step(state)
         return {n: state[n] for n in self.input_names}

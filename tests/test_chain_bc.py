@@ -1,0 +1,230 @@
+"""Boundary conditions fused into chains (ops/chain_bc.py): frame and
+masked BCs applied per cycle INSIDE the fused stage-chain kernel must match
+per-step jnp boundary application bit-exactly — state and gradients,
+including the gradient w.r.t. a moving-wall (lid) velocity.  VERDICT
+round 2, next #5."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pystencils_autodiff_tpu import Assignment, AutoDiffOp, fields
+from pystencils_autodiff_tpu.boundary import bounce_back, dirichlet, neumann
+from pystencils_autodiff_tpu.models.lbm import d2q9_bgk_op
+from pystencils_autodiff_tpu.ops import fused_stage_chain
+from pystencils_autodiff_tpu.ops.stage_chain import stage_stepper
+
+RTOL, ATOL = 1e-12, 1e-12
+
+
+def rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype=jnp.float64)
+
+
+def heat_op(dt=0.1):
+    u, u_next = fields("u, u_next", 2)
+    return AutoDiffOp([Assignment(
+        u_next[0, 0],
+        u[0, 0] + dt * (u[1, 0] + u[-1, 0] + u[0, 1] + u[0, -1]
+                        - 4 * u[0, 0]))], op_name="heat2d")
+
+
+@pytest.mark.parametrize("spec,oracle", [
+    ("neumann", lambda a, g: neumann(a, g)),
+    (("dirichlet", 1.5), lambda a, g: dirichlet(a, g, 1.5)),
+])
+def test_frame_bc_in_chain(spec, oracle):
+    """Frame BC applied before every fused step == per-step jnp BC."""
+    op = heat_op()
+    k = 3
+    chain = fused_stage_chain([(op, {"u": "u_next"})], k, interpret=True,
+                              tile_rows=16, boundary={"u": spec})
+    step = stage_stepper(op, {"u": "u_next"})
+    ghost = ((1, 1), (1, 1))
+    u0 = rand(0, (40, 32))
+
+    out = chain({"u": u0})["u"]
+    ref = u0
+    for _ in range(k):
+        ref = step({"u": oracle(ref, ghost)})["u"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=RTOL, atol=ATOL)
+
+    # gradients through the chain's sequential-recompute backward
+    g_f = jax.grad(lambda a: jnp.sum(jnp.sin(chain({"u": a})["u"])))(u0)
+
+    def seq_loss(a):
+        r = a
+        for _ in range(k):
+            r = step({"u": oracle(r, ghost)})["u"]
+        return jnp.sum(jnp.sin(r))
+
+    g_s = jax.grad(seq_loss)(u0)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_masked_dirichlet_in_chain():
+    """Flagged-cell Dirichlet with a field-valued source inside the chain."""
+    op = heat_op()
+    k = 2
+    chain = fused_stage_chain(
+        [(op, {"u": "u_next"})], k, interpret=True, tile_rows=16,
+        boundary={"u": ("masked_dirichlet", "obst", "uval")})
+    step = stage_stepper(op, {"u": "u_next"})
+    n = (40, 32)
+    mask = np.zeros(n)
+    mask[10:14, 8:12] = 1.0
+    state = {"u": rand(0, n), "obst": jnp.asarray(mask), "uval": rand(1, n)}
+
+    out = chain(state)["u"]
+    ref = state["u"]
+    for _ in range(k):
+        ref = jnp.where(mask != 0, state["uval"], ref)
+        ref = step({"u": ref})["u"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=RTOL, atol=ATOL)
+
+    # gradient w.r.t. the Dirichlet source field flows through the chain
+    g = jax.grad(lambda v: jnp.sum(
+        jnp.sin(chain({**state, "uval": v})["u"])))(state["uval"])
+
+    def seq_loss(v):
+        r = state["u"]
+        for _ in range(k):
+            r = step({"u": jnp.where(mask != 0, v, r)})["u"]
+        return jnp.sum(jnp.sin(r))
+
+    g_ref = jax.grad(seq_loss)(state["uval"])
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=RTOL, atol=ATOL)
+
+
+def _cavity_setup(n=32):
+    solid = np.zeros((n, n))
+    solid[0, :] = solid[-1, :] = solid[:, 0] = solid[:, -1] = 1.0
+    op = d2q9_bgk_op(omega=1.6)
+    from pystencils_autodiff_tpu.models.lbm import D2Q9_WEIGHTS
+    W = np.array([float(w) for w in D2Q9_WEIGHTS])
+    f0 = jnp.stack([w * jnp.ones((n, n)) for w in W], -1)
+    f0 = f0 + 0.01 * rand(3, (n, n, 9))
+    return op, jnp.asarray(solid), f0
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_bounce_back_cavity_chain(k):
+    """Lid-driven cavity fused k>=2: bounce-back walls + moving lid inside
+    the chain, bit-exact vs per-step jnp bounce_back, with the gradient
+    w.r.t. the lid velocity intact (the verdict's done-criterion)."""
+    n = 32
+    op, solid, f0 = _cavity_setup(n)
+    chain = fused_stage_chain(
+        [(op, {"f": "f_out"})], k, interpret=True, tile_rows=16,
+        boundary={"f": ("bounce_back", "solid", ("uw0", "uw1"))})
+    step = stage_stepper(op, {"f": "f_out"})
+    lid_mask = jnp.zeros((n, n)).at[0, :].set(1.0)
+
+    def fused_run(u_lid):
+        state = {"f": f0, "solid": solid,
+                 "uw0": jnp.zeros((n, n)), "uw1": lid_mask * u_lid}
+        return chain(state)["f"]
+
+    def seq_run(u_lid):
+        f = f0
+        for _ in range(k):
+            f = bounce_back(f, solid != 0,
+                            u_wall=(jnp.zeros((n, n)), lid_mask * u_lid))
+            f = step({"f": f})["f"]
+        return f
+
+    u_lid = 0.08
+    out = fused_run(u_lid)
+    ref = seq_run(u_lid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=RTOL, atol=ATOL)
+
+    g_f = jax.grad(lambda u: jnp.sum(jnp.sin(fused_run(u))))(u_lid)
+    g_s = jax.grad(lambda u: jnp.sum(jnp.sin(seq_run(u))))(u_lid)
+    np.testing.assert_allclose(float(g_f), float(g_s), rtol=1e-11)
+    assert abs(float(g_f)) > 0, "lid-velocity gradient must be alive"
+
+
+def test_chain_bc_validation():
+    op = heat_op()
+    with pytest.raises(ValueError, match="meaningless on"):
+        fused_stage_chain([(op, {"u": "u_next"})], 1, periodic=True,
+                          interpret=True, boundary={"u": "neumann"})
+    with pytest.raises(NotImplementedError, match="fused_bwd"):
+        fused_stage_chain([(op, {"u": "u_next"})], 1, interpret=True,
+                          fused_bwd=True, boundary={"u": "neumann"})
+    with pytest.raises(TypeError, match="state-field NAME"):
+        fused_stage_chain([(op, {"u": "u_next"})], 1, interpret=True,
+                          boundary={"u": ("masked_dirichlet",
+                                          np.zeros((4, 4)), 0.0)})
+    with pytest.raises(ValueError, match="not a chain state field"):
+        fused_stage_chain([(op, {"u": "u_next"})], 1, interpret=True,
+                          boundary={"zz": "neumann"})
+
+
+def test_graph_compile_stages_with_boundary():
+    """compile(fuse='stages') accepts recorded BoundaryNodes (the round-2
+    verdict's lifted restriction): fused chain == node-by-node replay."""
+    from pystencils_autodiff_tpu.graph_datahandling import GraphDataHandling
+    from pystencils_autodiff_tpu.models.heat import heat_step_op
+
+    n = 32
+    dh = GraphDataHandling((n - 2, n - 2), ghost_layers=1,
+                           default_dtype=jnp.float64)
+    dh.add_field("u", init=0.0)
+    dh.set_array("u", rand(0, (n, n)))
+    hop = heat_step_op(dt=0.1, kappa_field=False, dtype="float64")
+    obst = np.zeros((n, n))
+    obst[12:16, 12:16] = 1.0
+    with dh.timeloop() as loop:
+        loop.boundary({"u": ["neumann", ("masked_dirichlet", obst, 0.7)]})
+        loop.sweep(hop, {"u": "u_next"})
+
+    k = 2
+    run_fused = dh.compile(fuse="stages", k=k, interpret=True, tile_rows=16)
+    run_replay = dh.compile()
+    state = dh.state()
+    out_f = run_fused(state, 2 * k)["u"]
+    out_r = run_replay(state, 2 * k)["u"]
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_chain_with_boundary():
+    """Fused BCs compose with the comm-avoiding sharded chain: global
+    frame/mask BCs apply at global coordinates on every shard."""
+    from pystencils_autodiff_tpu.parallel import ShardedChain, make_mesh
+
+    op = heat_op()
+    k = 2
+    mesh = make_mesh((4,), ("x",))
+    chain = ShardedChain(op, k, mesh, {0: "x"}, carry_map={"u": "u_next"},
+                         interpret=True,
+                         boundary={"u": ("dirichlet", 0.5)})
+    step = stage_stepper(op, {"u": "u_next"})
+    ghost = ((1, 1), (1, 1))
+    u0 = rand(0, (64, 32))
+    out = chain({"u": u0})["u"]
+    ref = u0
+    for _ in range(k):
+        ref = step({"u": dirichlet(ref, ghost, 0.5)})["u"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=RTOL, atol=ATOL)
+
+    g_f = jax.grad(lambda a: jnp.sum(jnp.sin(chain({"u": a})["u"])))(u0)
+
+    def seq_loss(a):
+        r = a
+        for _ in range(k):
+            r = step({"u": dirichlet(r, ghost, 0.5)})["u"]
+        return jnp.sum(jnp.sin(r))
+
+    g_s = jax.grad(seq_loss)(u0)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                               rtol=RTOL, atol=ATOL)

@@ -117,12 +117,27 @@ def test_graph_validation():
         build_heat_graph()[0].compile(fuse="bogus")
 
 
-def test_graph_stage_fusion_rejects_boundary_nodes():
-    """Recorded boundary nodes cannot fold into a fused stage chain —
-    dropping them silently would change the program (review finding)."""
+def test_graph_stage_fusion_boundary_node_rules():
+    """Recorded boundary nodes fold into fused stage chains (round 3);
+    combinations that would silently change the program still raise:
+    frame BCs on periodic domains, and a trailing boundary node with no
+    following sweep to attach to."""
     dh, op = build_heat_graph()
-    with pytest.raises(ValueError, match="boundary nodes"):
+    with pytest.raises(ValueError, match="meaningless on"):
         dh.compile(fuse="stages", k=2, periodic=True)
+    # bounded: the recorded neumann BC fuses and matches replay
+    run_f = dh.compile(fuse="stages", k=2, interpret=True, tile_rows=16)
+    run_r = dh.compile()
+    st = dh.state()
+    np.testing.assert_allclose(np.asarray(run_f(st, 2)["u"]),
+                               np.asarray(run_r(st, 2)["u"]),
+                               rtol=1e-13, atol=1e-13)
+
+    dh2, op2 = build_heat_graph()
+    dh2.graph.nodes[-1].body.append(
+        dh2.graph.nodes[-1].body[0])  # boundary AFTER the last sweep
+    with pytest.raises(ValueError, match="after the last"):
+        dh2.compile(fuse="stages", k=2, interpret=True)
 
 
 def test_graph_stage_fusion_passes_extra_fields_through():
