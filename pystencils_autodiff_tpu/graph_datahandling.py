@@ -303,6 +303,8 @@ class GraphDataHandling(DataHandling):
                 return run_timeloop(step, state, n_steps,
                                     checkpoint=checkpoint)
 
+            run.step = step
+            run.steps_per_call = 1
             return run
         if fuse == "stages":
             from .ops.stage_chain import fused_stage_chain
@@ -409,6 +411,18 @@ class GraphDataHandling(DataHandling):
                                       length=n_steps // k)
                 return out
 
+            run.step = lambda c: bodyf_step(c)
+
+            def bodyf_step(c):
+                inner = {n: c[n] for n in c if n in chain_fields}
+                inner.update({n: jnp.asarray(a, next(
+                    iter(inner.values())).dtype)
+                    for n, a in const_arrays.items()})
+                out = chain(inner)
+                out = {n: v for n, v in out.items() if n not in const_arrays}
+                return {**c, **out}
+
+            run.steps_per_call = k
             return run
         if fuse == "symbolic":
             from .simulation import Simulation
@@ -444,6 +458,8 @@ class GraphDataHandling(DataHandling):
                 return run_timeloop(step, state, n_steps,
                                     checkpoint=checkpoint)
 
+            run.step = step
+            run.steps_per_call = 1
             return run
         raise ValueError(f"unknown fuse mode {fuse!r}; "
                          f"have 'none', 'symbolic', 'stages'")

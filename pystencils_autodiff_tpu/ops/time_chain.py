@@ -316,11 +316,32 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
                     interp, periodic, tile_planes=tile_rows,
                     vmem_limit_bytes=vmem_limit_bytes)
             else:
-                kernel_cache[key] = _make_chain_kernel_fn(
-                    prog, k, carry_map, spatial,
-                    dtype or arr0.dtype, interp, periodic,
-                    tile_rows=tile_rows, probes=probes,
-                    vmem_limit_bytes=vmem_limit_bytes)
+                try:
+                    kernel_cache[key] = _make_chain_kernel_fn(
+                        prog, k, carry_map, spatial,
+                        dtype or arr0.dtype, interp, periodic,
+                        tile_rows=tile_rows, probes=probes,
+                        vmem_limit_bytes=vmem_limit_bytes)
+                except ValueError as e:
+                    if not (periodic and not probes
+                            and "no viable tile" in str(e)):
+                        raise
+                    # awkward periodic shapes: reroute through the stage
+                    # kernel, whose wrap-extend fallback row-pads them
+                    # (round-2 verdict weak #4); carry expanded to full
+                    # coverage so stage semantics == time semantics
+                    from .stage_chain import (_make_stage_chain_kernel,
+                                              _validate_stages)
+
+                    outs_set = set(prog.output_names)
+                    full_carry = {n: carry_map.get(n, n) for n in in_names
+                                  if n in carry_map
+                                  or carry_map.get(n, n) in outs_set}
+                    sp, sc, sf, sn = _validate_stages([(op, full_carry)])
+                    kernel_cache[key] = _make_stage_chain_kernel(
+                        sp, sc, sf, sn, k, spatial, dtype or arr0.dtype,
+                        interp, periodic, tile_rows=tile_rows,
+                        vmem_limit_bytes=vmem_limit_bytes)
         res = kernel_cache[key]({n: state[n] for n in in_names})
         if probes:
             outputs, probe_vals = res

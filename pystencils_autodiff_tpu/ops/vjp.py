@@ -191,8 +191,9 @@ def build_custom_vjp(op, lowering: str = "jnp", periodic: bool = False,
                      **kwargs):
     from . import get_lowering
     lower = get_lowering(lowering)
-    fwd_prog = forward_program(op)
-    bwd_progs = backward_programs(op)
+    accumulate = kwargs.pop("accumulate", "pairwise")
+    fwd_prog = forward_program(op, accumulate=accumulate)
+    bwd_progs = backward_programs(op, accumulate=accumulate)
     bwd_prog = bwd_progs[-1]
     staged = is_staged_backward(op)
     if periodic:

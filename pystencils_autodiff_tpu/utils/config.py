@@ -34,6 +34,7 @@ class LoweringConfig:
     dtype: Optional[str] = None            # compute dtype override
     vmem_limit_bytes: int = 96 * 1024 * 1024
     full_domain: bool = False
+    accumulate: Optional[str] = None       # pairwise | dd (wide-sum mode)
 
     def kwargs(self) -> dict:
         out = {}
@@ -45,6 +46,8 @@ class LoweringConfig:
             out["interpret"] = self.interpret
         if self.dtype is not None:
             out["dtype"] = self.dtype
+        if self.accumulate is not None:
+            out["accumulate"] = self.accumulate
         return out
 
 

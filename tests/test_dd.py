@@ -118,3 +118,87 @@ def test_dd_sum_exact_on_tpu():
     hi, lo = jax.jit(lambda v: dd_sum(v))(vals32)
     comp = float(np.float64(np.asarray(hi)) + np.float64(np.asarray(lo)))
     assert abs(comp - truth) / abs(truth) < 1e-10
+
+
+def test_dd_accumulate_in_kernels():
+    """LoweringConfig(accumulate='dd') compiles wide sums to double-word
+    TwoProd/TwoSum chains inside the kernels: the aniso27 f32 gradient
+    lands within ~1e-8 of the f64 oracle (plain f32 pairwise: ~1e-6).
+    VERDICT round 2, next #8."""
+    import numpy as np
+
+    from pystencils_autodiff_tpu.models.elastic import anisotropic27_op
+    from pystencils_autodiff_tpu.utils import LoweringConfig
+
+    op64 = anisotropic27_op(dtype="float64")
+    op32 = anisotropic27_op(dtype="float32")
+    f64 = op64.jax_function(lowering="jnp")
+    f32 = op32.jax_function(lowering="jnp")
+    fdd = op32.jax_function(config=LoweringConfig(lowering="jnp",
+                                                  accumulate="dd"))
+
+    n = 20
+    rng = np.random.default_rng(7)
+    # evaluate the oracle at the SAME f32-representable inputs, and use a
+    # linear loss with f32-exact weights, so the only error measured is the
+    # kernels' own accumulation
+    u32 = jnp.asarray(rng.standard_normal((n, n, n)).astype(np.float32))
+    u64 = u32.astype(jnp.float64)
+    w32 = jnp.asarray(rng.standard_normal((n, n, n)).astype(np.float32))
+    w64 = w32.astype(jnp.float64)
+
+    def grad_of(f, u, w):
+        return jax.grad(lambda a: jnp.sum(f(u=a) * w))(u)
+
+    g64 = np.asarray(grad_of(f64, u64, w64))
+    g32 = np.asarray(grad_of(f32, u32, w32)).astype(np.float64)
+    gdd = np.asarray(grad_of(fdd, u32, w32)).astype(np.float64)
+
+    # an f32-valued gradient can never beat the f32 representation floor
+    # (~6e-8 relative); the kernel-accumulation error is the distance to
+    # the CORRECTLY-ROUNDED f64 oracle
+    gq = g64.astype(np.float32).astype(np.float64)
+    scale = np.abs(g64).max()
+    err32 = np.abs(g32 - gq).max() / scale
+    errdd = np.abs(gdd - gq).max() / scale
+    # dd is ~49-bit, not correctly-rounded: elements near an f32 rounding
+    # boundary may differ from the correctly-rounded oracle by 1 ulp
+    assert errdd < 2e-8, f"dd accumulation error {errdd:.3g}"
+    assert errdd < err32, (errdd, err32)
+    # values too
+    y64 = np.asarray(f64(u=u64))
+    yq = y64.astype(np.float32).astype(np.float64)
+    vdd = np.abs(np.asarray(fdd(u=u32)).astype(np.float64) - yq).max()
+    v32 = np.abs(np.asarray(f32(u=u32)).astype(np.float64) - yq).max()
+    # within 1 ulp of the correctly-rounded value at the largest elements
+    assert vdd < np.abs(y64).max() * 1.3e-7
+    assert v32 > vdd
+
+
+@pytest.mark.tpu
+def test_dd_accumulate_kernel_on_tpu():
+    """Hardware proof: the dd-accumulating aniso27 Pallas kernel gradient
+    matches the CPU f64 oracle to ~1e-8 relative on the chip."""
+    import numpy as np
+
+    from pystencils_autodiff_tpu.models.elastic import anisotropic27_op
+    from pystencils_autodiff_tpu.utils import LoweringConfig
+
+    op = anisotropic27_op(dtype="float32")
+    fdd = op.jax_function(config=LoweringConfig(lowering="pallas",
+                                                accumulate="dd"))
+    n = 32
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    g = jax.jit(jax.grad(lambda a: jnp.sum(jnp.sin(fdd(u=a)))))(u)
+
+    # f64 oracle on CPU
+    cpu = jax.devices("cpu")[0]
+    op64 = anisotropic27_op(dtype="float64")
+    f64 = op64.jax_function(lowering="jnp")
+    with jax.default_device(cpu):
+        u64 = jnp.asarray(np.asarray(u), jnp.float64)
+        g64 = jax.grad(lambda a: jnp.sum(jnp.sin(f64(u=a))))(u64)
+    err = (np.abs(np.asarray(g).astype(np.float64) - np.asarray(g64)).max()
+           / np.abs(np.asarray(g64)).max())
+    assert err < 5e-8, f"TPU dd gradient error {err:.3g}"

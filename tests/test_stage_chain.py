@@ -145,13 +145,47 @@ def test_awkward_shapes_pad_on_bounded_domains(shape):
                                    rtol=RTOL, atol=ATOL, err_msg=f"grad {n}")
 
 
-def test_awkward_shape_periodic_raises_clearly():
+@pytest.mark.parametrize("shape", [(45, 33), (66, 66)])
+def test_awkward_shape_periodic_wrap_extend(shape):
+    """Periodic chains at non-divisible row counts run via the wrap-extend
+    fallback (round-2 verdict weak #4) — values AND gradients exact."""
     stages = elastic_stages()
-    chain = fused_stage_chain(stages, 1, periodic=True, interpret=True)
-    state = {n: rand(i, (45, 33))
-             for i, n in enumerate(["vx", "vy", "sxx", "syy", "sxy"])}
-    with pytest.raises(ValueError, match="no divisor tile"):
-        chain(state)
+    k = 2
+    chain = fused_stage_chain(stages, k, periodic=True, interpret=True)
+    names = ["vx", "vy", "sxx", "syy", "sxy"]
+    state = {n: rand(i, shape) for i, n in enumerate(names)}
+    cots = {n: rand(30 + i, shape) for i, n in enumerate(names)}
+    out, pull = jax.vjp(chain, state)
+    (grads,) = pull(cots)
+    ref_run = _sequential(stages, state, k, True)
+    ref_out, ref_pull = jax.vjp(ref_run, state)
+    (ref_grads,) = ref_pull(cots)
+    for n in names:
+        np.testing.assert_allclose(out[n], ref_out[n], rtol=RTOL, atol=ATOL)
+        np.testing.assert_allclose(grads[n], ref_grads[n],
+                                   rtol=RTOL, atol=ATOL, err_msg=f"grad {n}")
+
+
+def test_awkward_shape_periodic_time_chain():
+    """fused_time_chain reroutes awkward periodic shapes through the stage
+    kernel's wrap-extend path."""
+    from pystencils_autodiff_tpu.ops.time_chain import fused_time_chain
+    from pystencils_autodiff_tpu.timeloop import make_time_stepper
+
+    op = elastic_stages()[0][0]  # any 2D op; use the velocity sweep
+    carry = {"vx": "vx_next", "vy": "vy_next"}
+    k = 2
+    chain = fused_time_chain(op, k, carry, periodic=True, interpret=True)
+    step = make_time_stepper(op, carry, periodic=True)
+    names = [f.name for f in op.forward_input_fields]
+    state = {n: rand(i, (45, 33)) for i, n in enumerate(names)}
+    out = chain(state)
+    ref = dict(state)
+    for _ in range(k):
+        ref = step(ref)
+    for n in names:
+        np.testing.assert_allclose(out[n], ref[n], rtol=RTOL, atol=ATOL,
+                                   err_msg=n)
 
 
 def test_stage_chain_validation():
