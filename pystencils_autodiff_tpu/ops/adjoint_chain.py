@@ -552,16 +552,79 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
 
         return fn
 
+    def build_sequential_fallback(interp):
+        """Exact same math, no big fused kernel: fused/plane forward via
+        the recompute inside jax.vjp of sequential per-op custom_vjp steps
+        (the compile-guard fallback — availability over speed)."""
+        from ..timeloop import make_time_stepper
+
+        seq_step = make_time_stepper(op, carry_map, lowering="pallas",
+                                     periodic=periodic, interpret=interp)
+
+        def seq(state):
+            recs = [[] for _ in probes]
+            st = dict(state)
+            for _ in range(k):
+                st = seq_step(st)
+                for p, (pname, prow) in enumerate(probes):
+                    arr = st[pname]
+                    recs[p].append(arr.reshape(-1, arr.shape[-1])[prow])
+            out = {n: st[n] for n in in_names}
+            if probes:
+                return out, tuple(jnp.stack(r) for r in recs)
+            return out
+
+        def fb(state, cots, probe_cots=()):
+            if probes:
+                (out, _), pull = jax.vjp(seq, state)
+                (cot0,) = pull((cots, tuple(probe_cots)))
+            else:
+                out, pull = jax.vjp(seq, state)
+                (cot0,) = pull(cots)
+            return out, cot0
+
+        return fb
+
     cache = {}
 
     def chain_grad(state, cot_state, probe_cots=()):
+        import numpy as _np
+
+        from .guard import guard_variants, known_pathology
+
         f0 = op.forward_input_fields[0]
         arr0 = state[in_names[0]]
         spatial = storage_spatial(f0, arr0)
         key = (spatial, str(arr0.dtype))
         if key not in cache:
             interp = interpret if interpret is not None else not _on_tpu()
-            cache[key] = build(spatial, arr0.dtype, interp)
+            if interp:
+                cache[key] = build(spatial, arr0.dtype, interp)
+            else:
+                variants = [
+                    ("fused_two_phase",
+                     lambda: build(spatial, arr0.dtype, interp)),
+                    ("sequential_recompute",
+                     lambda: build_sequential_fallback(interp)),
+                ]
+                if nd >= 3:
+                    reason = known_pathology(
+                        "flat_chain_vjp_3d",
+                        cells=int(_np.prod(spatial, dtype=_np.int64)))
+                    if reason:
+                        import logging
+                        logging.getLogger(
+                            "pystencils_autodiff_tpu.guard").warning(
+                            "compile guard: %s — using the sequential-"
+                            "recompute adjoint for %s at %s", reason,
+                            op.op_name, spatial)
+                        variants.reverse()
+                name, fn, result = guard_variants(
+                    variants, state, cot_state, probe_cots,
+                    signature=f"chain_vjp|{op.op_name}|{spatial}|"
+                              f"{arr0.dtype}|k={k}|periodic={periodic}")
+                cache[key] = fn
+                return result
         return cache[key](state, cot_state, probe_cots)
 
     chain_grad.input_names = in_names

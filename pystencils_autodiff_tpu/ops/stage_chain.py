@@ -201,11 +201,31 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
               + sum(hi for rs in bc_reaches.values() for _, hi in rs))
     LO, HI = k * lo_cyc, k * hi_cyc
 
+    # chain-invariant subexpressions (face-averaged coefficients etc.)
+    # compute ONCE per tile instead of once per stage (ops/hoist.py);
+    # per-stage symbol namespaces and windows (CSE symbols collide
+    # across stage programs)
+    from .hoist import invariant_fields, plan_hoisting
+
+    bc_targets = {bc.field for bl in bcs.values() for bc in bl}
+    all_out = set()
+    for p in progs:
+        all_out.update(p.output_names)
+    inv = invariant_fields(state_names, all_out, carries, bc_targets)
+    hoists = []
+    for prog in progs:
+        hsteps, csteps = plan_hoisting(prog.steps, inv)
+        hacc = [a for s_ in hsteps for a in s_.atoms
+                if isinstance(a, Field.Access)]
+        hlo, hhi = geom.row_reach(hacc)
+        hoists.append((hsteps, csteps, hlo, hhi))
+    n_hoisted = sum(len(h[0]) for h in hoists)
+
     state_keys = [(n, idx) for n in state_names
                   for idx in field_components(state_fields[n])]
 
     itemsize = jnp.dtype(dtype).itemsize
-    n_live = len(state_keys) * (len(progs) + 3) + 8
+    n_live = len(state_keys) * (len(progs) + 3) + 8 + n_hoisted
     t = tile_rows or pick_chain_tile(rows, LO, HI,
                                      cols * itemsize * n_live,
                                      vmem_limit_bytes)
@@ -384,6 +404,28 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
                             solid, ghost, new[(bc.field, (jv,))])
                 return new
 
+            henvs = []
+            for j_, prog_ in enumerate(progs):
+                hsteps, _, hlo_j, hhi_j = hoists[j_]
+                henv_j: Dict[object, jax.Array] = {}
+                if hsteps:
+                    EHj = (LO + t + HI) - hlo_j - hhi_j
+
+                    def hread(acc, _h=hlo_j, _E=EHj):
+                        v = state[(acc.field.name, acc.index)]
+                        start = _h + geom.row_off(acc.offsets)
+                        v = jax.lax.slice_in_dim(v, start, start + _E,
+                                                 axis=0)
+                        return _shift_lateral(v, acc.offsets[-1], 1, False,
+                                              interpret, periodic)
+
+                    for st_ in hsteps:
+                        hv = [hread(a) if isinstance(a, Field.Access)
+                              else henv_j[a] for a in st_.atoms]
+                        henv_j[st_.target] = jnp.broadcast_to(
+                            jnp.asarray(st_.fn(*hv), dtype), (EHj, cols))
+                henvs.append(henv_j)
+
             used_lo = used_hi = 0
             for _cycle in range(k):
                 for j, (prog, carry, (lo_s, hi_s)) in enumerate(
@@ -400,6 +442,7 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
                     used_hi += hi_s
                     margin_lo = LO - used_lo
                     ext_rows = t + margin_lo + (HI - used_hi)
+                    a_s = used_lo
                     stage_out: Dict[tuple, jax.Array] = {}
                     env: Dict[object, jax.Array] = {}
 
@@ -410,10 +453,19 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
                         return _shift_lateral(v, acc.offsets[-1], 1, False,
                                               interpret, periodic)
 
+                    def sym(at, _er=ext_rows, _a=a_s, _j=j):
+                        v = env.get(at)
+                        if v is not None:
+                            return v
+                        hlo_j = hoists[_j][2]
+                        return jax.lax.slice_in_dim(
+                            henvs[_j][at], _a - hlo_j, _a - hlo_j + _er,
+                            axis=0)
+
                     shape_s = (ext_rows, cols)
-                    for step_ in prog.steps:
+                    for step_ in hoists[j][1]:
                         vals = [read(at) if isinstance(at, Field.Access)
-                                else env[at] for at in step_.atoms]
+                                else sym(at) for at in step_.atoms]
                         res = jnp.broadcast_to(
                             jnp.asarray(step_.fn(*vals), dtype), shape_s)
                         if step_.is_main:

@@ -81,13 +81,23 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
     in_keys = [(f.name, idx) for f in program.input_fields
                for idx in field_components(f)]
 
+    # chain-invariant subexpressions (face-averaged coefficients etc.)
+    # compute ONCE per tile instead of once per step (ops/hoist.py)
+    from .hoist import invariant_fields, plan_hoisting
+
+    inv = invariant_fields(in_names, program.output_names, carry_map)
+    hoist_steps, cycle_steps = plan_hoisting(program.steps, inv)
+    h_acc = [a for s_ in hoist_steps for a in s_.atoms
+             if isinstance(a, Field.Access)]
+    hr_lo, hr_hi = geom.row_reach(h_acc)
+
     probes = list(probes or ())
     for pname, _prow in probes:
         if fields_by_name[pname].index_shape:
             raise ValueError(f"probe field {pname!r} must be scalar")
 
     itemsize = jnp.dtype(dtype).itemsize
-    n_live = (len(in_keys) * (k + 2) + 8)
+    n_live = (len(in_keys) * (k + 2) + 8 + len(hoist_steps))
     t = tile_rows or pick_chain_tile(rows, LO, HI,
                                      cols * itemsize * n_live,
                                      vmem_limit_bytes)
@@ -140,9 +150,27 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                 state[key] = (jnp.concatenate(parts, axis=0)
                               if len(parts) > 1 else parts[0])
 
+            henv: Dict[object, jax.Array] = {}
+            if hoist_steps:
+                EH = (LO + t + HI) - hr_lo - hr_hi
+
+                def hread(acc):
+                    v = state[(acc.field.name, acc.index)]
+                    start = hr_lo + geom.row_off(acc.offsets)
+                    v = jax.lax.slice_in_dim(v, start, start + EH, axis=0)
+                    return _shift_lateral(v, acc.offsets[-1], 1, False,
+                                          interpret, periodic)
+
+                for st_ in hoist_steps:
+                    hv = [hread(a) if isinstance(a, Field.Access)
+                          else henv[a] for a in st_.atoms]
+                    henv[st_.target] = jnp.broadcast_to(
+                        jnp.asarray(st_.fn(*hv), dtype), (EH, cols))
+
             for s in range(k):
                 margin_lo = LO - (s + 1) * lo1
                 ext_rows = t + margin_lo + (HI - (s + 1) * hi1)
+                a_s = LO - margin_lo  # low-side rows consumed so far
                 stage_out: Dict[tuple, jax.Array] = {}
                 env: Dict[object, jax.Array] = {}
 
@@ -153,10 +181,17 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                     return _shift_lateral(v, acc.offsets[-1], 1, False,
                                           interpret, periodic)
 
+                def sym(at, _er=ext_rows, _a=a_s):
+                    v = env.get(at)
+                    if v is not None:
+                        return v
+                    return jax.lax.slice_in_dim(
+                        henv[at], _a - hr_lo, _a - hr_lo + _er, axis=0)
+
                 shape_s = (ext_rows, cols)
-                for step_ in program.steps:
+                for step_ in cycle_steps:
                     vals = [read(at) if isinstance(at, Field.Access)
-                            else env[at] for at in step_.atoms]
+                            else sym(at) for at in step_.atoms]
                     res = jnp.broadcast_to(
                         jnp.asarray(step_.fn(*vals), dtype), shape_s)
                     if step_.is_main:

@@ -110,7 +110,7 @@ def test_cavity_vortex_forms():
     assert core > 0.01
 
 
-def _cavity_loss(lowering, n=12, steps=3, omega=1.6):
+def _cavity_loss(lowering, n=12, steps=2, omega=1.6):
     """Jitted loss(u_lid): final fluid kinetic energy of a small cavity."""
     op = d2q9_bgk_op(omega=omega)
     solid = box_mask(n)

@@ -55,6 +55,7 @@ def _sequential(stages, k, periodic):
     steps = [stage_stepper(op, carry, periodic=periodic)
              for op, carry in stages]
 
+    @jax.jit
     def run(state):
         st = dict(state)
         for _ in range(k):
@@ -75,7 +76,7 @@ def test_heat_chain_1d_decomposition(k, periodic):
     chain = ShardedChain(op, k, mesh, {0: "x"}, carry_map={"u": "u_next"},
                          periodic=periodic, interpret=True)
     u = rand(0, (64, 32))
-    out = chain({"u": u})
+    out = jax.jit(chain)({"u": u})
     ref = _sequential([(op, {"u": "u_next"})], k, periodic)({"u": u})
     np.testing.assert_allclose(np.asarray(out["u"]), np.asarray(ref["u"]),
                                rtol=RTOL, atol=ATOL)
@@ -94,8 +95,10 @@ def test_heat_chain_gradients_exact(periodic):
     seq = _sequential([(op, {"u": "u_next"})], k, periodic)
     u = rand(1, (64, 32))
 
-    g_sh = jax.grad(lambda a: jnp.sum(jnp.sin(chain({"u": a})["u"])))(u)
-    g_se = jax.grad(lambda a: jnp.sum(jnp.sin(seq({"u": a})["u"])))(u)
+    g_sh = jax.jit(jax.grad(
+        lambda a: jnp.sum(jnp.sin(chain({"u": a})["u"]))))(u)
+    g_se = jax.jit(jax.grad(
+        lambda a: jnp.sum(jnp.sin(seq({"u": a})["u"]))))(u)
     np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_se),
                                rtol=RTOL, atol=ATOL)
 
@@ -113,11 +116,20 @@ def test_elastic_stage_chain_sharded(periodic):
     state = {n: rand(i, (64, 32)) for i, n in enumerate(names)}
     cots = {n: rand(40 + i, (64, 32)) for i, n in enumerate(names)}
 
-    out, pull = jax.vjp(chain, state)
-    (grads,) = pull(cots)
+    @jax.jit
+    def run_vjp(state, cots):
+        out, pull = jax.vjp(chain, state)
+        return out, pull(cots)[0]
+
+    out, grads = run_vjp(state, cots)
     seq = _sequential(stages, k, periodic)
-    ref_out, ref_pull = jax.vjp(seq, state)
-    (ref_grads,) = ref_pull(cots)
+
+    @jax.jit
+    def ref_vjp(state, cots):
+        out, pull = jax.vjp(seq, state)
+        return out, pull(cots)[0]
+
+    ref_out, ref_grads = ref_vjp(state, cots)
     for n in names:
         np.testing.assert_allclose(np.asarray(out[n]), np.asarray(ref_out[n]),
                                    rtol=RTOL, atol=ATOL, err_msg=f"state {n}")
@@ -138,7 +150,7 @@ def test_diff3d_chain_2d_decomposition(periodic):
                          carry_map={"u": "u_next"}, periodic=periodic,
                          interpret=True)
     u = rand(2, (16, 16, 16))
-    out = chain({"u": u})
+    out = jax.jit(chain)({"u": u})
     ref = _sequential([(op, {"u": "u_next"})], k, periodic)({"u": u})
     np.testing.assert_allclose(np.asarray(out["u"]), np.asarray(ref["u"]),
                                rtol=RTOL, atol=ATOL)

@@ -36,7 +36,7 @@ def test_1d_decomposition_matches_single_device():
     single = op.jax_function()
     x = rand(0, (64, 32))
     xs = shard_array(x, mesh, sharded.partition_spec(op.forward_input_fields[0]))
-    np.testing.assert_allclose(np.asarray(sharded(xs)), np.asarray(single(x)),
+    np.testing.assert_allclose(np.asarray(jax.jit(sharded)(xs)), np.asarray(single(x)),
                                rtol=RTOL, atol=ATOL)
 
 
@@ -47,7 +47,7 @@ def test_2d_decomposition_matches_single_device():
     sharded = ShardedStencil(op, mesh, {0: "x", 1: "y"})
     single = op.jax_function()
     x = rand(1, (32, 16))
-    np.testing.assert_allclose(np.asarray(sharded(x)), np.asarray(single(x)),
+    np.testing.assert_allclose(np.asarray(jax.jit(sharded)(x)), np.asarray(single(x)),
                                rtol=RTOL, atol=ATOL)
 
 
@@ -62,8 +62,8 @@ def test_sharded_gradients_match_single_device():
     single = op.jax_function()
     x = rand(2, (64, 32))
 
-    g_sh = jax.grad(lambda a: jnp.sum(jnp.sin(sharded(a))))(x)
-    g_si = jax.grad(lambda a: jnp.sum(jnp.sin(single(a))))(x)
+    g_sh = jax.jit(jax.grad(lambda a: jnp.sum(jnp.sin(sharded(a)))))(x)
+    g_si = jax.jit(jax.grad(lambda a: jnp.sum(jnp.sin(single(a)))))(x)
     np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_si),
                                rtol=RTOL, atol=ATOL)
 
@@ -82,7 +82,7 @@ def test_sharded_varcoeff_gradients():
     def loss(f):
         return lambda a, b: jnp.sum(jnp.cos(f(k=b, x=a)))
 
-    g_sh = jax.grad(loss(sharded), argnums=(0, 1))(xv, kv)
+    g_sh = jax.jit(jax.grad(loss(sharded), argnums=(0, 1)))(xv, kv)
     g_si = jax.grad(loss(single), argnums=(0, 1))(xv, kv)
     for a, b in zip(g_sh, g_si):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -102,7 +102,7 @@ def test_periodic_decomposition():
         # periodic in dim0 (the sharded dim); dim1 has no offsets
         return jnp.roll(a, -1, 0) - jnp.roll(a, 1, 0)
 
-    np.testing.assert_allclose(np.asarray(sharded(xv)), np.asarray(oracle(xv)),
+    np.testing.assert_allclose(np.asarray(jax.jit(sharded)(xv)), np.asarray(oracle(xv)),
                                rtol=RTOL, atol=ATOL)
 
 
@@ -122,7 +122,8 @@ def test_3d_sharded_pallas_interpret():
     single = op.jax_function()
     arrs = {"x": rand(6, (16, 16, 8)), "k": rand(7, (16, 16, 8))}
     np.testing.assert_allclose(
-        np.asarray(sharded(**arrs)), np.asarray(single(**arrs)),
+        np.asarray(jax.jit(lambda **a: sharded(**a))(**arrs)),
+        np.asarray(single(**arrs)),
         rtol=RTOL, atol=ATOL)
 
 
@@ -137,9 +138,10 @@ def test_sharded_corner_halos_27point():
     sharded = ShardedStencil(op, mesh, {0: "x", 1: "y", 2: "z"})
     single = op.jax_function()
     u = rand(40, (8, 8, 8))
-    np.testing.assert_allclose(np.asarray(sharded(u)), np.asarray(single(u)),
+    np.testing.assert_allclose(np.asarray(jax.jit(sharded)(u)),
+                               np.asarray(single(u)),
                                rtol=RTOL, atol=ATOL)
-    g_sh = jax.grad(lambda a: jnp.sum(jnp.sin(sharded(a))))(u)
+    g_sh = jax.jit(jax.grad(lambda a: jnp.sum(jnp.sin(sharded(a)))))(u)
     g_si = jax.grad(lambda a: jnp.sum(jnp.sin(single(a))))(u)
     np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_si),
                                rtol=RTOL, atol=ATOL)
@@ -156,7 +158,7 @@ def test_sharded_staggered_elastic():
     single = op.jax_function()
     args = {n: rand(50 + i, (16, 16))
             for i, n in enumerate(f.name for f in op.forward_input_fields)}
-    out_sh = sharded(**args)
+    out_sh = jax.jit(lambda **a: sharded(**a))(**args)
     out_si = single(**args)
     for a, b in zip(out_sh, out_si):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -182,16 +184,16 @@ def test_overlap_mode_matches_exactly(mesh_shape, axes, dims):
     single = op.jax_function()
     xv, kv = rand(80, (32, 16)), rand(81, (32, 16))
 
-    o_plain = plain(xo=xv, ko=kv)
-    o_ovl = ovl(xo=xv, ko=kv)
+    o_plain = jax.jit(lambda a, b: plain(xo=a, ko=b))(xv, kv)
+    o_ovl = jax.jit(lambda a, b: ovl(xo=a, ko=b))(xv, kv)
     o_single = single(xo=xv, ko=kv)
     np.testing.assert_allclose(np.asarray(o_ovl), np.asarray(o_single),
                                rtol=RTOL, atol=ATOL)
     np.testing.assert_allclose(np.asarray(o_ovl), np.asarray(o_plain),
                                rtol=RTOL, atol=ATOL)
 
-    g_o = jax.grad(lambda a, b: jnp.sum(jnp.sin(ovl(xo=a, ko=b))),
-                   argnums=(0, 1))(xv, kv)
+    g_o = jax.jit(jax.grad(lambda a, b: jnp.sum(jnp.sin(ovl(xo=a, ko=b))),
+                   argnums=(0, 1)))(xv, kv)
     g_s = jax.grad(lambda a, b: jnp.sum(jnp.sin(single(xo=a, ko=b))),
                    argnums=(0, 1))(xv, kv)
     for a, b in zip(g_o, g_s):
