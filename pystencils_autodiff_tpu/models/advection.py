@@ -19,9 +19,12 @@ from ..assignment import Assignment, AssignmentCollection
 from ..autodiff import AutoDiffOp
 from ..field import Field
 
+from ._memo import memoize_model
+
 __all__ = ["upwind1_op", "weno5_op", "weno5_rk3_stages"]
 
 
+@memoize_model
 def upwind1_op(a: float = 1.0, dt: float = 0.4, dx: float = 1.0,
                dtype="float64") -> AutoDiffOp:
     u = Field("u", 1, dtype=dtype)
@@ -73,6 +76,7 @@ def _weno5_euler_rhs(u: Field, cfl, ndim: int):
     return at(0) - cfl * (f_plus - f_minus)
 
 
+@memoize_model
 def weno5_op(a: float = 1.0, dt: float = 0.4, dx: float = 1.0,
              dtype="float64", ndim: int = 1) -> AutoDiffOp:
     """u' = u − (a·dt/dx)(F_{i+1/2} − F_{i−1/2}), F by WENO5-JS, advecting

@@ -16,9 +16,12 @@ from ..assignment import Assignment
 from ..autodiff import AutoDiffOp
 from ..field import Field
 
+from ._memo import memoize_model
+
 __all__ = ["burgers2d_op"]
 
 
+@memoize_model
 def burgers2d_op(nu: float = 0.05, dt: float = 0.05, dx: float = 1.0,
                  dtype="float64") -> AutoDiffOp:
     u = Field("u", 2, dtype=dtype)

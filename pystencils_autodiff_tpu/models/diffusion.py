@@ -18,9 +18,12 @@ from ..assignment import Assignment
 from ..autodiff import AutoDiffOp
 from ..field import Field
 
+from ._memo import memoize_model
+
 __all__ = ["diffusion3d_op", "sharded_diffusion3d"]
 
 
+@memoize_model
 def diffusion3d_op(dt: float = 0.05, dtype="float32",
                    diff_mode="transposed") -> AutoDiffOp:
     u = Field("u", 3, dtype=dtype)

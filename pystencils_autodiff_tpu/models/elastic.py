@@ -21,9 +21,12 @@ from ..assignment import Assignment
 from ..autodiff import AutoDiffOp
 from ..field import Field
 
+from ._memo import memoize_model
+
 __all__ = ["anisotropic27_op", "elastic_velocity_op", "elastic_stress_op"]
 
 
+@memoize_model
 def anisotropic27_op(A=None, dtype="float32") -> AutoDiffOp:
     """y = ∇·(A∇u), 27-point: axis terms from diag(A), corner terms from
     the off-diagonal mixed derivatives (standard centred discretisation)."""
@@ -51,6 +54,7 @@ def anisotropic27_op(A=None, dtype="float32") -> AutoDiffOp:
     return AutoDiffOp([Assignment(y.center, expr)], op_name="aniso27")
 
 
+@memoize_model
 def elastic_velocity_op(dt: float = 0.001, dx: float = 1.0, rho: float = 1.0,
                         dtype="float32") -> AutoDiffOp:
     """Staggered 2D P-SV velocity update:
@@ -81,6 +85,7 @@ def elastic_velocity_op(dt: float = 0.001, dx: float = 1.0, rho: float = 1.0,
     return AutoDiffOp(asm, op_name="elastic_vel")
 
 
+@memoize_model
 def elastic_stress_op(dt: float = 0.001, dx: float = 1.0,
                       lam: float = 2.0, mu: float = 1.0,
                       dtype="float32") -> AutoDiffOp:

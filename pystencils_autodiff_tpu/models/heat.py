@@ -11,9 +11,12 @@ from ..assignment import Assignment
 from ..autodiff import AutoDiffOp
 from ..field import Field
 
+from ._memo import memoize_model
+
 __all__ = ["laplacian_op", "heat_step_op"]
 
 
+@memoize_model
 def laplacian_op(dtype="float32") -> AutoDiffOp:
     """y = ∇²x (5-point, unit grid spacing)."""
     x = Field("x", 2, dtype=dtype)
@@ -24,6 +27,7 @@ def laplacian_op(dtype="float32") -> AutoDiffOp:
         op_name="laplacian2d")
 
 
+@memoize_model
 def heat_step_op(dt: float = 0.1, kappa_field: bool = False,
                  dtype="float32") -> AutoDiffOp:
     """u' = u + dt·κ·∇²u — explicit Euler step; κ a field if requested."""

@@ -21,6 +21,8 @@ from ..assignment import Assignment, AssignmentCollection
 from ..autodiff import AutoDiffOp
 from ..field import Field
 
+from ._memo import memoize_model
+
 __all__ = ["D2Q9_VELOCITIES", "D2Q9_WEIGHTS", "d2q9_bgk_op", "macroscopic",
            "D3Q19_VELOCITIES", "D3Q19_WEIGHTS", "d3q19_bgk_op", "bgk_op"]
 
@@ -43,6 +45,7 @@ D3Q19_WEIGHTS = ([sp.Rational(1, 3)] + [sp.Rational(1, 18)] * 6
                  + [sp.Rational(1, 36)] * 12)
 
 
+@memoize_model
 def bgk_op(velocities, weights, omega: float = 1.7, dtype="float64",
            layout: str = "aos", op_name: str = "bgk") -> AutoDiffOp:
     """Fused stream+collide BGK step for an arbitrary velocity set:
@@ -83,6 +86,7 @@ def bgk_op(velocities, weights, omega: float = 1.7, dtype="float64",
     return AutoDiffOp(AssignmentCollection(mains, subexprs), op_name=op_name)
 
 
+@memoize_model
 def d2q9_bgk_op(omega: float = 1.7, dtype="float64",
                 compressible: bool = True, layout: str = "aos") -> AutoDiffOp:
     """D2Q9 fused stream+collide BGK step (see :func:`bgk_op`)."""
@@ -90,6 +94,7 @@ def d2q9_bgk_op(omega: float = 1.7, dtype="float64",
                   layout=layout, op_name="d2q9_bgk")
 
 
+@memoize_model
 def d3q19_bgk_op(omega: float = 1.7, dtype="float64",
                  layout: str = "aos") -> AutoDiffOp:
     """D3Q19 fused stream+collide BGK step — the 3D lattice-Boltzmann

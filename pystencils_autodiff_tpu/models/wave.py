@@ -25,9 +25,12 @@ from ..autodiff import AutoDiffOp
 from ..field import Field
 from ..timeloop import make_time_stepper, run_timeloop
 
+from ._memo import memoize_model
+
 __all__ = ["wave_step_op", "wave_simulate", "fwi_gradient"]
 
 
+@memoize_model
 def wave_step_op(dt: float = 0.001, dx: float = 1.0,
                  dtype="float32") -> AutoDiffOp:
     u = Field("u_curr", 2, dtype=dtype)

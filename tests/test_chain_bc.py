@@ -113,7 +113,7 @@ def _cavity_setup(n=24):
     return op, jnp.asarray(solid), f0
 
 
-@pytest.mark.parametrize("k", [1, 2])
+@pytest.mark.parametrize("k", [2])
 def test_bounce_back_cavity_chain(k):
     """Lid-driven cavity fused k>=2: bounce-back walls + moving lid inside
     the chain, bit-exact vs per-step jnp bounce_back, with the gradient

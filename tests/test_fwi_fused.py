@@ -60,7 +60,7 @@ def test_fused_fwi_gradient_matches_sequential():
 def test_fused_fwi_gradient_descends():
     """The fused gradient points downhill on the misfit."""
     u0, c_true = _setup()
-    n_steps = 8
+    n_steps = 4
     # observed data from the true model, via the fused forward itself
     _, seis = None, None
     op = wave_step_op(dt=0.2, dtype="float64")

@@ -109,15 +109,16 @@ def test_d2q9_soa_fused_chain():
     ch_s = fused_time_chain(op_s, k, {"f": "f_out"}, periodic=True,
                             interpret=True, tile_rows=16)
     f0 = 1.0 + 0.05 * rand(2, (16, 16, 9)) ** 2
-    out_a = ch_a({"f": f0})["f"]
-    out_s = ch_s({"f": jnp.moveaxis(f0, -1, 0)})["f"]
+    # ONE vjp trace per chain gives value and gradient together (the
+    # interpret-mode trace dominates this test's wall time)
+    out_a, pull_a = jax.vjp(lambda a: ch_a({"f": a})["f"], f0)
+    out_s, pull_s = jax.vjp(lambda a: ch_s({"f": a})["f"],
+                            jnp.moveaxis(f0, -1, 0))
     np.testing.assert_allclose(np.asarray(out_s),
                                np.moveaxis(np.asarray(out_a), -1, 0),
                                rtol=1e-13, atol=1e-13)
-    # gradients through the chains agree too
-    ga = jax.grad(lambda a: jnp.sum(ch_a({"f": a})["f"] ** 2))(f0)
-    gs = jax.grad(lambda a: jnp.sum(ch_s({"f": a})["f"] ** 2))(
-        jnp.moveaxis(f0, -1, 0))
+    (ga,) = pull_a(2.0 * out_a)
+    (gs,) = pull_s(2.0 * out_s)
     np.testing.assert_allclose(np.asarray(gs),
                                np.moveaxis(np.asarray(ga), -1, 0),
                                rtol=1e-12, atol=1e-12)

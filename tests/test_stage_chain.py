@@ -103,7 +103,7 @@ def test_weno5_rk3_gradient():
     """Gradient of a loss on the advected field w.r.t. the initial
     condition through the fused RK3 chain == sequential jax.grad."""
     stages, names = weno5_rk3_stages(a=1.0, dt=0.3, dx=1.0, ndim=2)
-    k = 2
+    k = 1
     chain = fused_stage_chain(stages, k, periodic=True,
                               interpret=True, tile_rows=16)
     u0 = 0.3 * rand(5, (16, 32))
