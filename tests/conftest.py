@@ -34,7 +34,34 @@ def pytest_configure(config):
         "PYSTENCILS_ADTPU_SLOW_TESTS=1 (each slow case keeps a fast canary)")
 
 
+# the ~20 slowest tests (interpret-mode trace-bound; full ranking in
+# ROADMAP.md suite-budget note). PYSTENCILS_ADTPU_FAST_SUITE=1 skips them
+# for a <5-min iteration lane; the DEFAULT run keeps them (full coverage).
+_HEAVY = (
+    "test_bounce_back_cavity_chain", "test_lbm_adjoint_chain",
+    "test_sharded_chain_with_boundary", "test_cavity_gradient_wrt_lid",
+    "test_fused_fwi_gradient_descends", "test_fused_backward_weno5_rk3",
+    "test_cavity_gradient_pallas_matches_jnp",
+    "test_fused_fwi_gradient_matches_sequential",
+    "test_d2q9_soa_fused_chain", "test_mass_conservation_stationary_walls",
+    "test_d2q9_soa_matches_aos", "test_lbm_timeloop_stable",
+    "test_fused_backward_elastic", "test_frame_bc_in_chain",
+    "test_weno5_rk3_gradient", "test_fused_lbm_chain",
+    "test_d3q19_jnp_gradient_finite", "test_awkward_shapes_pad",
+    "test_diffusion3d_chain_fused_bwd_grad", "test_equilibrium_is_fixed_point_3d",
+    "test_wave_adjoint_chain", "test_fused_bwd_chain_gradients",
+    "test_mass_momentum_conserved_3d", "test_awkward_shape_periodic",
+    "test_weno5_rk3_chain", "test_elastic_stage_chain_sharded",
+)
+
+
 def pytest_collection_modifyitems(config, items):
+    if os.environ.get("PYSTENCILS_ADTPU_FAST_SUITE"):
+        skip_heavy = pytest.mark.skip(
+            reason="fast lane (PYSTENCILS_ADTPU_FAST_SUITE=1)")
+        for item in items:
+            if any(h in item.name for h in _HEAVY):
+                item.add_marker(skip_heavy)
     try:
         has_tpu = any(d.platform == "tpu" for d in jax.devices())
     except Exception:
