@@ -139,6 +139,7 @@ class StencilProgram:
     ndim: int
     accum_fields: List[Field] = dc_field(default_factory=list)
     name: str = "stencil"
+    accumulate: str = "pairwise"  # wide-sum mode the steps were compiled with
 
     @property
     def input_names(self) -> List[str]:
@@ -391,6 +392,7 @@ def make_program(
         ndim=ndim,
         accum_fields=accum,
         name=name,
+        accumulate=accumulate,
     )
 
 

@@ -185,6 +185,11 @@ def _run_whole_array(program: StencilProgram, inputs: Dict[str, jax.Array],
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in arrays],
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes),
         interpret=interpret,
+        # the default scoped-vmem limit (16M) rejects kernels with many
+        # live temporaries (e.g. dd accumulation trees) even on tiny
+        # arrays; raise it like every other strategy does
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*arrays)
     if not isinstance(result, (tuple, list)):
         result = (result,)
@@ -805,7 +810,14 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
         if strat is None:
             nbytes = int(np.prod(spatial)) * jnp.dtype(out_dtype).itemsize
             total = nbytes * (len(program.input_fields) + len(program.output_fields))
-            if total <= _WHOLE_ARRAY_LIMIT_BYTES:
+            if (getattr(program, "accumulate", "pairwise") == "dd"
+                    and blocked_ok):
+                # dd TwoProd/TwoSum trees carry many live temporaries: the
+                # whole-array 3D block blows the scoped-vmem budget / hangs
+                # the remote Mosaic compiler (measured); flattened blocked
+                # tiles compile fine
+                strat = "blocked"
+            elif total <= _WHOLE_ARRAY_LIMIT_BYTES:
                 strat = "whole"
             elif blocked_ok:
                 strat = "blocked"

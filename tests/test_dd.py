@@ -190,15 +190,21 @@ def test_dd_accumulate_kernel_on_tpu():
     n = 32
     rng = np.random.default_rng(3)
     u = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
-    g = jax.jit(jax.grad(lambda a: jnp.sum(jnp.sin(fdd(u=a)))))(u)
+    # linear loss with f32-exact weights: only the kernel's accumulation
+    # error is measured (a sin-loss cotangent adds f32 cos noise upstream)
+    w = jnp.asarray(rng.standard_normal((n, n, n)).astype(np.float32))
+    g = jax.jit(jax.grad(lambda a: jnp.sum(fdd(u=a) * w)))(u)
 
-    # f64 oracle on CPU
+    # f64 oracle on CPU, compared after correct rounding to f32
     cpu = jax.devices("cpu")[0]
     op64 = anisotropic27_op(dtype="float64")
     f64 = op64.jax_function(lowering="jnp")
     with jax.default_device(cpu):
         u64 = jnp.asarray(np.asarray(u), jnp.float64)
-        g64 = jax.grad(lambda a: jnp.sum(jnp.sin(f64(u=a))))(u64)
-    err = (np.abs(np.asarray(g).astype(np.float64) - np.asarray(g64)).max()
-           / np.abs(np.asarray(g64)).max())
-    assert err < 5e-8, f"TPU dd gradient error {err:.3g}"
+        w64 = jnp.asarray(np.asarray(w), jnp.float64)
+        g64 = jax.grad(lambda a: jnp.sum(f64(u=a) * w64))(u64)
+    g64 = np.asarray(g64)
+    gq = g64.astype(np.float32).astype(np.float64)
+    err = (np.abs(np.asarray(g).astype(np.float64) - gq).max()
+           / np.abs(g64).max())
+    assert err < 2e-8, f"TPU dd accumulation error {err:.3g}"
