@@ -100,14 +100,20 @@ def sec_aniso27(vpu_flops=None):
 
     t = timed_per_iter(lambda x: f(u=x), u, 8)
     gc = u.size / t / 1e9
+    vline = (f", VPU-frac {gc * 1e9 * fpc / vpu_flops:.2f}"
+             if vpu_flops else "")
     print(f"aniso27 fwd {n}^3: {t*1e3:.3f} ms, {gc:.1f} Gcell/s, "
-          f"{2*ab/t/1e9:.0f} GB/s (frac819 {2*ab/t/1e9/819:.2f}), "
-          f"VPU-frac {gc*1e9*fpc/vpu_flops:.2f}" if vpu_flops else
-          f"aniso27 fwd {n}^3: {t*1e3:.3f} ms, {gc:.1f} Gcell/s")
+          f"{2*ab/t/1e9:.0f} GB/s (frac819 {2*ab/t/1e9/819:.2f}){vline}")
 
-    # fwd+adjoint via jax.grad of a sum loss (round-2 table methodology)
-    loss_g = jax.grad(lambda x: jnp.sum(f(u=x)))
-    t2 = timed_per_iter(lambda x: loss_g(x), u, 6)
+    # fwd+adjoint: carry BOTH primal and cotangent through jax.vjp so the
+    # (constant, since the op is linear) gradient cannot be hoisted out of
+    # the timing loop by XLA
+    def vjp_step(c):
+        y, pull = jax.vjp(lambda x: f(u=x), c[0])
+        (gx,) = pull(c[1])
+        return (y, gx)
+
+    t2 = timed_per_iter(vjp_step, (u, u), 6)
     print(f"aniso27 fwd+adj {n}^3: {t2*1e3:.3f} ms, {u.size/t2/1e9:.1f} "
           f"Gcell/s, {4*ab/t2/1e9:.0f} GB/s eff (frac {4*ab/t2/1e9/819:.2f})")
 
@@ -162,10 +168,12 @@ def sec_diff3d():
             except Exception as e:
                 print(f"diff3d chain k={k} {n}^3: FAILED "
                       f"{type(e).__name__}: {str(e)[:160]}")
-        # fwd+adj chain (nonlinear: two-phase kernel or guard fallback)
+        # fwd+adj chain (nonlinear: bounded-domain two-phase kernel, or the
+        # guard's sequential fallback at >=300^3 — periodic 3D nonlinear
+        # chains are unsupported by design)
         try:
             k = 2
-            g = fused_chain_vjp(op, k, {"u": "u_next"}, periodic=True)
+            g = fused_chain_vjp(op, k, {"u": "u_next"}, periodic=False)
 
             def stepg(c, _g=g):
                 st, cot = _g({"u": c[0], "kappa": kap},

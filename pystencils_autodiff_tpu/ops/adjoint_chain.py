@@ -171,15 +171,18 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
     masks test per-dim div/mod coordinates, adjoint reads get inner-dim
     crossing validity masks, and the per-stage halo is the flattened row
     *reach* (a unit x-offset spans a whole plane of rows).  Periodic wrap
-    stays 2D-only."""
+    is 2D-only for nonlinear ops; linear ops of any rank take the
+    twin-chain path (3D rides the plane-blocked geometry)."""
     from .flatten import FlatGeom, pick_chain_tile
     from .pallas_kernel import _on_tpu, _shift_lateral
 
     fwd_prog = forward_program(op)
     bwd_prog = backward_program(op)
     nd = fwd_prog.ndim
-    if periodic and nd != 2:
-        raise ValueError("periodic fused_chain_vjp supports 2D domains only")
+    # periodic nd>=3 is reachable only through the linear twin-chain path
+    # below (two forward-only chains, which route 3D through the
+    # plane-blocked geometry); the nonlinear two-phase kernel checks after
+    # that attempt.
     in_names = [f.name for f in op.forward_input_fields]
     fields_by_name = {f.name: f for f in op.forward_input_fields}
 
@@ -229,25 +232,88 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
             from .time_chain import fused_time_chain
 
             cot_op, cot_carry, name_of = twin
-            fwd_chain = fused_time_chain(op, k, carry_map, periodic=True,
-                                         interpret=interpret,
-                                         tile_rows=tile_rows,
-                                         vmem_limit_bytes=vmem_limit_bytes)
-            cot_chain = fused_time_chain(cot_op, k, cot_carry, periodic=True,
-                                         interpret=interpret,
-                                         tile_rows=tile_rows,
-                                         vmem_limit_bytes=vmem_limit_bytes)
 
-            def chain_grad(state, cot_state, probe_cots=()):
-                new_state = fwd_chain({n: state[n] for n in in_names})
-                new_cots = cot_chain({name_of[m]: cot_state[m]
-                                      for m in in_names})
-                cot0 = {m: new_cots[name_of[m]] for m in in_names}
-                return new_state, cot0
+            def build_twin(kk):
+                """Twin chains of depth kk applied k//kk times — the same
+                per-step arithmetic in every variant, so falling back to a
+                shallower chain changes speed, never values."""
+                def build():
+                    fwd = fused_time_chain(op, kk, carry_map, periodic=True,
+                                           interpret=interpret,
+                                           tile_rows=tile_rows,
+                                           vmem_limit_bytes=vmem_limit_bytes)
+                    cot = fused_time_chain(cot_op, kk, cot_carry,
+                                           periodic=True, interpret=interpret,
+                                           tile_rows=tile_rows,
+                                           vmem_limit_bytes=vmem_limit_bytes)
+                    reps = k // kk
 
-            chain_grad.input_names = in_names
-            chain_grad.k = k
-            return chain_grad
+                    def fn(state, cot_state, probe_cots=()):
+                        st = {n: state[n] for n in in_names}
+                        ct = {name_of[m]: cot_state[m] for m in in_names}
+                        for _ in range(reps):
+                            st = fwd(st)
+                            ct = cot(ct)
+                        return st, {m: ct[name_of[m]] for m in in_names}
+
+                    return fn
+                return build
+
+            def twin_guarded(state, cot_state, probe_cots=()):
+                import numpy as _np
+
+                from .guard import guard_variants, known_pathology
+
+                f0 = op.forward_input_fields[0]
+                arr0 = state[in_names[0]]
+                spatial = storage_spatial(f0, arr0)
+                key = (spatial, str(arr0.dtype))
+                if key not in twin_cache:
+                    interp = (interpret if interpret is not None
+                              else not _on_tpu())
+                    if interp:
+                        twin_cache[key] = build_twin(k)()
+                    else:
+                        seen_kk = {k}
+                        variants = [(f"twin_chain_k{k}", build_twin(k))]
+                        for kk in (k // 2, 1):
+                            if 0 < kk < k and k % kk == 0 \
+                                    and kk not in seen_kk:
+                                seen_kk.add(kk)
+                                variants.append((f"twin_chain_k{kk}",
+                                                 build_twin(kk)))
+                        if nd >= 3:
+                            reason = known_pathology(
+                                "plane_twin_chain_3d", k=k,
+                                cells=int(_np.prod(spatial,
+                                                   dtype=_np.int64)))
+                            if reason:
+                                import logging
+                                logging.getLogger(
+                                    "pystencils_autodiff_tpu.guard").warning(
+                                    "compile guard: %s — preferring "
+                                    "shallower twin chains for %s at %s",
+                                    reason, op.op_name, spatial)
+                                variants.append(variants.pop(0))
+                        name, fn, result = guard_variants(
+                            variants, state, cot_state,
+                            signature=f"twin_chain|{op.op_name}|{spatial}|"
+                                      f"{arr0.dtype}|k={k}")
+                        twin_cache[key] = fn
+                        return result
+                return twin_cache[key](state, cot_state)
+
+            twin_cache = {}
+            twin_guarded.input_names = in_names
+            twin_guarded.k = k
+            return twin_guarded
+
+    if periodic and nd != 2:
+        raise ValueError(
+            "periodic fused_chain_vjp supports 2D domains only for "
+            "nonlinear ops (the two-phase recompute kernel); linear ops "
+            "of any rank take the twin-chain path, which this op did not "
+            "qualify for")
 
     def build(spatial, dtype, interp):
         geom = FlatGeom(spatial)

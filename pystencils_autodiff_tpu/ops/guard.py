@@ -80,6 +80,14 @@ def known_pathology(kind: str, **facts) -> Optional[str]:
         # is the working route
         return ("3D two-phase adjoint chain at >=300^3 cells crashes the "
                 "remote Mosaic compiler (recorded round 2)")
+    if kind == "plane_twin_chain_3d" and cells >= 300 ** 3 \
+            and facts.get("k", 0) >= 4:
+        # plane-blocked twin chains compile fine at k=2/384^3 but k=4
+        # crashes the remote Mosaic compiler (HTTP 500, measured round 3
+        # on the aniso27 27-point operand); two k/2 chains are the exact
+        # same per-step arithmetic
+        return ("3D plane-blocked chain with k>=4 at >=300^3 cells crashes "
+                "the remote Mosaic compiler (recorded round 3)")
     return None
 
 

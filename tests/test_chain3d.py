@@ -89,9 +89,43 @@ def test_diffusion3d_chain_fused_bwd_grad():
 
 
 def test_periodic_3d_raises():
+    # diffusion3d is nonlinear in (u, kappa): no twin-chain path, and the
+    # two-phase periodic kernel is 2D-only
     op = diffusion3d_op(dt=0.05, dtype="float64")
     with pytest.raises(ValueError, match="2D"):
         fused_chain_vjp(op, 2, CARRY, periodic=True, interpret=True)
+
+
+def test_aniso27_periodic_3d_linear_twin_chain():
+    """Linear 3D ops DO get periodic fused value+gradient chains: the
+    twin-chain path ((A^T)^k as a second forward chain) rides the
+    plane-blocked geometry — VERDICT round-2 next #2 (config #4 chain
+    row).  27-point corner offsets exercise lateral shifts on shifted
+    planes."""
+    from pystencils_autodiff_tpu.models import anisotropic27_op
+
+    op = anisotropic27_op(dtype="float64")
+    k, carry = 2, {"u": "y"}
+    shape = (12, 10, 16)
+    u = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float64)
+    ct = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.float64)
+
+    step = make_time_stepper(op, carry, lowering="jnp", periodic=True)
+
+    def seqk(x):
+        s = {"u": x}
+        for _ in range(k):
+            s = step(s)
+        return s["u"]
+
+    ref = seqk(u)
+    _, pull = jax.vjp(seqk, u)
+    (ref_ct,) = pull(ct)
+
+    chain = fused_chain_vjp(op, k, carry, periodic=True, interpret=True)
+    st, cot0 = chain({"u": u}, {"u": ct})
+    np.testing.assert_allclose(st["u"], ref, rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(cot0["u"], ref_ct, rtol=1e-11, atol=1e-11)
 
 
 def test_diffusion3d_periodic_plane_chain():
