@@ -148,8 +148,9 @@ def sec_diff3d():
         kap = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(1),
                                             (n, n, n), jnp.float32) ** 2
         ab = u.size * 4
+        it = 8 if n >= 384 else 40  # sub-ms kernels need many iters vs RTT
         f = op.jax_function(lowering="pallas")
-        t = timed_per_iter(lambda x: f(u=x, kappa=kap), u, 6)
+        t = timed_per_iter(lambda x: f(u=x, kappa=kap), u, it)
         print(f"diff3d fwd {n}^3: {t*1e3:.3f} ms, {u.size/t/1e9:.1f} Gcell/s,"
               f" {3*ab/t/1e9:.0f} GB/s (frac {3*ab/t/1e9/819:.2f})")
         for k in ks:
@@ -160,7 +161,8 @@ def sec_diff3d():
                     st = _ch({"u": c, "kappa": kap})
                     return st["u"]
 
-                t2 = timed_per_iter(lambda c: step(c), u, 4) / k
+                t2 = timed_per_iter(lambda c: step(c), u,
+                                    4 if n >= 384 else 24) / k
                 print(f"diff3d chain k={k} fwd {n}^3 (hoisted face "
                       f"coeffs): {t2*1e3:.3f} ms/step, {u.size/t2/1e9:.1f} "
                       f"Gcell/s, {3*ab/t2/1e9:.0f} GB/s eff "
@@ -180,7 +182,8 @@ def sec_diff3d():
                              {"u": c[1], "kappa": jnp.zeros_like(kap)})
                 return (st["u"], cot["u"])
 
-            t3 = timed_per_iter(lambda c: stepg(c), (u, u), 3) / k
+            t3 = timed_per_iter(lambda c: stepg(c), (u, u),
+                                3 if n >= 384 else 16) / k
             print(f"diff3d chain k={k} fwd+adj {n}^3: {t3*1e3:.3f} ms/step, "
                   f"{u.size/t3/1e9:.1f} Gcell/s, {6*ab/t3/1e9:.0f} GB/s eff")
         except Exception as e:

@@ -333,6 +333,46 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
 
     kernel_cache = {}
 
+    def _build_kernel(spatial, arr_dtype, interp, kk):
+        """One fused kk-step kernel for this geometry (kk == k normally;
+        the compile guard composes shallower chains on Mosaic failures)."""
+        if prog.ndim == 3 and not probes:
+            # plane-blocked ("2.5D") geometry: chain halo is k·reach
+            # PLANES instead of k·reach·n1 flattened rows, and periodic
+            # wrap works in all three dims (ops/plane_chain.py)
+            from .plane_chain import make_plane_chain_kernel_fn
+
+            return make_plane_chain_kernel_fn(
+                prog, kk, carry_map, spatial, dtype or arr_dtype,
+                interp, periodic, tile_planes=tile_rows,
+                vmem_limit_bytes=vmem_limit_bytes)
+        try:
+            return _make_chain_kernel_fn(
+                prog, kk, carry_map, spatial,
+                dtype or arr_dtype, interp, periodic,
+                tile_rows=tile_rows, probes=probes,
+                vmem_limit_bytes=vmem_limit_bytes)
+        except ValueError as e:
+            if not (periodic and not probes
+                    and "no viable tile" in str(e)):
+                raise
+            # awkward periodic shapes: reroute through the stage
+            # kernel, whose wrap-extend fallback row-pads them
+            # (round-2 verdict weak #4); carry expanded to full
+            # coverage so stage semantics == time semantics
+            from .stage_chain import (_make_stage_chain_kernel,
+                                      _validate_stages)
+
+            outs_set = set(prog.output_names)
+            full_carry = {n: carry_map.get(n, n) for n in in_names
+                          if n in carry_map
+                          or carry_map.get(n, n) in outs_set}
+            sp, sc, sf, sn = _validate_stages([(op, full_carry)])
+            return _make_stage_chain_kernel(
+                sp, sc, sf, sn, kk, spatial, dtype or arr_dtype,
+                interp, periodic, tile_rows=tile_rows,
+                vmem_limit_bytes=vmem_limit_bytes)
+
     def fused_fwd(state):
         f0 = op.forward_input_fields[0]
         arr0 = state[in_names[0]]
@@ -340,43 +380,61 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
         key = (spatial, str(arr0.dtype))
         if key not in kernel_cache:
             interp = interpret if interpret is not None else not _on_tpu()
-            if prog.ndim == 3 and not probes:
-                # plane-blocked ("2.5D") geometry: chain halo is k·reach
-                # PLANES instead of k·reach·n1 flattened rows, and periodic
-                # wrap works in all three dims (ops/plane_chain.py)
-                from .plane_chain import make_plane_chain_kernel_fn
-
-                kernel_cache[key] = make_plane_chain_kernel_fn(
-                    prog, k, carry_map, spatial, dtype or arr0.dtype,
-                    interp, periodic, tile_planes=tile_rows,
-                    vmem_limit_bytes=vmem_limit_bytes)
+            if interp or probes:
+                kernel_cache[key] = _build_kernel(spatial, arr0.dtype,
+                                                  interp, k)
             else:
-                try:
-                    kernel_cache[key] = _make_chain_kernel_fn(
-                        prog, k, carry_map, spatial,
-                        dtype or arr0.dtype, interp, periodic,
-                        tile_rows=tile_rows, probes=probes,
-                        vmem_limit_bytes=vmem_limit_bytes)
-                except ValueError as e:
-                    if not (periodic and not probes
-                            and "no viable tile" in str(e)):
-                        raise
-                    # awkward periodic shapes: reroute through the stage
-                    # kernel, whose wrap-extend fallback row-pads them
-                    # (round-2 verdict weak #4); carry expanded to full
-                    # coverage so stage semantics == time semantics
-                    from .stage_chain import (_make_stage_chain_kernel,
-                                              _validate_stages)
+                # on hardware: route Mosaic compile crashes/hangs to
+                # shallower chains (same per-step arithmetic, k//kk kernel
+                # launches) and ultimately sequential stepping
+                import numpy as _np
 
-                    outs_set = set(prog.output_names)
-                    full_carry = {n: carry_map.get(n, n) for n in in_names
-                                  if n in carry_map
-                                  or carry_map.get(n, n) in outs_set}
-                    sp, sc, sf, sn = _validate_stages([(op, full_carry)])
-                    kernel_cache[key] = _make_stage_chain_kernel(
-                        sp, sc, sf, sn, k, spatial, dtype or arr0.dtype,
-                        interp, periodic, tile_rows=tile_rows,
-                        vmem_limit_bytes=vmem_limit_bytes)
+                from .guard import guard_variants, known_pathology
+
+                def compose(kk):
+                    def build():
+                        kern = _build_kernel(spatial, arr0.dtype, interp, kk)
+                        reps = k // kk
+
+                        def fn(st):
+                            for _ in range(reps):
+                                st = kern(st)
+                            return st
+                        return fn
+                    return build
+
+                def seq_build():
+                    def fn(st):
+                        for _ in range(k):
+                            st = seq_step(st)
+                        return {n: st[n] for n in in_names}
+                    return fn
+
+                seen_kk = {k}
+                variants = [(f"chain_k{k}", compose(k))]
+                for kk in (k // 2, 1):
+                    if 0 < kk < k and k % kk == 0 and kk not in seen_kk:
+                        seen_kk.add(kk)
+                        variants.append((f"chain_k{kk}", compose(kk)))
+                variants.append(("sequential", seq_build()))
+                if prog.ndim == 3:
+                    reason = known_pathology(
+                        "plane_twin_chain_3d", k=k,
+                        cells=int(_np.prod(spatial, dtype=_np.int64)))
+                    if reason:
+                        import logging
+                        logging.getLogger(
+                            "pystencils_autodiff_tpu.guard").warning(
+                            "compile guard: %s — preferring shallower "
+                            "chains for %s at %s", reason, op.op_name,
+                            spatial)
+                        variants.append(variants.pop(0))
+                name, fn, result = guard_variants(
+                    variants, {n: state[n] for n in in_names},
+                    signature=f"time_chain|{op.op_name}|{spatial}|"
+                              f"{arr0.dtype}|k={k}|periodic={periodic}")
+                kernel_cache[key] = fn
+                return result
         res = kernel_cache[key]({n: state[n] for n in in_names})
         if probes:
             outputs, probe_vals = res
