@@ -30,7 +30,8 @@ from ..adjoint_field import AdjointField
 from ..field import Field
 from .common import (StencilProgram, assemble_planes, backward_program,
                      field_components, forward_program, plane_view,
-                     require_row_major, storage_spatial)
+                     require_row_major, storage_spatial,
+                     scoped_vmem)
 
 __all__ = ["fused_chain_vjp", "transposed_linear_op"]
 
@@ -600,7 +601,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                 out_specs=tuple(plane for _ in range(2 * len(in_keys))),
                 interpret=interp,
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=vmem_limit_bytes),
+                    vmem_limit_bytes=scoped_vmem(vmem_limit_bytes)),
             )(*arrays, *ups, *downs, *probe_arrays)
 
             def restack(planes_flat, base):

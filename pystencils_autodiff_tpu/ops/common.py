@@ -36,7 +36,24 @@ from ..field import Field
 __all__ = ["Step", "StencilProgram", "make_program", "forward_program",
            "backward_program", "backward_programs", "is_staged_backward",
            "storage_spatial", "storage_shape", "spatial_index",
-           "plane_view", "assemble_planes", "field_components"]
+           "plane_view", "assemble_planes", "field_components",
+           "scoped_vmem"]
+
+# v5e VMEM is 128 MiB; leave one MiB of slack for the runtime
+SCOPED_VMEM_CEILING = 127 * 1024 * 1024
+
+
+def scoped_vmem(budget: int) -> int:
+    """Scoped-VMEM limit for ``pltpu.CompilerParams``.
+
+    The tile pickers size tiles against ``budget`` (a conservative
+    *estimate* of live bytes), but Mosaic's actual stack allocation can
+    overshoot the estimate (measured: the 19-component 192³ plane chain
+    asked for 121 MiB against a 100 MiB budget).  The picker keeps using
+    the caller's budget; the hardware limit handed to the compiler gets
+    the full physical headroom so estimate error does not turn into a
+    spurious compile OOM."""
+    return max(int(budget), SCOPED_VMEM_CEILING)
 
 
 # ---------------------------------------------------------------------------

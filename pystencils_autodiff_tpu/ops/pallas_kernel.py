@@ -43,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..field import Field
 from .common import (StencilProgram, assemble_planes, is_adjoint, plane_view,
-                     spatial_index, storage_spatial)
+                     spatial_index, storage_spatial,
+                     scoped_vmem)
 
 __all__ = ["make_pallas_stencil"]
 
@@ -524,7 +525,7 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
         out_specs=out_specs,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_limit_bytes),
+            vmem_limit_bytes=scoped_vmem(vmem_limit_bytes)),
     )(*arrays, *ups, *downs)
     if not isinstance(result, (tuple, list)):
         result = (result,)
@@ -732,7 +733,7 @@ def _run_row_tiled(program: StencilProgram, inputs: Dict[str, jax.Array],
         scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_limit_bytes,
+            vmem_limit_bytes=scoped_vmem(vmem_limit_bytes),
         ),
     )(*arrays)
     if not isinstance(result, (tuple, list)):

@@ -25,7 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..field import Field
 from .common import (StencilProgram, assemble_planes, field_components,
-                     plane_view)
+                     plane_view,
+                     scoped_vmem)
 
 __all__ = ["make_plane_chain_kernel_fn", "plane_reach", "pick_plane_tile"]
 
@@ -241,7 +242,7 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
             out_specs=tuple(vol_spec for _ in in_keys),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=vmem_limit_bytes),
+                vmem_limit_bytes=scoped_vmem(vmem_limit_bytes)),
         )(*arrays, *ups, *downs)
         if not isinstance(result, (tuple, list)):
             result = (result,)

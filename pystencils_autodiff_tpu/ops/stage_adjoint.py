@@ -41,7 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..adjoint_field import AdjointField
 from ..field import Field
 from .common import (assemble_planes, backward_program, field_components,
-                     plane_view, require_row_major, storage_spatial)
+                     plane_view, require_row_major, storage_spatial,
+                     scoped_vmem)
 from .stage_chain import _validate_stages
 
 __all__ = ["fused_stage_chain_vjp"]
@@ -348,7 +349,7 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                 out_specs=tuple(plane for _ in range(2 * len(state_keys))),
                 interpret=interp,
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=vmem_limit_bytes),
+                    vmem_limit_bytes=scoped_vmem(vmem_limit_bytes)),
             )(*arrays, *ups, *downs)
 
             def restack(planes_flat, base):

@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..field import Field
 from .common import (StencilProgram, assemble_planes, field_components,
                      forward_program, plane_view, require_row_major,
-                     storage_spatial)
+                     storage_spatial,
+                     scoped_vmem)
 from .flatten import FlatGeom, ShardSpec, pick_chain_tile
 
 __all__ = ["fused_stage_chain", "stage_stepper"]
@@ -533,7 +534,7 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
             out_specs=tuple(plane_spec for _ in state_keys),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=vmem_limit_bytes),
+                vmem_limit_bytes=scoped_vmem(vmem_limit_bytes)),
         )(*arrays, *ups, *downs, *scalar_ins)
         if not isinstance(result, (tuple, list)):
             result = (result,)

@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..field import Field
 from .common import (StencilProgram, assemble_planes, field_components,
                      forward_program, plane_view, require_row_major,
-                     storage_spatial)
+                     storage_spatial,
+                     scoped_vmem)
 
 __all__ = ["fused_time_chain"]
 
@@ -264,7 +265,7 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
             out_specs=tuple(plane_spec for _ in in_keys) + probe_spec,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=vmem_limit_bytes),
+                vmem_limit_bytes=scoped_vmem(vmem_limit_bytes)),
         )(*arrays, *ups, *downs)
         if not isinstance(result, (tuple, list)):
             result = (result,)
@@ -333,9 +334,12 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
 
     kernel_cache = {}
 
-    def _build_kernel(spatial, arr_dtype, interp, kk):
+    def _build_kernel(spatial, arr_dtype, interp, kk, vmem=None):
         """One fused kk-step kernel for this geometry (kk == k normally;
-        the compile guard composes shallower chains on Mosaic failures)."""
+        the compile guard composes shallower chains on Mosaic failures,
+        and a reduced ``vmem`` budget makes the tile picker choose smaller
+        tiles on scoped-VMEM OOMs)."""
+        vmem = vmem or vmem_limit_bytes
         if prog.ndim == 3 and not probes:
             # plane-blocked ("2.5D") geometry: chain halo is k·reach
             # PLANES instead of k·reach·n1 flattened rows, and periodic
@@ -345,13 +349,13 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
             return make_plane_chain_kernel_fn(
                 prog, kk, carry_map, spatial, dtype or arr_dtype,
                 interp, periodic, tile_planes=tile_rows,
-                vmem_limit_bytes=vmem_limit_bytes)
+                vmem_limit_bytes=vmem)
         try:
             return _make_chain_kernel_fn(
                 prog, kk, carry_map, spatial,
                 dtype or arr_dtype, interp, periodic,
                 tile_rows=tile_rows, probes=probes,
-                vmem_limit_bytes=vmem_limit_bytes)
+                vmem_limit_bytes=vmem)
         except ValueError as e:
             if not (periodic and not probes
                     and "no viable tile" in str(e)):
@@ -371,7 +375,7 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
             return _make_stage_chain_kernel(
                 sp, sc, sf, sn, kk, spatial, dtype or arr_dtype,
                 interp, periodic, tile_rows=tile_rows,
-                vmem_limit_bytes=vmem_limit_bytes)
+                vmem_limit_bytes=vmem)
 
     def fused_fwd(state):
         f0 = op.forward_input_fields[0]
@@ -391,9 +395,19 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
 
                 from .guard import guard_variants, known_pathology
 
-                def compose(kk):
+                abstract = {n: jax.ShapeDtypeStruct(state[n].shape,
+                                                    state[n].dtype)
+                            for n in in_names}
+
+                def compose(kk, vmem=None):
                     def build():
-                        kern = _build_kernel(spatial, arr0.dtype, interp, kk)
+                        kern = _build_kernel(spatial, arr0.dtype, interp,
+                                             kk, vmem)
+                        # force the Mosaic compile NOW (AOT, abstract
+                        # args): under an outer jit the in-trace call
+                        # would defer compilation past the guard, letting
+                        # HTTP 500s / scoped-VMEM OOMs escape it
+                        jax.jit(kern).lower(abstract).compile()
                         reps = k // kk
 
                         def fn(st):
@@ -410,8 +424,11 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
                         return {n: st[n] for n in in_names}
                     return fn
 
-                seen_kk = {k}
                 variants = [(f"chain_k{k}", compose(k))]
+                for div in (2, 4):
+                    variants.append((f"chain_k{k}_vmem/{div}",
+                                     compose(k, vmem_limit_bytes // div)))
+                seen_kk = {k}
                 for kk in (k // 2, 1):
                     if 0 < kk < k and k % kk == 0 and kk not in seen_kk:
                         seen_kk.add(kk)
