@@ -316,6 +316,21 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
             "of any rank take the twin-chain path, which this op did not "
             "qualify for")
 
+    from .common import shared_lateral_offsets
+
+    shared_f = shared_lateral_offsets(fwd_prog.steps)
+
+    def _bwd_key(a):
+        off = a.offsets[-1]
+        if not off:
+            return None
+        f = a.field
+        if isinstance(f, AdjointField):
+            return ("c", f.corresponding_forward_field.name, a.index, off)
+        return ("p", f.name, a.index, off)
+
+    shared_b = shared_lateral_offsets(bwd_prog.steps, key=_bwd_key)
+
     def build(spatial, dtype, interp):
         geom = FlatGeom(spatial)
         rows, cols = geom.rows, geom.cols
@@ -413,12 +428,28 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                     env: Dict[object, jax.Array] = {}
                     stage_out: Dict[str, jax.Array] = {}
 
-                    def readf(acc, _er=ext_rows, _cur=cur):
-                        v = _cur[(acc.field.name, acc.index)]
+                    latf_cache: Dict[tuple, jax.Array] = {}
+
+                    def readf(acc, _er=ext_rows, _cur=cur, _c=latf_cache):
+                        # lane rotate before the row slice (bit-exact
+                        # commute): one rotate per RECURRING lane offset;
+                        # single-use offsets keep slice-then-shift
+                        ck = (acc.field.name, acc.index, acc.offsets[-1])
                         start = lo_f + geom.row_off(acc.offsets)
-                        v = jax.lax.slice_in_dim(v, start, start + _er, axis=0)
-                        return _shift_lateral(v, acc.offsets[-1], 1, False,
-                                              interp, periodic)
+                        if ck not in shared_f:
+                            v = _cur[(acc.field.name, acc.index)]
+                            v = jax.lax.slice_in_dim(v, start, start + _er,
+                                                     axis=0)
+                            return _shift_lateral(v, acc.offsets[-1], 1,
+                                                  False, interp, periodic)
+                        v = _c.get(ck)
+                        if v is None:
+                            v = _shift_lateral(
+                                _cur[(acc.field.name, acc.index)],
+                                acc.offsets[-1], 1, False, interp, periodic)
+                            _c[ck] = v
+                        return jax.lax.slice_in_dim(v, start, start + _er,
+                                                    axis=0)
 
                     shape_s = (ext_rows, cols)
                     for st in fwd_prog.steps:
@@ -499,8 +530,10 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                     # global row of output-local 0 in this reverse stage
                     row0_out = tile_i * t - k * lo_b + (r + 1) * lo_b
 
+                    latb_cache: Dict[tuple, jax.Array] = {}
+
                     def readb(acc, _er=ext_rows, _prim=prim, _cot=cot,
-                              _po=prim_off, _r0=row0_out):
+                              _po=prim_off, _r0=row0_out, _c=latb_cache):
                         f = acc.field
                         if isinstance(f, AdjointField):
                             primal = f.corresponding_forward_field.name
@@ -512,14 +545,19 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                             carriers = feeds_output.get(primal, [])
                             if not carriers:
                                 return jnp.zeros((_er, cols), dtype)
-                            v = _cot[(carriers[0], acc.index)]
-                            for extra in carriers[1:]:
-                                v = v + _cot[(extra, acc.index)]
+                            ck = ("c", primal, acc.index, acc.offsets[-1])
+                            v = _c.get(ck)
+                            if v is None:
+                                v = _cot[(carriers[0], acc.index)]
+                                for extra in carriers[1:]:
+                                    v = v + _cot[(extra, acc.index)]
+                                v = _shift_lateral(v, acc.offsets[-1], 1,
+                                                   not periodic, interp,
+                                                   periodic)
+                                _c[ck] = v
                             start = lo_b + geom.row_off(acc.offsets)
                             v = jax.lax.slice_in_dim(v, start, start + _er,
                                                      axis=0)
-                            v = _shift_lateral(v, acc.offsets[-1], 1,
-                                               not periodic, interp, periodic)
                             if not periodic:
                                 # exact-VJP: zero the cotangent outside the
                                 # forward interior, in the per-dim
@@ -538,11 +576,16 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                                     m &= xm
                                 v = jnp.where(m, v, 0)
                             return v
-                        v = _prim[(f.name, acc.index)]
+                        ck = ("p", f.name, acc.index, acc.offsets[-1])
+                        v = _c.get(ck)
+                        if v is None:
+                            v = _shift_lateral(_prim[(f.name, acc.index)],
+                                               acc.offsets[-1], 1, False,
+                                               interp, periodic)
+                            _c[ck] = v
                         start = _po + lo_b + geom.row_off(acc.offsets)
-                        v = jax.lax.slice_in_dim(v, start, start + _er, axis=0)
-                        return _shift_lateral(v, acc.offsets[-1], 1, False,
-                                              interp, periodic)
+                        return jax.lax.slice_in_dim(v, start, start + _er,
+                                                    axis=0)
 
                     grads_stage: Dict[str, jax.Array] = {}
                     for st in bwd_prog.steps:

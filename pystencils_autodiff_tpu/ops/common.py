@@ -39,6 +39,34 @@ __all__ = ["Step", "StencilProgram", "make_program", "forward_program",
            "plane_view", "assemble_planes", "field_components",
            "scoped_vmem"]
 
+def shared_lateral_offsets(steps, key=None):
+    """Keys of lateral shifts used by ≥2 accesses across ``steps``.
+
+    Shift-before-slice reuse only pays when a (field, component,
+    lateral-offset) combination recurs (27-point operands: 9 accesses per
+    lane offset); for single-use offsets the pre-shift acts on the larger
+    un-sliced tile and holds it live in VMEM for nothing — measured a
+    1.5× *regression* on the variable-κ diffusion.  ``key(acc)`` maps an
+    access to its cache key; default ``(name, index, offsets[-1])`` with
+    zero offsets skipped (a 0-shift is free)."""
+    from collections import Counter
+
+    from ..field import Field
+
+    if key is None:
+        def key(acc):
+            off = acc.offsets[-1]
+            return ((acc.field.name, acc.index, off) if off else None)
+    c = Counter()
+    for s in steps:
+        for a in s.atoms:
+            if isinstance(a, Field.Access):
+                k = key(a)
+                if k is not None:
+                    c[k] += 1
+    return {k for k, v in c.items() if v >= 2}
+
+
 # v5e VMEM is 128 MiB; leave one MiB of slack for the runtime
 SCOPED_VMEM_CEILING = 127 * 1024 * 1024
 

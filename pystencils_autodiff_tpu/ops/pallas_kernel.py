@@ -43,8 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..field import Field
 from .common import (StencilProgram, assemble_planes, is_adjoint, plane_view,
-                     spatial_index, storage_spatial,
-                     scoped_vmem)
+                     scoped_vmem, shared_lateral_offsets, spatial_index,
+                     storage_spatial)
 
 __all__ = ["make_pallas_stencil"]
 
@@ -365,6 +365,7 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
 
     in_keys = [(f, idx) for f in program.input_fields for idx in _components(f)]
     out_keys = [(f, idx) for f in program.output_fields for idx in _components(f)]
+    shared_lat = shared_lateral_offsets(program.steps)
 
     arrays, ups, downs = [], [], []
     for f, idx in in_keys:
@@ -444,6 +445,7 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
                                   if len(parts) > 1 else parts[0])
 
         shift_cache: Dict[tuple, jax.Array] = {}
+        lat_cache: Dict[tuple, jax.Array] = {}
 
         def read(acc):
             key = (acc.field.name, acc.offsets, acc.index)
@@ -451,12 +453,29 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
                 return shift_cache[key]
             if acc.field.index_shape and not acc.index:
                 raise ValueError(f"{acc}: select index components")
-            v = ext[(acc.field.name, acc.index)]
             ro = row_off(acc.offsets)
             oc = acc.offsets[-1]
-            v = jax.lax.slice_in_dim(v, lo0 + ro, lo0 + ro + t, axis=0)
             zero_fill = is_adjoint(acc.field)
-            v = _shift_lateral(v, oc, 1, zero_fill, interpret, periodic)
+            if (acc.field.name, acc.index, oc) in shared_lat:
+                # lane rotates dominate shift-heavy stencils (aniso27: 27
+                # accesses, 3 distinct lane offsets); shift the full
+                # extended tile once per recurring (field, lane-offset)
+                # and slice rows after — the lane shift commutes
+                # bit-exactly with the row slice.  Single-use offsets keep
+                # slice-then-shift (pre-shifting the bigger tile for one
+                # use measured slower).
+                ck = (acc.field.name, acc.index, oc, zero_fill)
+                vs = lat_cache.get(ck)
+                if vs is None:
+                    vs = _shift_lateral(ext[(acc.field.name, acc.index)],
+                                        oc, 1, zero_fill, interpret,
+                                        periodic)
+                    lat_cache[ck] = vs
+                v = jax.lax.slice_in_dim(vs, lo0 + ro, lo0 + ro + t, axis=0)
+            else:
+                v = ext[(acc.field.name, acc.index)]
+                v = jax.lax.slice_in_dim(v, lo0 + ro, lo0 + ro + t, axis=0)
+                v = _shift_lateral(v, oc, 1, zero_fill, interpret, periodic)
             if zero_fill and not periodic:
                 # adjoint reads: exact-VJP masking, all in one pass —
                 # (a) fused cotangent interior mask in *global* coords of

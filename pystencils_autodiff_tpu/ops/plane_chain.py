@@ -58,6 +58,30 @@ def pick_plane_tile(n0: int, LO: int, HI: int, plane_bytes_live: int,
     return None
 
 
+def _lat_shifted(cache, state, acc, interpret, periodic):
+    """Laterally shifted full state volume for an access, cached two-level
+    so axis-1 shifts are shared across axis-2 offsets: a 27-point operand
+    needs 3 axis-1 + 9 axis-2 rotates instead of 27×2.  Shifting before
+    the plane slice is bit-exact (the rotate acts on axes the slice never
+    touches)."""
+    from .pallas_kernel import _shift_lateral
+
+    name, idx = acc.field.name, acc.index
+    o1, o2 = acc.offsets[1], acc.offsets[2]
+    k2 = (name, idx, o1, o2)
+    v = cache.get(k2)
+    if v is None:
+        k1 = (name, idx, o1)
+        v1 = cache.get(k1)
+        if v1 is None:
+            v1 = _shift_lateral(state[(name, idx)], o1, 1, False,
+                                interpret, periodic)
+            cache[k1] = v1
+        v = _shift_lateral(v1, o2, 2, False, interpret, periodic)
+        cache[k2] = v
+    return v
+
+
 def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
                                carry_map: Dict[str, str],
                                spatial, dtype, interpret: bool,
@@ -89,6 +113,14 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
 
     inv = invariant_fields(in_names, program.output_names, carry_map)
     hoist_steps, cycle_steps = plan_hoisting(program.steps, inv)
+    from .common import shared_lateral_offsets
+
+    def _pair_key(a):
+        o1, o2 = a.offsets[1], a.offsets[2]
+        return ((a.field.name, a.index, o1, o2) if (o1 or o2) else None)
+
+    shared_pairs = shared_lateral_offsets(cycle_steps, key=_pair_key)
+    shared_hpairs = shared_lateral_offsets(hoist_steps, key=_pair_key)
     hr_lo, hr_hi = plane_reach([a for s_ in hoist_steps for a in s_.atoms
                                 if isinstance(a, Field.Access)])
 
@@ -147,14 +179,26 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
             if hoist_steps:
                 EH = (LO + t + HI) - hr_lo - hr_hi
 
+                hl_cache: Dict[tuple, jax.Array] = {}
+
                 def hread(acc):
-                    v = state[(acc.field.name, acc.index)]
+                    # lateral shifts commute bit-exactly with the plane
+                    # slice: shift the full volume once per RECURRING
+                    # (o1, o2) and slice per access (27-point operands
+                    # share 9 lateral offsets — 3× fewer rotates);
+                    # single-use offsets keep slice-then-shift
                     start = hr_lo + acc.offsets[0]
-                    v = jax.lax.slice_in_dim(v, start, start + EH, axis=0)
-                    v = _shift_lateral(v, acc.offsets[1], 1, False,
-                                       interpret, periodic)
-                    return _shift_lateral(v, acc.offsets[2], 2, False,
-                                          interpret, periodic)
+                    if _pair_key(acc) not in shared_hpairs:
+                        v = state[(acc.field.name, acc.index)]
+                        v = jax.lax.slice_in_dim(v, start, start + EH,
+                                                 axis=0)
+                        v = _shift_lateral(v, acc.offsets[1], 1, False,
+                                           interpret, periodic)
+                        return _shift_lateral(v, acc.offsets[2], 2, False,
+                                              interpret, periodic)
+                    v = _lat_shifted(hl_cache, state, acc, interpret,
+                                     periodic)
+                    return jax.lax.slice_in_dim(v, start, start + EH, axis=0)
 
                 for st_ in hoist_steps:
                     hv = [hread(a) if isinstance(a, Field.Access)
@@ -169,14 +213,22 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
                 stage_out: Dict[tuple, jax.Array] = {}
                 env: Dict[object, jax.Array] = {}
 
+                lat_cache: Dict[tuple, jax.Array] = {}
+
                 def read(acc, _ext=ext):
-                    v = state[(acc.field.name, acc.index)]
                     start = lo1 + acc.offsets[0]
-                    v = jax.lax.slice_in_dim(v, start, start + _ext, axis=0)
-                    v = _shift_lateral(v, acc.offsets[1], 1, False,
-                                       interpret, periodic)
-                    return _shift_lateral(v, acc.offsets[2], 2, False,
-                                          interpret, periodic)
+                    if _pair_key(acc) not in shared_pairs:
+                        v = state[(acc.field.name, acc.index)]
+                        v = jax.lax.slice_in_dim(v, start, start + _ext,
+                                                 axis=0)
+                        v = _shift_lateral(v, acc.offsets[1], 1, False,
+                                           interpret, periodic)
+                        return _shift_lateral(v, acc.offsets[2], 2, False,
+                                              interpret, periodic)
+                    v = _lat_shifted(lat_cache, state, acc, interpret,
+                                     periodic)
+                    return jax.lax.slice_in_dim(v, start, start + _ext,
+                                                axis=0)
 
                 def sym(at, _ext=ext, _a=a_s):
                     v = env.get(at)

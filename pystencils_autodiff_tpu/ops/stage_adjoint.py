@@ -201,13 +201,22 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                     env: Dict[object, jax.Array] = {}
                     stage_out: Dict[tuple, jax.Array] = {}
 
-                    def readf(acc, _er=ext_rows, _cur=cur, _lo=lof[j]):
-                        v = _cur[(acc.field.name, acc.index)]
+                    latf_cache: Dict[tuple, jax.Array] = {}
+
+                    def readf(acc, _er=ext_rows, _cur=cur, _lo=lof[j],
+                              _c=latf_cache):
+                        # lane rotate before the row slice (bit-exact
+                        # commute): one rotate per distinct lane offset
+                        ck = (acc.field.name, acc.index, acc.offsets[-1])
+                        v = _c.get(ck)
+                        if v is None:
+                            v = _shift_lateral(
+                                _cur[(acc.field.name, acc.index)],
+                                acc.offsets[-1], 1, False, interp, periodic)
+                            _c[ck] = v
                         start = _lo + geom.row_off(acc.offsets)
-                        v = jax.lax.slice_in_dim(v, start, start + _er,
-                                                 axis=0)
-                        return _shift_lateral(v, acc.offsets[-1], 1, False,
-                                              interp, periodic)
+                        return jax.lax.slice_in_dim(v, start, start + _er,
+                                                    axis=0)
 
                     shape_s = (ext_rows, cols)
                     for st in prog.steps:
@@ -259,23 +268,30 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                     env: Dict[object, jax.Array] = {}
                     shape_s = (ext_rows, cols)
 
+                    latb_cache: Dict[tuple, jax.Array] = {}
+
                     def readb(acc, _er=ext_rows, _prim=prim, _cot=cot,
-                              _po=prim_off, _r0=row0_out, _j=j):
+                              _po=prim_off, _r0=row0_out, _j=j,
+                              _c=latb_cache):
                         f = acc.field
                         if isinstance(f, AdjointField):
                             primal = f.corresponding_forward_field.name
                             carriers = feeds[_j].get(primal, [])
                             if not carriers:
                                 return jnp.zeros((_er, cols), dtype)
-                            v = _cot[(carriers[0], acc.index)]
-                            for extra in carriers[1:]:
-                                v = v + _cot[(extra, acc.index)]
+                            ck = ("c", primal, acc.index, acc.offsets[-1])
+                            v = _c.get(ck)
+                            if v is None:
+                                v = _cot[(carriers[0], acc.index)]
+                                for extra in carriers[1:]:
+                                    v = v + _cot[(extra, acc.index)]
+                                v = _shift_lateral(v, acc.offsets[-1], 1,
+                                                   not periodic, interp,
+                                                   periodic)
+                                _c[ck] = v
                             start = lob[_j] + geom.row_off(acc.offsets)
                             v = jax.lax.slice_in_dim(v, start, start + _er,
                                                      axis=0)
-                            v = _shift_lateral(v, acc.offsets[-1], 1,
-                                               not periodic, interp,
-                                               periodic)
                             if not periodic:
                                 r_tgt = (jax.lax.broadcasted_iota(
                                     jnp.int32, (_er, cols), 0) + _r0)
@@ -291,12 +307,16 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                                     m &= xm
                                 v = jnp.where(m, v, 0)
                             return v
-                        v = _prim[(f.name, acc.index)]
+                        ck = ("p", f.name, acc.index, acc.offsets[-1])
+                        v = _c.get(ck)
+                        if v is None:
+                            v = _shift_lateral(_prim[(f.name, acc.index)],
+                                               acc.offsets[-1], 1, False,
+                                               interp, periodic)
+                            _c[ck] = v
                         start = _po + lob[_j] + geom.row_off(acc.offsets)
-                        v = jax.lax.slice_in_dim(v, start, start + _er,
-                                                 axis=0)
-                        return _shift_lateral(v, acc.offsets[-1], 1, False,
-                                              interp, periodic)
+                        return jax.lax.slice_in_dim(v, start, start + _er,
+                                                    axis=0)
 
                     grads_stage: Dict[tuple, jax.Array] = {}
                     for st in bwd.steps:

@@ -91,6 +91,9 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
     h_acc = [a for s_ in hoist_steps for a in s_.atoms
              if isinstance(a, Field.Access)]
     hr_lo, hr_hi = geom.row_reach(h_acc)
+    from .common import shared_lateral_offsets
+    shared_lat = shared_lateral_offsets(cycle_steps)
+    shared_h = shared_lateral_offsets(hoist_steps)
 
     probes = list(probes or ())
     for pname, _prow in probes:
@@ -155,12 +158,28 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
             if hoist_steps:
                 EH = (LO + t + HI) - hr_lo - hr_hi
 
+                hl_cache: Dict[tuple, jax.Array] = {}
+
                 def hread(acc):
-                    v = state[(acc.field.name, acc.index)]
+                    # lane rotate before the row slice (bit-exact commute):
+                    # one rotate per RECURRING lane offset instead of per
+                    # access; single-use offsets keep slice-then-shift
+                    ck = (acc.field.name, acc.index, acc.offsets[-1])
                     start = hr_lo + geom.row_off(acc.offsets)
-                    v = jax.lax.slice_in_dim(v, start, start + EH, axis=0)
-                    return _shift_lateral(v, acc.offsets[-1], 1, False,
-                                          interpret, periodic)
+                    if ck not in shared_h:
+                        v = state[(acc.field.name, acc.index)]
+                        v = jax.lax.slice_in_dim(v, start, start + EH,
+                                                 axis=0)
+                        return _shift_lateral(v, acc.offsets[-1], 1, False,
+                                              interpret, periodic)
+                    v = hl_cache.get(ck)
+                    if v is None:
+                        v = _shift_lateral(state[(acc.field.name,
+                                                  acc.index)],
+                                           acc.offsets[-1], 1, False,
+                                           interpret, periodic)
+                        hl_cache[ck] = v
+                    return jax.lax.slice_in_dim(v, start, start + EH, axis=0)
 
                 for st_ in hoist_steps:
                     hv = [hread(a) if isinstance(a, Field.Access)
@@ -175,12 +194,26 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                 stage_out: Dict[tuple, jax.Array] = {}
                 env: Dict[object, jax.Array] = {}
 
+                lat_cache: Dict[tuple, jax.Array] = {}
+
                 def read(acc, _er=ext_rows):
-                    v = state[(acc.field.name, acc.index)]
+                    ck = (acc.field.name, acc.index, acc.offsets[-1])
                     start = lo1 + geom.row_off(acc.offsets)
-                    v = jax.lax.slice_in_dim(v, start, start + _er, axis=0)
-                    return _shift_lateral(v, acc.offsets[-1], 1, False,
-                                          interpret, periodic)
+                    if ck not in shared_lat:
+                        v = state[(acc.field.name, acc.index)]
+                        v = jax.lax.slice_in_dim(v, start, start + _er,
+                                                 axis=0)
+                        return _shift_lateral(v, acc.offsets[-1], 1, False,
+                                              interpret, periodic)
+                    v = lat_cache.get(ck)
+                    if v is None:
+                        v = _shift_lateral(state[(acc.field.name,
+                                                  acc.index)],
+                                           acc.offsets[-1], 1, False,
+                                           interpret, periodic)
+                        lat_cache[ck] = v
+                    return jax.lax.slice_in_dim(v, start, start + _er,
+                                                axis=0)
 
                 def sym(at, _er=ext_rows, _a=a_s):
                     v = env.get(at)
