@@ -42,7 +42,10 @@ def main():
     on_tpu = dev.platform == "tpu"
     if on_tpu:
         n = 8192          # 256 MB per array — far above 128 MB VMEM
-        k = 8             # fused chain depth (both directions blocked)
+        # k=4 beats k=8 here: the chain kernel is VPU-bound (rotates+adds)
+        # past k≈4, so deeper fusion only adds halo-overlap compute while
+        # HBM savings have already flattened (round-3 sweep, BENCH_NOTES)
+        k = 4             # fused chain depth (both directions blocked)
         calls = 8         # logical steps = k * calls
         interpret = False
     else:
@@ -64,10 +67,11 @@ def main():
             st, cot0 = chain({"u": u}, {"u": cu})
             return (st["u"], cot0["u"]), None
 
-        # unroll amortises XLA's while-carry copy of custom-call outputs
-        # (one read+write pass per carried array per iteration otherwise)
+        # full unroll: XLA copies every carried custom-call output once per
+        # remaining scan iteration — unrolling completely makes the chain
+        # outputs ordinary temporaries (zero carry copies, device-traced)
         (u, cu), _ = jax.lax.scan(body, (u, cu), None, length=calls,
-                                  unroll=min(4, calls))
+                                  unroll=calls)
         return u, cu
 
     key = jax.random.PRNGKey(0)
@@ -90,7 +94,7 @@ def main():
                 return (st["u"], cot0["u"]), None
 
             (u2, cu2), _ = jax.lax.scan(body, (u, cu), None, length=n_calls,
-                                        unroll=min(4, n_calls))
+                                        unroll=n_calls)
             return u2, cu2
 
         return lambda uu: f(uu, cu)

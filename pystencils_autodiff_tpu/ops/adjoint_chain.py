@@ -263,7 +263,8 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
             def twin_guarded(state, cot_state, probe_cots=()):
                 import numpy as _np
 
-                from .guard import guard_variants, known_pathology
+                from .guard import (guard_variants, known_pathology,
+                    tuning_tag as _tuning_tag)
 
                 f0 = op.forward_input_fields[0]
                 arr0 = state[in_names[0]]
@@ -299,7 +300,9 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                         name, fn, result = guard_variants(
                             variants, state, cot_state,
                             signature=f"twin_chain|{op.op_name}|{spatial}|"
-                                      f"{arr0.dtype}|k={k}")
+                                      f"{arr0.dtype}|k={k}"
+                                      + _tuning_tag(tile_rows,
+                                                    vmem_limit_bytes))
                         twin_cache[key] = fn
                         return result
                 return twin_cache[key](state, cot_state)
@@ -700,7 +703,8 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
     def chain_grad(state, cot_state, probe_cots=()):
         import numpy as _np
 
-        from .guard import guard_variants, known_pathology
+        from .guard import (guard_variants, known_pathology,
+                    tuning_tag as _tuning_tag)
 
         f0 = op.forward_input_fields[0]
         arr0 = state[in_names[0]]
@@ -732,7 +736,8 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                 name, fn, result = guard_variants(
                     variants, state, cot_state, probe_cots,
                     signature=f"chain_vjp|{op.op_name}|{spatial}|"
-                              f"{arr0.dtype}|k={k}|periodic={periodic}")
+                              f"{arr0.dtype}|k={k}|periodic={periodic}"
+                              + _tuning_tag(tile_rows, vmem_limit_bytes))
                 cache[key] = fn
                 return result
         return cache[key](state, cot_state, probe_cots)

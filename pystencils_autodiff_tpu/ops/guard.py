@@ -35,7 +35,26 @@ from typing import Callable, List, Optional, Sequence, Tuple
 
 logger = logging.getLogger("pystencils_autodiff_tpu.guard")
 
-__all__ = ["CompileGuard", "guard_variants", "known_pathology"]
+__all__ = ["CompileGuard", "guard_variants", "known_pathology",
+           "tuning_tag"]
+
+_DEFAULT_VMEM = 100 * 1024 * 1024
+
+
+def tuning_tag(tile_rows=None, vmem_limit_bytes=_DEFAULT_VMEM) -> str:
+    """Signature suffix for explicitly tuned compile parameters.
+
+    A crash provoked by a user-forced tile/vmem budget must be recorded
+    under its OWN registry key — without this, one experiment with a
+    pathological ``tile_rows`` poisons the default path's entry and every
+    later default-config run silently takes the fallback (observed with
+    the 8192² heat chain after a tile=1024 scoped-VMEM OOM)."""
+    tag = ""
+    if tile_rows is not None:
+        tag += f"|tile={tile_rows}"
+    if vmem_limit_bytes != _DEFAULT_VMEM:
+        tag += f"|vmem={vmem_limit_bytes}"
+    return tag
 
 _DEFAULT_BUDGET_S = float(os.environ.get("PYSTENCILS_ADTPU_COMPILE_BUDGET",
                                          "600"))

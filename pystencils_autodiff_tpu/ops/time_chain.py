@@ -426,7 +426,8 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
                 # launches) and ultimately sequential stepping
                 import numpy as _np
 
-                from .guard import guard_variants, known_pathology
+                from .guard import (guard_variants, known_pathology,
+                                    tuning_tag)
 
                 abstract = {n: jax.ShapeDtypeStruct(state[n].shape,
                                                     state[n].dtype)
@@ -482,7 +483,8 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
                 name, fn, result = guard_variants(
                     variants, {n: state[n] for n in in_names},
                     signature=f"time_chain|{op.op_name}|{spatial}|"
-                              f"{arr0.dtype}|k={k}|periodic={periodic}")
+                              f"{arr0.dtype}|k={k}|periodic={periodic}"
+                              + tuning_tag(tile_rows, vmem_limit_bytes))
                 kernel_cache[key] = fn
                 return result
         res = kernel_cache[key]({n: state[n] for n in in_names})
