@@ -1,9 +1,12 @@
+from .autotune import TuneResult, autotune_chain
 from .benchmark import (fetch_timed, roofline_gbps, rtt_baseline,
                         slope_timed)
 from .config import LoweringConfig, log_lowering_decision
 from .profiling import KernelStats, timed_region, trace
 
 __all__ = [
+    "autotune_chain",
+    "TuneResult",
     "fetch_timed",
     "slope_timed",
     "rtt_baseline",

@@ -1,0 +1,209 @@
+"""On-device autotuning for fused-chain configurations.
+
+The static tile picker (``ops/flatten.pick_chain_tile``) reasons about
+VMEM footprints, but the *fastest* chain depth ``k`` is a hardware
+property the build host cannot predict: past the HBM/VPU crossover a
+deeper chain only adds halo-overlap compute (measured on the v5e: the
+8192² heat value+gradient chain is fastest at k=4, not k=8 — BENCH_NOTES
+round 3).  The reference leaves the analogous choice (CUDA block sizes,
+OpenMP schedules) to hand-set kernel parameters; on TPU the honest answer
+is to measure.
+
+``autotune_chain`` sweeps candidate configurations ON THE LIVE DEVICE,
+times each with the same methodology as ``bench.py`` (min-of-N with
+forced materialisation, RTT subtracted, data-dependent calls fully
+unrolled so XLA's scan-carry copies don't pollute the number), picks the
+fastest, and persists the winner in a small JSON cache
+(``$PYSTENCILS_ADTPU_TUNE_CACHE`` or ``~/.cache/pystencils_adtpu_tune.json``)
+keyed by op, shape, dtype, device kind, and direction — so production
+runs pay the sweep once per configuration per machine.
+
+Compile crashes during the sweep are routed by the compile guard
+(``ops/guard.py``) exactly as in production; a candidate whose every
+variant fails is recorded as unusable and skipped on later runs.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+logger = logging.getLogger("pystencils_autodiff_tpu.autotune")
+
+__all__ = ["autotune_chain", "TuneResult"]
+
+
+def _cache_path() -> str:
+    p = os.environ.get("PYSTENCILS_ADTPU_TUNE_CACHE")
+    if p:
+        return p
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(base, "pystencils_adtpu_tune.json")
+
+
+def _load_cache() -> dict:
+    try:
+        with open(_cache_path()) as fh:
+            return json.load(fh)
+    except Exception:
+        return {}
+
+
+def _save_cache(cache: dict) -> None:
+    try:
+        path = _cache_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(cache, fh, indent=1, sort_keys=True)
+    except Exception:  # best effort, like the guard registry
+        pass
+
+
+@dataclass
+class TuneResult:
+    """Outcome of an autotune sweep.
+
+    ``best``: the winning ``{"k": ..., "tile_rows": ...}`` configuration.
+    ``per_step_s``: its measured (or cached) per-step seconds; None when
+    the winner came from the cache without a stored time.
+    ``table``: ``{(k, tile_rows): per_step_s}`` for every candidate tried
+    this call (empty on a cache hit).
+    ``fn``: the chain callable built at the winning configuration.
+    ``cached``: True when the winner was served from the persistent cache.
+    """
+    best: Dict[str, Optional[int]]
+    per_step_s: Optional[float]
+    fn: Callable
+    cached: bool
+    table: Dict[Tuple[int, Optional[int]], float] = field(default_factory=dict)
+
+
+def _default_timer(chain_fn, state, k: int, calls: int, repeats: int,
+                   vjp: bool) -> float:
+    """Per-step seconds of ``calls`` data-dependent chain invocations,
+    fully unrolled inside one jit (bench.py methodology)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .benchmark import fetch_timed, rtt_baseline
+
+    names = sorted(state)
+
+    if vjp:
+        cots = {n: jnp.ones_like(state[n]) for n in names}
+
+        @jax.jit
+        def f(st):
+            def body(carry, _):
+                new_state, cot0 = chain_fn(carry[0], carry[1])
+                return (new_state,
+                        {n: cot0.get(n, carry[1][n]) for n in names}), None
+            (st2, _), _ = jax.lax.scan(body, (st, cots), None,
+                                       length=calls, unroll=calls)
+            return st2[names[0]]
+    else:
+        @jax.jit
+        def f(st):
+            def body(carry, _):
+                return chain_fn(carry), None
+            st2, _ = jax.lax.scan(body, st, None,
+                                  length=calls, unroll=calls)
+            return st2[names[0]]
+
+    rtt = rtt_baseline()
+    total = fetch_timed(f, dict(state), repeats=repeats)
+    return max((total - rtt) / (k * calls), 1e-12)
+
+
+def autotune_chain(op, carry_map: Dict[str, str], state,
+                   k_candidates: Sequence[int] = (2, 3, 4, 6, 8),
+                   tile_candidates: Sequence[Optional[int]] = (None,),
+                   vjp: bool = False, periodic: bool = False,
+                   calls: int = 4, repeats: int = 3,
+                   timer: Optional[Callable] = None,
+                   use_cache: bool = True, force: bool = False,
+                   **chain_kwargs) -> TuneResult:
+    """Pick the fastest fused-chain configuration for ``op`` on the live
+    device and return it built, measured, and cached.
+
+    ``state``: example state dict (concrete arrays) — fixes shapes/dtypes.
+    ``vjp=False`` tunes the forward chain (``ops.fused_time_chain``);
+    ``vjp=True`` tunes the fused value+gradient chain
+    (``ops.adjoint_chain.fused_chain_vjp``, signature
+    ``fn(state, cotangents)``).
+
+    ``timer(chain_fn, state, k, calls, repeats, vjp) -> per_step_seconds``
+    overrides the measurement (tests inject deterministic timers; the
+    default is the bench.py methodology).  ``force=True`` re-measures even
+    on a cache hit.  Extra ``chain_kwargs`` are passed to the chain
+    builder for every candidate.
+
+    Candidates that fail to build (e.g. no viable tile for the shape) are
+    skipped; if every candidate fails, the last error propagates.
+    """
+    import jax
+
+    from ..ops.adjoint_chain import fused_chain_vjp
+    from ..ops.time_chain import fused_time_chain
+
+    names = sorted(state)
+    arr0 = state[names[0]]
+    spatial = tuple(arr0.shape)
+    try:
+        device = jax.devices()[0].device_kind
+    except Exception:
+        device = "unknown"
+
+    def build(k: int, tile: Optional[int]):
+        if vjp:
+            return fused_chain_vjp(op, k, carry_map, periodic=periodic,
+                                   tile_rows=tile, **chain_kwargs)
+        return fused_time_chain(op, k, carry_map, periodic=periodic,
+                                tile_rows=tile, **chain_kwargs)
+
+    key = (f"chain|{'vjp' if vjp else 'fwd'}|{op.op_name}|{spatial}|"
+           f"{arr0.dtype}|periodic={periodic}|{device}")
+    cache = _load_cache() if use_cache else {}
+    hit = cache.get(key)
+    if hit and not force:
+        k, tile = hit["k"], hit.get("tile_rows")
+        logger.info("autotune cache hit for %s: k=%d tile=%s", key, k, tile)
+        return TuneResult(best={"k": k, "tile_rows": tile},
+                          per_step_s=hit.get("per_step_s"),
+                          fn=build(k, tile), cached=True)
+
+    timer = timer or _default_timer
+    table: Dict[Tuple[int, Optional[int]], float] = {}
+    fns: Dict[Tuple[int, Optional[int]], Callable] = {}
+    last_exc: Optional[BaseException] = None
+    for k in k_candidates:
+        for tile in tile_candidates:
+            try:
+                fn = build(k, tile)
+                t = timer(fn, state, k, calls, repeats, vjp)
+            except Exception as e:
+                logger.warning("autotune: candidate k=%d tile=%s failed "
+                               "(%s: %s)", k, tile, type(e).__name__,
+                               str(e)[:120])
+                last_exc = e
+                continue
+            table[(k, tile)] = t
+            fns[(k, tile)] = fn
+            logger.info("autotune: k=%d tile=%s -> %.3f ms/step",
+                        k, tile, t * 1e3)
+    if not table:
+        raise last_exc if last_exc is not None else RuntimeError(
+            "autotune_chain: no viable candidates")
+
+    (best_k, best_tile), best_t = min(table.items(), key=lambda kv: kv[1])
+    if use_cache:
+        cache[key] = {"k": best_k, "tile_rows": best_tile,
+                      "per_step_s": best_t}
+        _save_cache(cache)
+    return TuneResult(best={"k": best_k, "tile_rows": best_tile},
+                      per_step_s=best_t, fn=fns[(best_k, best_tile)],
+                      cached=False, table=table)

@@ -1,0 +1,141 @@
+"""Autotune sweep: candidate selection, persistence, failure routing.
+
+The measurement itself is injected (deterministic fake timers) so these
+run on CPU; the default timer's methodology is bench.py's and is
+exercised on hardware by the TPU-marked test.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pystencils_autodiff_tpu.models import heat_step_op
+from pystencils_autodiff_tpu.utils import autotune_chain
+
+
+@pytest.fixture()
+def tune_cache(tmp_path, monkeypatch):
+    path = tmp_path / "tune.json"
+    monkeypatch.setenv("PYSTENCILS_ADTPU_TUNE_CACHE", str(path))
+    return path
+
+
+def _state(n=32):
+    return {"u": jax.random.normal(jax.random.PRNGKey(0), (n, n),
+                                   jnp.float32)}
+
+
+def fake_timer_table(times):
+    def timer(chain_fn, state, k, calls, repeats, vjp):
+        return times[k]
+    return timer
+
+
+def test_picks_fastest_candidate(tune_cache):
+    op = heat_step_op(dt=0.1)
+    state = _state()
+    res = autotune_chain(op, {"u": "u_next"}, state, k_candidates=(2, 4, 8),
+                         periodic=True, interpret=True,
+                         timer=fake_timer_table({2: 3e-3, 4: 1e-3, 8: 2e-3}))
+    assert res.best == {"k": 4, "tile_rows": None}
+    assert res.per_step_s == 1e-3
+    assert not res.cached
+    assert set(res.table) == {(2, None), (4, None), (8, None)}
+    # the returned fn is the built chain at the winning config
+    out = res.fn({"u": state["u"]})
+    assert out["u"].shape == state["u"].shape
+
+
+def test_cache_hit_skips_measurement(tune_cache):
+    op = heat_step_op(dt=0.1)
+    state = _state()
+    autotune_chain(op, {"u": "u_next"}, state, k_candidates=(2, 4),
+                   periodic=True, interpret=True,
+                   timer=fake_timer_table({2: 2e-3, 4: 1e-3}))
+    assert tune_cache.exists()
+    entry = next(iter(json.loads(tune_cache.read_text()).values()))
+    assert entry["k"] == 4
+
+    calls = []
+
+    def counting_timer(chain_fn, state, k, c, r, vjp):
+        calls.append(k)
+        return 1.0
+
+    res = autotune_chain(op, {"u": "u_next"}, state, k_candidates=(2, 4),
+                         periodic=True, interpret=True, timer=counting_timer)
+    assert res.cached and res.best["k"] == 4 and not calls
+    # force=True re-measures
+    res2 = autotune_chain(op, {"u": "u_next"}, state, k_candidates=(2, 4),
+                          periodic=True, interpret=True,
+                          timer=counting_timer, force=True)
+    assert not res2.cached and calls == [2, 4]
+
+
+def test_failed_candidates_are_skipped(tune_cache):
+    op = heat_step_op(dt=0.1)
+    state = _state()
+
+    def flaky_timer(chain_fn, st, k, calls, repeats, vjp):
+        if k == 2:
+            raise RuntimeError("synthetic compile crash")
+        return float(k)
+
+    res = autotune_chain(op, {"u": "u_next"}, state, k_candidates=(2, 4, 8),
+                         periodic=True, interpret=True, timer=flaky_timer)
+    assert res.best["k"] == 4
+    assert (2, None) not in res.table
+
+
+def test_all_failed_raises(tune_cache):
+    op = heat_step_op(dt=0.1)
+
+    def bad_timer(*a):
+        raise RuntimeError("nope")
+
+    with pytest.raises(RuntimeError):
+        autotune_chain(op, {"u": "u_next"}, _state(), k_candidates=(2,),
+                       periodic=True, interpret=True, timer=bad_timer)
+
+
+def test_vjp_direction_tunes_fused_chain_vjp(tune_cache):
+    op = heat_step_op(dt=0.1)
+    state = _state()
+    res = autotune_chain(op, {"u": "u_next"}, state, k_candidates=(2, 4),
+                         vjp=True, periodic=True, interpret=True,
+                         timer=fake_timer_table({2: 1e-3, 4: 2e-3}))
+    assert res.best["k"] == 2
+    st2, cot0 = res.fn({"u": state["u"]}, {"u": jnp.ones_like(state["u"])})
+    assert st2["u"].shape == state["u"].shape
+    assert cot0["u"].shape == state["u"].shape
+
+
+def test_default_timer_runs_both_directions(tune_cache):
+    """The real measurement path on CPU interpret kernels — guards the
+    timer's scan plumbing (the fwd carry is the state dict itself)."""
+    op = heat_step_op(dt=0.1)
+    state = _state(16)
+    res_f = autotune_chain(op, {"u": "u_next"}, state, k_candidates=(2,),
+                           periodic=True, interpret=True, calls=2, repeats=1)
+    assert res_f.per_step_s > 0
+    res_b = autotune_chain(op, {"u": "u_next"}, state, k_candidates=(2,),
+                           vjp=True, periodic=True, interpret=True,
+                           calls=2, repeats=1)
+    assert res_b.per_step_s > 0
+
+
+@pytest.mark.tpu
+def test_default_timer_on_hardware(tune_cache):
+    """The real measurement path: sweep two depths on the live device."""
+    op = heat_step_op(dt=0.1)
+    n = 1024
+    state = {"u": jax.random.normal(jax.random.PRNGKey(0), (n, n),
+                                    jnp.float32)}
+    res = autotune_chain(op, {"u": "u_next"}, state, k_candidates=(2, 4),
+                         periodic=True, calls=2, repeats=2)
+    assert res.best["k"] in (2, 4)
+    assert res.per_step_s > 0
+    out = res.fn({"u": state["u"]})
+    assert bool(jnp.all(jnp.isfinite(out["u"])))
