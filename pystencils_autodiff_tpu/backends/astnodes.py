@@ -29,11 +29,12 @@ from typing import Optional
 import jinja2
 import numpy as np
 
+from ..adjoint_field import AdjointField
 from ..codegen.c_printer import generate_c_source, kernel_symbol_name
 from ..codegen.jit import compile_shared_library
 from ..ops.common import backward_program, forward_program
 
-__all__ = ["TorchModule", "TensorflowModule"]
+__all__ = ["TorchModule", "TensorflowModule", "PybindModule"]
 
 
 def _camel(name: str) -> str:
@@ -204,6 +205,8 @@ class TorchModule:
         stage_sigs = [([f.name for f in p.input_fields],
                        [f.name for f in p.output_fields])
                       for p in self.bwd_progs]
+        out_adj = {AdjointField(f).name for f in self.op.forward_output_fields}
+        interior_sl = self.fwd_prog.interior_slices()
         module = self
 
         if extension:
@@ -230,8 +233,17 @@ class TorchModule:
 
                 def call_backward(self, **tensors):
                     """Chain all backward passes (one for single-pass ops;
-                    Jacobian stage(s) then gather for TF_MAD)."""
+                    Jacobian stage(s) then gather for TF_MAD), masking the
+                    incoming output cotangents to the forward interior
+                    first (the exact VJP of interior-only writes; the raw
+                    stage kernels expect pre-masked cotangents)."""
+                    import torch as _torch
+
                     env = dict(tensors)
+                    for name in out_adj & env.keys():
+                        masked = _torch.zeros_like(env[name])
+                        masked[interior_sl] = env[name][interior_sl]
+                        env[name] = masked
                     for i in range(len(stage_sigs)):
                         env.update(self.call_backward_stage(i, **env))
                     _, outs_n = stage_sigs[-1]
@@ -370,3 +382,211 @@ class TensorflowModule:
                                     extra_flags=flags,
                                     base_flags=base, post_flags=link)
         return tf.load_op_library(str(so))
+
+
+_PYBIND_TEMPLATE = jinja2.Template('''\
+// Auto-generated plain extension module for {{ op_name }}
+// (the reference's framework-free PybindModule variant, SURVEY.md §2.1 #6
+//  ≈L270–L330, emitted against the CPython C API + buffer protocol since
+//  pybind11 is not vendored here: any C-contiguous ndarray-like works)
+#include <Python.h>
+
+extern "C" {
+{{ kernel_sources }}
+}
+
+{% for spec in specs %}
+static PyObject* py_{{ spec.pyname }}(PyObject* self, PyObject* args) {
+  (void)self;
+  const int n_in = {{ spec.n_in }}, n_out = {{ spec.n_out }};
+  Py_buffer views[{{ spec.n_in + spec.n_out }}];
+  int acq = 0;
+  long long shape[{{ ndim }}];
+  if (PyTuple_GET_SIZE(args) != n_in + n_out) {
+    PyErr_SetString(PyExc_TypeError,
+                    "{{ spec.pyname }}: expected {{ spec.n_in }} input + "
+                    "{{ spec.n_out }} output buffers");
+    return NULL;
+  }
+  for (int i = 0; i < n_in + n_out; ++i) {
+    int flags = PyBUF_C_CONTIGUOUS | PyBUF_FORMAT;
+    if (i >= n_in) flags |= PyBUF_WRITABLE;
+    if (PyObject_GetBuffer(PyTuple_GET_ITEM(args, i), &views[i], flags) != 0)
+      goto fail;
+    acq = i + 1;
+    if (views[i].itemsize != (Py_ssize_t)sizeof({{ ctype }})) {
+      PyErr_Format(PyExc_TypeError,
+                   "{{ spec.pyname }}: argument %d has itemsize %zd, "
+                   "expected %zd ({{ ctype }})", i, views[i].itemsize,
+                   (Py_ssize_t)sizeof({{ ctype }}));
+      goto fail;
+    }
+  }
+  if (views[0].ndim < {{ ndim }}) {
+    PyErr_SetString(PyExc_ValueError,
+                    "{{ spec.pyname }}: first input has rank < {{ ndim }}");
+    goto fail;
+  }
+  for (int d = 0; d < {{ ndim }}; ++d)
+    shape[d] = (long long)views[0].shape[d];
+  Py_BEGIN_ALLOW_THREADS
+  {{ spec.kernel }}(
+{%- for i in range(spec.n_in) %}(const {{ ctype }}*)views[{{ i }}].buf, {% endfor %}
+{%- for i in range(spec.n_out) %}({{ ctype }}*)views[{{ spec.n_in + i }}].buf, {% endfor %}shape);
+  Py_END_ALLOW_THREADS
+  for (int i = 0; i < acq; ++i) PyBuffer_Release(&views[i]);
+  Py_RETURN_NONE;
+fail:
+  for (int i = 0; i < acq; ++i) PyBuffer_Release(&views[i]);
+  return NULL;
+}
+{% endfor %}
+
+static PyMethodDef Methods[] = {
+{% for spec in specs %}  {"{{ spec.pyname }}", py_{{ spec.pyname }}, METH_VARARGS,
+   "{{ spec.doc }} (positional: inputs then preallocated outputs)"},
+{% endfor %}  {NULL, NULL, 0, NULL}
+};
+
+static struct PyModuleDef moduledef = {
+  PyModuleDef_HEAD_INIT, "{{ init_name }}",
+  "Generated stencil kernels for {{ op_name }}", -1, Methods,
+  NULL, NULL, NULL, NULL
+};
+
+PyMODINIT_FUNC PyInit_{{ init_name }}(void) {
+  return PyModule_Create(&moduledef);
+}
+''')
+
+
+class PybindModule:
+    """Plain compiled extension module around the kernel pair — the analog
+    of the reference's framework-free ``PybindModule`` (SURVEY.md §2.1 #6
+    ≈L270–L330): no torch/TF headers, just ``Python.h`` and the buffer
+    protocol, so the compiled ``.so`` binds any C-contiguous ndarray-like
+    zero-copy.  (The reference's ``CudaModule`` sibling has no file-level
+    analog by design: the accelerator path here IS the Pallas lowering,
+    ops/pallas_kernel.py.)
+
+    ``.compile()`` imports the extension and returns a loaded wrapper with
+    dict-based ``call_forward(**arrays)`` / ``call_backward(**arrays)``
+    (field-name keyed; output allocation and backward-stage chaining are
+    handled Python-side, raw positional kernels live on ``.raw``).
+    """
+
+    def __init__(self, module_name: str, autodiff_op, dtype=np.float64):
+        from ..ops.common import backward_programs
+
+        self.module_name = module_name
+        self.op = autodiff_op
+        self.dtype = np.dtype(dtype)
+        self.fwd_prog = forward_program(autodiff_op)
+        self.bwd_progs = backward_programs(autodiff_op)
+        fwd_src = generate_c_source(self.fwd_prog, False, dtype=self.dtype)
+        bwd_srcs = [generate_c_source(p, True, dtype=self.dtype)
+                    for p in self.bwd_progs]
+        self.sources = {"forward": fwd_src, "backward": "\n".join(bwd_srcs)}
+        ctype = {"float64": "double", "float32": "float"}[self.dtype.name]
+
+        def spec(prog, full_domain, pyname, doc):
+            return {"pyname": pyname, "doc": doc,
+                    "n_in": len(prog.input_fields),
+                    "n_out": len(prog.output_fields),
+                    "kernel": kernel_symbol_name(prog, full_domain)}
+
+        self._specs = [spec(self.fwd_prog, False, "call_forward",
+                            f"{module_name} forward stencil")]
+        for i, p in enumerate(self.bwd_progs):
+            self._specs.append(spec(p, True, f"call_backward_s{i}",
+                                    f"{module_name} adjoint pass {i}"))
+        self._init_name = "psext_" + hashlib.sha256(
+            (module_name + fwd_src + self.sources["backward"]
+             + self.dtype.name).encode()).hexdigest()[:16]
+        self.extension_source = _PYBIND_TEMPLATE.render(
+            op_name=module_name,
+            ndim=self.fwd_prog.ndim,
+            ctype=ctype,
+            init_name=self._init_name,
+            kernel_sources=fwd_src + "\n" + self.sources["backward"],
+            specs=self._specs,
+        )
+
+    def _compile_extension(self):
+        import importlib.util
+        import sysconfig
+
+        includes = [f"-I{sysconfig.get_paths()['include']}"]
+        # no libpython link: extension symbols resolve from the running
+        # interpreter at import time (standard ELF extension behaviour)
+        so = compile_shared_library(self.extension_source,
+                                    name_hint=self._init_name,
+                                    extra_flags=includes)
+        spec = importlib.util.spec_from_file_location(self._init_name, so)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def compile(self):
+        ext = self._compile_extension()
+        module = self
+        progs = [(self.fwd_prog, "call_forward")] + [
+            (p, f"call_backward_s{i}")
+            for i, p in enumerate(self.bwd_progs)]
+
+        def run(prog, fn_name, arrays):
+            """NativeKernel-style allocation, then one positional call."""
+            ins, spatial = [], None
+            for f in prog.input_fields:
+                a = np.ascontiguousarray(arrays[f.name], dtype=module.dtype)
+                if spatial is None:
+                    spatial = a.shape[: f.spatial_dimensions]
+                ins.append(a)
+            outs = []
+            for f in prog.output_fields:
+                if f in prog.accum_fields and f.name in arrays:
+                    o = np.array(arrays[f.name], dtype=module.dtype,
+                                 copy=True)
+                else:
+                    o = np.zeros(tuple(spatial) + f.index_shape,
+                                 module.dtype)
+                outs.append(np.ascontiguousarray(o))
+            getattr(ext, fn_name)(*ins, *outs)
+            return dict(zip(prog.output_names, outs))
+
+        out_adj = {AdjointField(f).name for f in self.op.forward_output_fields}
+        sl = self.fwd_prog.interior_slices()
+
+        class _Loaded:
+            raw = ext
+            sources = module.sources
+            extension_source = module.extension_source
+            is_extension = True
+            n_backward_stages = len(module.bwd_progs)
+
+            def call_forward(self, **arrays):
+                return run(progs[0][0], progs[0][1], arrays)
+
+            def call_backward_stage(self, i, **arrays):
+                prog, fn_name = progs[1 + i]
+                return run(prog, fn_name, arrays)
+
+            def call_backward(self, **arrays):
+                """Chain all backward passes, masking the incoming output
+                cotangents to the forward interior first (the exact VJP of
+                interior-only writes — same rule as ops/vjp.py and
+                NativeFunctionPair.backward; the raw positional stage
+                kernels expect pre-masked cotangents)."""
+                env = dict(arrays)
+                for name in out_adj & env.keys():
+                    cot = np.asarray(env[name], dtype=module.dtype)
+                    masked = np.zeros_like(cot)
+                    masked[sl] = cot[sl]
+                    env[name] = masked
+                outs = None
+                for i in range(len(module.bwd_progs)):
+                    outs = self.call_backward_stage(i, **env)
+                    env.update(outs)
+                return outs
+
+        return _Loaded()

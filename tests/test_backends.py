@@ -253,3 +253,62 @@ def test_torch_native_inplace_mutation_detected():
         tensors[0].add_(1.0)  # mutate a saved input in place
     with pytest.raises(RuntimeError, match="modified by an inplace"):
         out.sum().backward()
+
+
+def test_pybind_module_compiles_and_matches_oracle():
+    """PybindModule: the framework-free compiled extension (the reference's
+    plain PybindModule variant, SURVEY.md §2.1 #6 ≈L270) — forward and the
+    chained backward match the f64 jnp oracle on plain numpy arrays."""
+    from pystencils_autodiff_tpu.backends.astnodes import PybindModule
+
+    op = _varcoeff_op()
+    mod = PybindModule("plainmod", op)
+    assert "#include <Python.h>" in mod.extension_source
+    assert "PyInit_" in mod.extension_source
+    assert "PyObject_GetBuffer" in mod.extension_source
+    assert "torch" not in mod.extension_source  # framework-free
+    loaded = mod.compile()
+    assert loaded.is_extension
+
+    arrays = _np_inputs(op, 21)
+    outs = loaded.call_forward(**arrays)
+    ref = op.jax_function()(**{k: jnp.asarray(v) for k, v in arrays.items()})
+    np.testing.assert_allclose(outs["y"], np.asarray(ref),
+                               rtol=RTOL, atol=ATOL)
+
+    rng = np.random.default_rng(22)
+    cot = rng.standard_normal(arrays["x"].shape)
+    from pystencils_autodiff_tpu.adjoint_field import AdjointField
+
+    bwd_in = dict(arrays)
+    bwd_in[AdjointField(op.forward_output_fields[0]).name] = cot
+    grads = loaded.call_backward(**bwd_in)
+
+    f = op.jax_function()
+    names = f.input_names
+    args = tuple(jnp.asarray(arrays[n]) for n in names)
+    _, vjp_fn = jax.vjp(lambda *a: f(*a), *args)
+    jax_grads = dict(zip(names, vjp_fn(jnp.asarray(cot))))
+    adj_names = {f_.corresponding_forward_field.name: f_.name
+                 for f_ in op.backward_output_fields}
+    for n in ("x", "k"):
+        np.testing.assert_allclose(grads[adj_names[n]],
+                                   np.asarray(jax_grads[n]),
+                                   rtol=RTOL, atol=ATOL, err_msg=n)
+
+
+def test_pybind_module_rejects_bad_buffers():
+    from pystencils_autodiff_tpu.backends.astnodes import PybindModule
+
+    op = _varcoeff_op()
+    loaded = PybindModule("plainmod2", op).compile()
+    arrays = _np_inputs(op, 23)
+    # wrong dtype reaching the raw positional kernel -> TypeError from the
+    # extension's itemsize check (the dict wrapper casts, the raw fn must
+    # not silently reinterpret)
+    x32 = arrays["x"].astype(np.float32)
+    out = np.zeros_like(arrays["x"])
+    with pytest.raises(TypeError):
+        loaded.raw.call_forward(x32, arrays["k"], out)
+    with pytest.raises(TypeError):
+        loaded.raw.call_forward(arrays["x"], out)  # arity
