@@ -102,9 +102,14 @@ def main():
                     # feed cotangents forward so calls are data-dependent
                     return (new_state, {n: cot0.get(n, c[1][n])
                                         for n in names}), None
-                (st2, _), _ = jax.lax.scan(body, (st, cots), None,
-                                           length=calls)
-                return st2[names[0]]
+                (st2, ct2), _ = jax.lax.scan(body, (st, cots), None,
+                                             length=calls, unroll=calls)
+                # BOTH chains must be live outputs: returning only the
+                # state lets XLA's while-loop simplifier dead-code the
+                # entire cotangent twin chain for linear ops (its carry
+                # feeds nothing live) — which silently halves the work
+                # being timed.  unroll=calls: zero scan-carry copies.
+                return st2[names[0]], ct2[names[0]]
 
             t = (fetch_timed(f, dict(state)) - rtt) / (k * calls)
         except Exception as e:

@@ -25,7 +25,12 @@ __all__ = ["diffusion3d_op", "sharded_diffusion3d"]
 
 @memoize_model
 def diffusion3d_op(dt: float = 0.05, dtype="float32",
-                   diff_mode="transposed") -> AutoDiffOp:
+                   diff_mode="transposed",
+                   grad_kappa: bool = True) -> AutoDiffOp:
+    """``grad_kappa=False`` declares κ a ``constant_field``: the op is
+    then linear in ``u`` and periodic fused value+gradient chains take
+    the twin-chain fast path (any rank) instead of the 2D-only two-phase
+    kernel.  Keep the default when ∂/∂κ is needed (inverse problems)."""
     u = Field("u", 3, dtype=dtype)
     k = Field("kappa", 3, dtype=dtype)
     out = Field("u_next", 3, dtype=dtype)
@@ -39,7 +44,10 @@ def diffusion3d_op(dt: float = 0.05, dtype="float32",
         km = half * (k.center + k.neighbor(d, -1))
         flux += kp * (up - u.center) - km * (u.center - dn)
     return AutoDiffOp([Assignment(out.center, u.center + dt * flux)],
-                      op_name="diffusion3d", diff_mode=diff_mode)
+                      op_name="diffusion3d"
+                      + ("" if grad_kappa else "_kfrozen"),
+                      diff_mode=diff_mode,
+                      **({} if grad_kappa else {"constant_fields": [k]}))
 
 
 def sharded_diffusion3d(mesh, dim_axes=None, dt: float = 0.05,

@@ -32,15 +32,23 @@ __all__ = ["wave_step_op", "wave_simulate", "fwi_gradient"]
 
 @memoize_model
 def wave_step_op(dt: float = 0.001, dx: float = 1.0,
-                 dtype="float32") -> AutoDiffOp:
+                 dtype="float32", grad_c: bool = True) -> AutoDiffOp:
+    """``grad_c=False`` declares the velocity model a ``constant_field``
+    (no ∂/∂c derived): the op is then linear in state, so periodic fused
+    value+gradient chains take the twin-chain fast path
+    (``ops.adjoint_chain.transposed_linear_op``) — the right mode for
+    adjoint-state propagation w.r.t. wavefields only.  FWI gradients
+    (∂/∂c) need the default ``grad_c=True`` (two-phase chain kernel)."""
     u = Field("u_curr", 2, dtype=dtype)
     up = Field("u_prev", 2, dtype=dtype)
     c = Field("c", 2, dtype=dtype)
     out = Field("u_next", 2, dtype=dtype)
     lap = (u[1, 0] + u[-1, 0] + u[0, 1] + u[0, -1] - 4 * u[0, 0]) / (dx * dx)
     rhs = 2 * u[0, 0] - up[0, 0] + (dt * c[0, 0]) ** 2 * lap
-    return AutoDiffOp([Assignment(out.center, rhs)], op_name="wave_step2d",
-                      time_constant_fields=[c])
+    fields_kw = ({"time_constant_fields": [c]} if grad_c
+                 else {"constant_fields": [c]})
+    return AutoDiffOp([Assignment(out.center, rhs)], op_name="wave_step2d"
+                      + ("" if grad_c else "_cfrozen"), **fields_kw)
 
 
 def wave_simulate(c: jax.Array, u0: jax.Array, n_steps: int,

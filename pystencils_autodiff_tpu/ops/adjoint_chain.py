@@ -50,9 +50,16 @@ def transposed_linear_op(op, carry_map: Dict[str, str]):
         cot_m_out ← bwd_rhs[\\hat o ↦ Σ_{n: carry[n]=o} cot_n]
                     + Σ_{n: carry[n]=m} cot_n[center]
 
-    Returns ``(cot_op, cot_carry, name_of)`` where ``name_of[m]`` is the
-    cotangent field name for forward input ``m``, or ``None`` when the op is
-    not linear / the construction does not apply (caller falls back to the
+    Ops with ``constant_fields`` coefficients qualify too (variable-κ
+    diffusion with frozen κ, wave with frozen velocity): the cotangent op
+    reads the same coefficient arrays, which pass through its chain
+    unchanged, and the constant fields receive zero cotangents.
+
+    Returns ``(cot_op, cot_carry, name_of, coeff_reads)`` where
+    ``name_of[m]`` is the cotangent field name for each *differentiable*
+    forward input ``m`` and ``coeff_reads`` lists the coefficient fields
+    the cotangent op consumes, or ``None`` when the op is not linear in
+    state / the construction does not apply (caller falls back to the
     fused single-kernel path).
     """
     import sympy as sp
@@ -64,12 +71,24 @@ def transposed_linear_op(op, carry_map: Dict[str, str]):
     coll = op.backward_assignments
     if isinstance(coll, StagedAssignmentCollection):
         return None
-    all_acc = coll.accesses()
-    if any(not isinstance(a.field, AdjointField) for a in all_acc):
-        return None  # nonlinear / variable-coefficient: reads primal fields
-
     in_names = [f.name for f in op.forward_input_fields]
     out_names = [f.name for f in op.forward_output_fields]
+    # ``constant_fields`` coefficients keep the op LINEAR IN STATE even
+    # though the backward program reads them (variable-coefficient
+    # diffusion with frozen κ, wave with frozen velocity): the cotangent
+    # advance is then itself a variable-coefficient forward stencil over
+    # the same coefficient arrays, which pass through the chain unchanged.
+    # time_constant_fields do NOT qualify — their gradient accumulates
+    # primal⊗cotangent products per step, which needs the two-phase
+    # recompute kernel.
+    constant_names = {f.name for f in op.constant_fields}
+    if constant_names & (set(carry_map) | set(carry_map.values())):
+        return None  # a carried field cannot be chain-constant
+    diff_names = [n for n in in_names if n not in constant_names]
+    all_acc = coll.accesses()
+    if any(not isinstance(a.field, AdjointField)
+           and a.field.name not in constant_names for a in all_acc):
+        return None  # nonlinear: reads differentiable primal fields
     next_src = {n: carry_map.get(n, n) for n in in_names}
     pass_to: Dict[str, list] = {m: [] for m in in_names}
     feeds_output: Dict[str, list] = {o: [] for o in out_names}
@@ -94,6 +113,8 @@ def transposed_linear_op(op, carry_map: Dict[str, str]):
         mapping = {}
         for a in expr.atoms(Field.Access):
             if not isinstance(a.field, AdjointField):
+                if a.field.name in constant_names:
+                    continue  # coefficient read: stays as-is in the cot op
                 return None
             primal = a.field.corresponding_forward_field.name
             carriers = feeds_output.get(primal)
@@ -126,6 +147,8 @@ def transposed_linear_op(op, carry_map: Dict[str, str]):
 
     mains = []
     for m, f in fwd_in.items():
+        if m in constant_names:
+            continue  # no cotangent for declared-constant coefficients
         for idx in field_components(f):
             rhs = grads_rhs.get((m, idx), sp.Integer(0))
             for n in pass_to.get(m, ()):
@@ -136,13 +159,19 @@ def transposed_linear_op(op, carry_map: Dict[str, str]):
 
     new_coll = AssignmentCollection(mains, subexpressions=subexprs)
     read_names = {f.name for f in new_coll.fields_read}
-    if read_names != {cot_field[m].name for m in in_names}:
+    if read_names - constant_names != {cot_field[m].name for m in diff_names}:
         return None  # some cotangent never read: carry would be partial
+    # the cot op treats the coefficient arrays as constants too (no
+    # adjoint derived for them — they are not differentiated anywhere)
+    coeff_reads = sorted(read_names & constant_names)
+    coeff_fields = [f for f in new_coll.fields_read if f.name in coeff_reads]
     cot_op = AutoDiffOp(new_coll, op_name=f"{op.op_name}_cotangent",
+                        constant_fields=coeff_fields,
                         do_common_subexpression_elimination=False)
-    cot_carry = {cot_field[m].name: cot_out_field[m].name for m in in_names}
-    name_of = {m: cot_field[m].name for m in in_names}
-    return cot_op, cot_carry, name_of
+    cot_carry = {cot_field[m].name: cot_out_field[m].name
+                 for m in diff_names}
+    name_of = {m: cot_field[m].name for m in diff_names}
+    return cot_op, cot_carry, name_of, coeff_reads
 
 
 def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
@@ -232,7 +261,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
         if twin is not None:
             from .time_chain import fused_time_chain
 
-            cot_op, cot_carry, name_of = twin
+            cot_op, cot_carry, name_of, coeff_reads = twin
 
             def build_twin(kk):
                 """Twin chains of depth kk applied k//kk times — the same
@@ -251,11 +280,20 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
 
                     def fn(state, cot_state, probe_cots=()):
                         st = {n: state[n] for n in in_names}
-                        ct = {name_of[m]: cot_state[m] for m in in_names}
+                        ct = {name_of[m]: cot_state[m] for m in name_of}
+                        # coefficient arrays ride the cot chain unchanged
+                        # (unmapped state entries pass through)
+                        for cn in coeff_reads:
+                            ct[cn] = state[cn]
                         for _ in range(reps):
                             st = fwd(st)
                             ct = cot(ct)
-                        return st, {m: ct[name_of[m]] for m in in_names}
+                        # declared-constant coefficients get zero
+                        # cotangents (they are non-differentiable by op
+                        # construction)
+                        return st, {m: (ct[name_of[m]] if m in name_of
+                                        else jnp.zeros_like(state[m]))
+                                    for m in in_names}
 
                     return fn
                 return build

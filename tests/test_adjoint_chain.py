@@ -116,3 +116,80 @@ def test_linear_op_fast_path(k, periodic):
                                rtol=RTOL, atol=ATOL)
     np.testing.assert_allclose(cot0["u"], ref_cot["u"],
                                rtol=RTOL, atol=ATOL)
+
+
+def test_wave_frozen_c_takes_twin_path_and_matches_sequential():
+    """wave with grad_c=False is linear IN STATE despite the variable
+    velocity coefficient: transposed_linear_op now qualifies
+    constant_fields coefficients, so the periodic value+gradient chain
+    runs as twin forward chains (the coefficient arrays ride the
+    cotangent chain unchanged).  Values and state cotangents must match
+    sequential jax.vjp; the frozen coefficient gets zero cotangent."""
+    from pystencils_autodiff_tpu.ops.adjoint_chain import transposed_linear_op
+
+    op = wave_step_op(dt=0.02, dtype="float64", grad_c=False)
+    carry = {"u_curr": "u_next", "u_prev": "u_curr"}
+    assert transposed_linear_op(op, carry) is not None
+    # the default (grad_c=True, time-constant c) must NOT qualify
+    op_fwi = wave_step_op(dt=0.02, dtype="float64")
+    assert transposed_linear_op(op_fwi, carry) is None
+
+    k = 3
+    shape = (24, 16)
+    c = 1.0 + 0.3 * jax.random.uniform(jax.random.PRNGKey(5), shape,
+                                       jnp.float64)
+    state = {"u_curr": rand(0, shape), "u_prev": rand(1, shape), "c": c}
+    cots = {"u_curr": rand(2, shape), "u_prev": rand(3, shape)}
+
+    step = make_time_stepper(op, carry, periodic=True)
+
+    def run(st2):
+        st = {**st2, "c": c}
+        for _ in range(k):
+            st = step(st)
+        return {"u_curr": st["u_curr"], "u_prev": st["u_prev"]}
+
+    ref_out, pull = jax.vjp(run, {n: state[n] for n in cots})
+    (ref_ct,) = pull(cots)
+
+    chain = fused_chain_vjp(op, k, carry, periodic=True, interpret=True)
+    st, cot0 = chain(state, cots)
+    for n in ("u_curr", "u_prev"):
+        np.testing.assert_allclose(st[n], ref_out[n], rtol=RTOL, atol=ATOL)
+        np.testing.assert_allclose(cot0[n], ref_ct[n], rtol=1e-11,
+                                   atol=1e-11, err_msg=n)
+    np.testing.assert_array_equal(cot0["c"], jnp.zeros_like(c))
+
+
+def test_diffusion3d_frozen_kappa_periodic_twin_chain():
+    """3D variable-κ diffusion with grad_kappa=False: linear in u, so the
+    PERIODIC 3D value+gradient chain is available through the twin path
+    (the two-phase kernel is 2D-only) — closes the BASELINE config #2
+    periodic-adjoint gap for frozen-coefficient runs."""
+    from pystencils_autodiff_tpu.models.diffusion import diffusion3d_op
+
+    op = diffusion3d_op(dt=0.05, dtype="float64", grad_kappa=False)
+    carry = {"u": "u_next"}
+    k = 2
+    shape = (8, 10, 16)
+    kap = 1.0 + 0.2 * jax.random.uniform(jax.random.PRNGKey(7), shape,
+                                         jnp.float64)
+    u = rand(8, shape)
+    ct = rand(9, shape)
+
+    step = make_time_stepper(op, carry, periodic=True)
+
+    def run(x):
+        st = {"u": x, "kappa": kap}
+        for _ in range(k):
+            st = step(st)
+        return st["u"]
+
+    ref, pull = jax.vjp(run, u)
+    (ref_ct,) = pull(ct)
+
+    chain = fused_chain_vjp(op, k, carry, periodic=True, interpret=True)
+    st, cot0 = chain({"u": u, "kappa": kap}, {"u": ct})
+    np.testing.assert_allclose(st["u"], ref, rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(cot0["u"], ref_ct, rtol=1e-11, atol=1e-11)
+    np.testing.assert_array_equal(cot0["kappa"], jnp.zeros_like(kap))
