@@ -95,23 +95,32 @@ def main():
             names = list(state)
             cots = {n: jnp.ones_like(state[n]) for n in names}
 
-            @jax.jit
-            def f(st):
-                def body(c, _):
-                    new_state, cot0 = ch(c[0], c[1])
-                    # feed cotangents forward so calls are data-dependent
-                    return (new_state, {n: cot0.get(n, c[1][n])
-                                        for n in names}), None
-                (st2, ct2), _ = jax.lax.scan(body, (st, cots), None,
-                                             length=calls, unroll=calls)
-                # BOTH chains must be live outputs: returning only the
-                # state lets XLA's while-loop simplifier dead-code the
-                # entire cotangent twin chain for linear ops (its carry
-                # feeds nothing live) — which silently halves the work
-                # being timed.  unroll=calls: zero scan-carry copies.
-                return st2[names[0]], ct2[names[0]]
+            def make(nc):
+                @jax.jit
+                def f(st):
+                    def body(c, _):
+                        new_state, cot0 = ch(c[0], c[1])
+                        # feed cotangents forward: calls are data-dependent
+                        return (new_state, {n: cot0.get(n, c[1][n])
+                                            for n in names}), None
+                    (st2, ct2), _ = jax.lax.scan(body, (st, cots), None,
+                                                 length=nc, unroll=nc)
+                    # BOTH chains must be live outputs: returning only the
+                    # state lets XLA's while-loop simplifier dead-code the
+                    # entire cotangent twin chain for linear ops (its carry
+                    # feeds nothing live) — silently halving the work
+                    # timed.  unroll=nc: zero scan-carry copies.
+                    return st2[names[0]], ct2[names[0]]
+                return f
 
-            t = (fetch_timed(f, dict(state)) - rtt) / (k * calls)
+            # two-point slope: constant per-call overhead (relay RTT,
+            # dispatch, fetch) cancels in the difference — rtt-subtraction
+            # biases rows whose total compute is near the RTT noise floor
+            # (min-of-N picks the luckiest RTT: the 256³ diff3d chain row
+            # once read 0.55 ms/step against a 1.24 ms device truth)
+            t1 = fetch_timed(make(calls), dict(state))
+            t2 = fetch_timed(make(2 * calls), dict(state))
+            t = max(t2 - t1, 1e-9) / (k * calls)
         except Exception as e:
             print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:140]}",
                   file=sys.stderr)
