@@ -258,7 +258,12 @@ class BoundaryHandling:
         state = bh(state)
 
     A spec may also be a *list* of specs applied in order (e.g. a frame
-    fill followed by obstacle bounce-back).
+    fill followed by obstacle bounce-back), and its last element may be a
+    dict of keyword arguments for the BC function — e.g. periodic-domain
+    bounce-back, whose out-of-domain pulls must wrap across the seam::
+
+        bh = BoundaryHandling(op, {"f": ("bounce_back", solid,
+                                         {"wrap": True})})
     """
 
     def __init__(self, op_or_ghost, specs: Dict[str, Union[str, tuple, list]]):
@@ -279,15 +284,19 @@ class BoundaryHandling:
                 if kind not in _BC_FNS and kind not in _MASKED_BC_FNS:
                     raise ValueError(f"unknown BC {kind!r}; have "
                                      f"{sorted(_BC_FNS) + sorted(_MASKED_BC_FNS)}")
-                parsed.append((kind, tuple(args)))
+                kwargs = {}
+                if args and isinstance(args[-1], dict):
+                    kwargs = args[-1]
+                    args = args[:-1]
+                parsed.append((kind, tuple(args), kwargs))
             self.specs[name] = parsed
 
     def apply(self, name: str, arr: jax.Array) -> jax.Array:
-        for kind, args in self.specs.get(name, ()):
+        for kind, args, kwargs in self.specs.get(name, ()):
             if kind in _MASKED_BC_FNS:
-                arr = _MASKED_BC_FNS[kind](arr, *args)
+                arr = _MASKED_BC_FNS[kind](arr, *args, **kwargs)
             else:
-                arr = _BC_FNS[kind](arr, self.ghost, *args)
+                arr = _BC_FNS[kind](arr, self.ghost, *args, **kwargs)
         return arr
 
     def __call__(self, state: Dict[str, jax.Array]) -> Dict[str, jax.Array]:

@@ -90,13 +90,13 @@ class BoundaryNode:
     handler: BoundaryHandling
 
     def describe(self) -> str:
-        kinds = {n: "+".join(k for k, _ in chain)
+        kinds = {n: "+".join(k for k, *_ in chain)
                  for n, chain in self.handler.specs.items()}
         return f"boundary {kinds}"
 
     def spec(self):
         return {"kind": "boundary",
-                "fields": {n: [k for k, _ in chain]
+                "fields": {n: [k for k, *_ in chain]
                            for n, chain in self.handler.specs.items()}}
 
 
@@ -328,7 +328,18 @@ class GraphDataHandling(DataHandling):
                 const_arrays[name] = a
                 return name
 
-            def as_chain_args(kind, args):
+            def as_chain_args(kind, args, kw):
+                if kw and (kind != "bounce_back" or set(kw) != {"wrap"}):
+                    raise ValueError(
+                        f"recorded BC {kind!r} keyword arguments {sorted(kw)} "
+                        f"cannot fuse into a chain")
+                if kind == "bounce_back" and "wrap" in kw \
+                        and bool(kw["wrap"]) != bool(periodic):
+                    raise ValueError(
+                        "recorded bounce_back(wrap=%r) conflicts with "
+                        "compile(periodic=%r): fused chains wrap "
+                        "out-of-domain pulls exactly when the chain domain "
+                        "is periodic" % (kw["wrap"], periodic))
                 if kind in ("dirichlet", "neumann"):
                     return (kind, *args)
                 if kind == "masked_dirichlet":
@@ -362,8 +373,8 @@ class GraphDataHandling(DataHandling):
                 elif isinstance(node, BoundaryNode):
                     for fname, chain_list in node.handler.specs.items():
                         pending_bcs.append((fname, [
-                            as_chain_args(kind, bargs)
-                            for kind, bargs in chain_list]))
+                            as_chain_args(kind, bargs, bkw)
+                            for kind, bargs, bkw in chain_list]))
                 elif isinstance(node, CommNode):
                     pass  # chains exchange halos internally
                 else:

@@ -29,8 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..adjoint_field import AdjointField
 from ..field import Field
 from .common import (StencilProgram, assemble_planes, backward_program,
-                     field_components, forward_program, plane_view,
-                     require_row_major, storage_spatial,
+                     field_components, forward_program, lat_shifted_read,
+                     plane_view, require_row_major, storage_spatial,
                      scoped_vmem)
 
 __all__ = ["fused_chain_vjp", "transposed_linear_op"]
@@ -288,11 +288,17 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                         for _ in range(reps):
                             st = fwd(st)
                             ct = cot(ct)
-                        # declared-constant coefficients get zero
-                        # cotangents (they are non-differentiable by op
-                        # construction)
+                        # declared-constant coefficients: no accumulated
+                        # coefficient gradient (non-differentiable by op
+                        # construction), but the chain's forward RETURNS
+                        # them unchanged, so their VJP keeps the identity
+                        # pass-through term — dropping it gives zero
+                        # grads whenever the loss touches the returned
+                        # coefficient (matches the sequential/two-phase
+                        # paths)
                         return st, {m: (ct[name_of[m]] if m in name_of
-                                        else jnp.zeros_like(state[m]))
+                                        else cot_state.get(
+                                            m, jnp.zeros_like(state[m])))
                                     for m in in_names}
 
                     return fn
@@ -472,25 +478,12 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                     latf_cache: Dict[tuple, jax.Array] = {}
 
                     def readf(acc, _er=ext_rows, _cur=cur, _c=latf_cache):
-                        # lane rotate before the row slice (bit-exact
-                        # commute): one rotate per RECURRING lane offset;
-                        # single-use offsets keep slice-then-shift
                         ck = (acc.field.name, acc.index, acc.offsets[-1])
-                        start = lo_f + geom.row_off(acc.offsets)
-                        if ck not in shared_f:
-                            v = _cur[(acc.field.name, acc.index)]
-                            v = jax.lax.slice_in_dim(v, start, start + _er,
-                                                     axis=0)
-                            return _shift_lateral(v, acc.offsets[-1], 1,
-                                                  False, interp, periodic)
-                        v = _c.get(ck)
-                        if v is None:
-                            v = _shift_lateral(
-                                _cur[(acc.field.name, acc.index)],
-                                acc.offsets[-1], 1, False, interp, periodic)
-                            _c[ck] = v
-                        return jax.lax.slice_in_dim(v, start, start + _er,
-                                                    axis=0)
+                        return lat_shifted_read(
+                            _c, shared_f, ck, _cur[ck[:2]],
+                            acc.offsets[-1],
+                            lo_f + geom.row_off(acc.offsets), _er, False,
+                            interp, periodic)
 
                     shape_s = (ext_rows, cols)
                     for st in fwd_prog.steps:
@@ -587,18 +580,13 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                             if not carriers:
                                 return jnp.zeros((_er, cols), dtype)
                             ck = ("c", primal, acc.index, acc.offsets[-1])
-                            v = _c.get(ck)
-                            if v is None:
-                                v = _cot[(carriers[0], acc.index)]
-                                for extra in carriers[1:]:
-                                    v = v + _cot[(extra, acc.index)]
-                                v = _shift_lateral(v, acc.offsets[-1], 1,
-                                                   not periodic, interp,
-                                                   periodic)
-                                _c[ck] = v
-                            start = lo_b + geom.row_off(acc.offsets)
-                            v = jax.lax.slice_in_dim(v, start, start + _er,
-                                                     axis=0)
+                            full_v = _cot[(carriers[0], acc.index)]
+                            for extra in carriers[1:]:
+                                full_v = full_v + _cot[(extra, acc.index)]
+                            v = lat_shifted_read(
+                                _c, shared_b, ck, full_v, acc.offsets[-1],
+                                lo_b + geom.row_off(acc.offsets), _er,
+                                not periodic, interp, periodic)
                             if not periodic:
                                 # exact-VJP: zero the cotangent outside the
                                 # forward interior, in the per-dim
@@ -618,15 +606,11 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                                 v = jnp.where(m, v, 0)
                             return v
                         ck = ("p", f.name, acc.index, acc.offsets[-1])
-                        v = _c.get(ck)
-                        if v is None:
-                            v = _shift_lateral(_prim[(f.name, acc.index)],
-                                               acc.offsets[-1], 1, False,
-                                               interp, periodic)
-                            _c[ck] = v
-                        start = _po + lo_b + geom.row_off(acc.offsets)
-                        return jax.lax.slice_in_dim(v, start, start + _er,
-                                                    axis=0)
+                        return lat_shifted_read(
+                            _c, shared_b, ck, _prim[(f.name, acc.index)],
+                            acc.offsets[-1],
+                            _po + lo_b + geom.row_off(acc.offsets), _er,
+                            False, interp, periodic)
 
                     grads_stage: Dict[str, jax.Array] = {}
                     for st in bwd_prog.steps:
@@ -753,9 +737,23 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
             if interp:
                 cache[key] = build(spatial, arr0.dtype, interp)
             else:
+                def build_probed():
+                    fn = build(spatial, arr0.dtype, interp)
+                    # force the Mosaic compile NOW (AOT, abstract args):
+                    # under an outer jit the in-trace call only TRACES the
+                    # pallas_call, the guard would record a bogus success,
+                    # and the remote-compiler crash would surface later
+                    # uncaught (same escape compose() plugs in
+                    # time_chain.py)
+                    abstract = jax.tree.map(
+                        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                        (dict(state), dict(cot_state), tuple(probe_cots)))
+                    jax.jit(lambda s, c, p: fn(s, c, p)).lower(
+                        *abstract).compile()
+                    return fn
+
                 variants = [
-                    ("fused_two_phase",
-                     lambda: build(spatial, arr0.dtype, interp)),
+                    ("fused_two_phase", build_probed),
                     ("sequential_recompute",
                      lambda: build_sequential_fallback(interp)),
                 ]

@@ -37,7 +37,7 @@ __all__ = ["Step", "StencilProgram", "make_program", "forward_program",
            "backward_program", "backward_programs", "is_staged_backward",
            "storage_spatial", "storage_shape", "spatial_index",
            "plane_view", "assemble_planes", "field_components",
-           "scoped_vmem"]
+           "scoped_vmem", "shared_lateral_offsets", "lat_shifted_read"]
 
 def shared_lateral_offsets(steps, key=None):
     """Keys of lateral shifts used by ≥2 accesses across ``steps``.
@@ -65,6 +65,31 @@ def shared_lateral_offsets(steps, key=None):
                 if k is not None:
                     c[k] += 1
     return {k for k, v in c.items() if v >= 2}
+
+
+def lat_shifted_read(cache, shared, ck, full, off, start, ext,
+                     zero_fill, interpret, periodic):
+    """The cached rotate-before-slice read every chain kernel uses.
+
+    Lane rotates commute bit-exactly with the row slice (they act on the
+    last axis, the slice on axis 0), so a RECURRING (field, component,
+    lane-offset) — ``ck in shared`` per :func:`shared_lateral_offsets` —
+    rotates the full extended tile ONCE (memoised in ``cache``) and
+    slices per access; single-use offsets keep slice-then-shift
+    (pre-shifting the larger un-sliced tile for one use measured a 1.5×
+    regression on the variable-κ diffusion)."""
+    import jax.lax
+
+    from .pallas_kernel import _shift_lateral
+
+    if ck not in shared:
+        v = jax.lax.slice_in_dim(full, start, start + ext, axis=0)
+        return _shift_lateral(v, off, 1, zero_fill, interpret, periodic)
+    v = cache.get(ck)
+    if v is None:
+        v = _shift_lateral(full, off, 1, zero_fill, interpret, periodic)
+        cache[ck] = v
+    return jax.lax.slice_in_dim(v, start, start + ext, axis=0)
 
 
 # v5e VMEM is 128 MiB; leave one MiB of slack for the runtime

@@ -42,8 +42,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..field import Field
-from .common import (StencilProgram, assemble_planes, is_adjoint, plane_view,
-                     scoped_vmem, shared_lateral_offsets, spatial_index,
+from .common import (StencilProgram, assemble_planes, is_adjoint,
+                     lat_shifted_read, plane_view, scoped_vmem,
+                     shared_lateral_offsets, spatial_index,
                      storage_spatial)
 
 __all__ = ["make_pallas_stencil"]
@@ -456,26 +457,10 @@ def _run_blocked(program: StencilProgram, inputs: Dict[str, jax.Array],
             ro = row_off(acc.offsets)
             oc = acc.offsets[-1]
             zero_fill = is_adjoint(acc.field)
-            if (acc.field.name, acc.index, oc) in shared_lat:
-                # lane rotates dominate shift-heavy stencils (aniso27: 27
-                # accesses, 3 distinct lane offsets); shift the full
-                # extended tile once per recurring (field, lane-offset)
-                # and slice rows after — the lane shift commutes
-                # bit-exactly with the row slice.  Single-use offsets keep
-                # slice-then-shift (pre-shifting the bigger tile for one
-                # use measured slower).
-                ck = (acc.field.name, acc.index, oc, zero_fill)
-                vs = lat_cache.get(ck)
-                if vs is None:
-                    vs = _shift_lateral(ext[(acc.field.name, acc.index)],
-                                        oc, 1, zero_fill, interpret,
-                                        periodic)
-                    lat_cache[ck] = vs
-                v = jax.lax.slice_in_dim(vs, lo0 + ro, lo0 + ro + t, axis=0)
-            else:
-                v = ext[(acc.field.name, acc.index)]
-                v = jax.lax.slice_in_dim(v, lo0 + ro, lo0 + ro + t, axis=0)
-                v = _shift_lateral(v, oc, 1, zero_fill, interpret, periodic)
+            v = lat_shifted_read(
+                lat_cache, shared_lat, (acc.field.name, acc.index, oc),
+                ext[(acc.field.name, acc.index)], oc, lo0 + ro, t,
+                zero_fill, interpret, periodic)
             if zero_fill and not periodic:
                 # adjoint reads: exact-VJP masking, all in one pass —
                 # (a) fused cotangent interior mask in *global* coords of

@@ -101,6 +101,26 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                        if isinstance(a, Field.Access))
                    for bp in bwd_progs]
 
+    # shift-before-slice only pays for RECURRING lane offsets; single-use
+    # offsets keep slice-then-shift (pre-shifting the larger un-sliced
+    # tile for one use measured a 1.5× regression — ops/common.py)
+    from .common import (lat_shifted_read,
+                         shared_lateral_offsets)
+
+    shared_fwd = [shared_lateral_offsets(p.steps) for p in fwd_progs]
+
+    def _bkey(a):
+        off = a.offsets[-1]
+        if not off:
+            return None
+        f = a.field
+        if isinstance(f, AdjointField):
+            return ("c", f.corresponding_forward_field.name, a.index, off)
+        return ("p", f.name, a.index, off)
+
+    shared_bwd = [shared_lateral_offsets(p.steps, key=_bkey)
+                  for p in bwd_progs]
+
     def build(spatial, dtype, interp):
         geom = FlatGeom(spatial)
         rows, cols = geom.rows, geom.cols
@@ -204,19 +224,13 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                     latf_cache: Dict[tuple, jax.Array] = {}
 
                     def readf(acc, _er=ext_rows, _cur=cur, _lo=lof[j],
-                              _c=latf_cache):
-                        # lane rotate before the row slice (bit-exact
-                        # commute): one rotate per distinct lane offset
+                              _c=latf_cache, _j=j):
                         ck = (acc.field.name, acc.index, acc.offsets[-1])
-                        v = _c.get(ck)
-                        if v is None:
-                            v = _shift_lateral(
-                                _cur[(acc.field.name, acc.index)],
-                                acc.offsets[-1], 1, False, interp, periodic)
-                            _c[ck] = v
-                        start = _lo + geom.row_off(acc.offsets)
-                        return jax.lax.slice_in_dim(v, start, start + _er,
-                                                    axis=0)
+                        return lat_shifted_read(
+                            _c, shared_fwd[_j], ck, _cur[ck[:2]],
+                            acc.offsets[-1],
+                            _lo + geom.row_off(acc.offsets), _er, False,
+                            interp, periodic)
 
                     shape_s = (ext_rows, cols)
                     for st in prog.steps:
@@ -280,18 +294,14 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                             if not carriers:
                                 return jnp.zeros((_er, cols), dtype)
                             ck = ("c", primal, acc.index, acc.offsets[-1])
-                            v = _c.get(ck)
-                            if v is None:
-                                v = _cot[(carriers[0], acc.index)]
-                                for extra in carriers[1:]:
-                                    v = v + _cot[(extra, acc.index)]
-                                v = _shift_lateral(v, acc.offsets[-1], 1,
-                                                   not periodic, interp,
-                                                   periodic)
-                                _c[ck] = v
-                            start = lob[_j] + geom.row_off(acc.offsets)
-                            v = jax.lax.slice_in_dim(v, start, start + _er,
-                                                     axis=0)
+                            full_v = _cot[(carriers[0], acc.index)]
+                            for extra in carriers[1:]:
+                                full_v = full_v + _cot[(extra, acc.index)]
+                            v = lat_shifted_read(
+                                _c, shared_bwd[_j], ck, full_v,
+                                acc.offsets[-1],
+                                lob[_j] + geom.row_off(acc.offsets), _er,
+                                not periodic, interp, periodic)
                             if not periodic:
                                 r_tgt = (jax.lax.broadcasted_iota(
                                     jnp.int32, (_er, cols), 0) + _r0)
@@ -308,15 +318,11 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                                 v = jnp.where(m, v, 0)
                             return v
                         ck = ("p", f.name, acc.index, acc.offsets[-1])
-                        v = _c.get(ck)
-                        if v is None:
-                            v = _shift_lateral(_prim[(f.name, acc.index)],
-                                               acc.offsets[-1], 1, False,
-                                               interp, periodic)
-                            _c[ck] = v
-                        start = _po + lob[_j] + geom.row_off(acc.offsets)
-                        return jax.lax.slice_in_dim(v, start, start + _er,
-                                                    axis=0)
+                        return lat_shifted_read(
+                            _c, shared_bwd[_j], ck,
+                            _prim[(f.name, acc.index)], acc.offsets[-1],
+                            _po + lob[_j] + geom.row_off(acc.offsets),
+                            _er, False, interp, periodic)
 
                     grads_stage: Dict[tuple, jax.Array] = {}
                     for st in bwd.steps:

@@ -221,7 +221,7 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
         hlo, hhi = geom.row_reach(hacc)
         hoists.append((hsteps, csteps, hlo, hhi))
     n_hoisted = sum(len(h[0]) for h in hoists)
-    from .common import shared_lateral_offsets
+    from .common import lat_shifted_read, shared_lateral_offsets
     shared_cyc = [shared_lateral_offsets(h[1]) for h in hoists]
     shared_hst = [shared_lateral_offsets(h[0]) for h in hoists]
 
@@ -418,27 +418,12 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
                     hl_cache: Dict[tuple, jax.Array] = {}
 
                     def hread(acc, _h=hlo_j, _E=EHj, _c=hl_cache, _jj=j_):
-                        # rotate before the row slice (bit-exact commute):
-                        # one lane rotate per RECURRING lane offset;
-                        # single-use offsets keep slice-then-shift
                         ck = (acc.field.name, acc.index, acc.offsets[-1])
-                        start = _h + geom.row_off(acc.offsets)
-                        if ck not in shared_hst[_jj]:
-                            v = state[(acc.field.name, acc.index)]
-                            v = jax.lax.slice_in_dim(v, start, start + _E,
-                                                     axis=0)
-                            return _shift_lateral(v, acc.offsets[-1], 1,
-                                                  False, interpret,
-                                                  periodic)
-                        v = _c.get(ck)
-                        if v is None:
-                            v = _shift_lateral(
-                                state[(acc.field.name, acc.index)],
-                                acc.offsets[-1], 1, False, interpret,
-                                periodic)
-                            _c[ck] = v
-                        return jax.lax.slice_in_dim(v, start, start + _E,
-                                                    axis=0)
+                        return lat_shifted_read(
+                            _c, shared_hst[_jj], ck, state[ck[:2]],
+                            acc.offsets[-1],
+                            _h + geom.row_off(acc.offsets), _E, False,
+                            interpret, periodic)
 
                     for st_ in hsteps:
                         hv = [hread(a) if isinstance(a, Field.Access)
@@ -471,23 +456,11 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
 
                     def read(acc, _er=ext_rows, _lo=lo_s, _jj=j):
                         ck = (acc.field.name, acc.index, acc.offsets[-1])
-                        start = _lo + geom.row_off(acc.offsets)
-                        if ck not in shared_cyc[_jj]:
-                            v = state[(acc.field.name, acc.index)]
-                            v = jax.lax.slice_in_dim(v, start,
-                                                     start + _er, axis=0)
-                            return _shift_lateral(v, acc.offsets[-1], 1,
-                                                  False, interpret,
-                                                  periodic)
-                        v = lat_cache.get(ck)
-                        if v is None:
-                            v = _shift_lateral(
-                                state[(acc.field.name, acc.index)],
-                                acc.offsets[-1], 1, False, interpret,
-                                periodic)
-                            lat_cache[ck] = v
-                        return jax.lax.slice_in_dim(v, start, start + _er,
-                                                    axis=0)
+                        return lat_shifted_read(
+                            lat_cache, shared_cyc[_jj], ck, state[ck[:2]],
+                            acc.offsets[-1],
+                            _lo + geom.row_off(acc.offsets), _er, False,
+                            interpret, periodic)
 
                     def sym(at, _er=ext_rows, _a=a_s, _j=j):
                         v = env.get(at)

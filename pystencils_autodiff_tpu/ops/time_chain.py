@@ -91,7 +91,7 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
     h_acc = [a for s_ in hoist_steps for a in s_.atoms
              if isinstance(a, Field.Access)]
     hr_lo, hr_hi = geom.row_reach(h_acc)
-    from .common import shared_lateral_offsets
+    from .common import lat_shifted_read, shared_lateral_offsets
     shared_lat = shared_lateral_offsets(cycle_steps)
     shared_h = shared_lateral_offsets(hoist_steps)
 
@@ -161,25 +161,11 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                 hl_cache: Dict[tuple, jax.Array] = {}
 
                 def hread(acc):
-                    # lane rotate before the row slice (bit-exact commute):
-                    # one rotate per RECURRING lane offset instead of per
-                    # access; single-use offsets keep slice-then-shift
                     ck = (acc.field.name, acc.index, acc.offsets[-1])
-                    start = hr_lo + geom.row_off(acc.offsets)
-                    if ck not in shared_h:
-                        v = state[(acc.field.name, acc.index)]
-                        v = jax.lax.slice_in_dim(v, start, start + EH,
-                                                 axis=0)
-                        return _shift_lateral(v, acc.offsets[-1], 1, False,
-                                              interpret, periodic)
-                    v = hl_cache.get(ck)
-                    if v is None:
-                        v = _shift_lateral(state[(acc.field.name,
-                                                  acc.index)],
-                                           acc.offsets[-1], 1, False,
-                                           interpret, periodic)
-                        hl_cache[ck] = v
-                    return jax.lax.slice_in_dim(v, start, start + EH, axis=0)
+                    return lat_shifted_read(
+                        hl_cache, shared_h, ck, state[ck[:2]],
+                        acc.offsets[-1], hr_lo + geom.row_off(acc.offsets),
+                        EH, False, interpret, periodic)
 
                 for st_ in hoist_steps:
                     hv = [hread(a) if isinstance(a, Field.Access)
@@ -198,22 +184,10 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
 
                 def read(acc, _er=ext_rows):
                     ck = (acc.field.name, acc.index, acc.offsets[-1])
-                    start = lo1 + geom.row_off(acc.offsets)
-                    if ck not in shared_lat:
-                        v = state[(acc.field.name, acc.index)]
-                        v = jax.lax.slice_in_dim(v, start, start + _er,
-                                                 axis=0)
-                        return _shift_lateral(v, acc.offsets[-1], 1, False,
-                                              interpret, periodic)
-                    v = lat_cache.get(ck)
-                    if v is None:
-                        v = _shift_lateral(state[(acc.field.name,
-                                                  acc.index)],
-                                           acc.offsets[-1], 1, False,
-                                           interpret, periodic)
-                        lat_cache[ck] = v
-                    return jax.lax.slice_in_dim(v, start, start + _er,
-                                                axis=0)
+                    return lat_shifted_read(
+                        lat_cache, shared_lat, ck, state[ck[:2]],
+                        acc.offsets[-1], lo1 + geom.row_off(acc.offsets),
+                        _er, False, interpret, periodic)
 
                 def sym(at, _er=ext_rows, _a=a_s):
                     v = env.get(at)

@@ -23,13 +23,27 @@ __all__ = ["ExportedOp", "export_op", "export_program", "load_exported",
 
 
 class ExportedOp:
-    """A pair of exported artifacts: primal op + its VJP."""
+    """A pair of exported artifacts: primal op + its VJP.
 
-    def __init__(self, primal, vjp=None):
+    ``steps_per_call > 1`` marks a step-count-polymorphic artifact built
+    from a fused-chain ``run.step`` (k physical steps per call): the
+    runtime step-count argument means physical steps and must be a
+    multiple of it (the artifact itself rounds down — a dynamic loop
+    cannot raise)."""
+
+    def __init__(self, primal, vjp=None, steps_per_call: int = 1):
         self.primal = primal
         self.vjp = vjp
+        self.steps_per_call = steps_per_call
 
     def __call__(self, *args):
+        if self.steps_per_call > 1 and args:
+            n = args[0]
+            if isinstance(n, int) and n % self.steps_per_call:
+                raise ValueError(
+                    f"n_steps={n} is not a multiple of this artifact's "
+                    f"chain depth (steps_per_call="
+                    f"{self.steps_per_call}); the loop would round down")
         return self.primal.call(*args)
 
 
@@ -143,12 +157,18 @@ def export_program(run, example_state: Dict[str, jax.Array],
                                       example_state[n].dtype) for n in names]
 
     if n_steps is None:
+        explicit_step = step is not None
         step = step if step is not None else getattr(run, "step", None)
         if step is None:
             raise ValueError(
                 "n_steps=None (runtime step count) needs a per-step "
                 "function: pass step=..., or a run from "
                 "GraphDataHandling.compile (which carries run.step)")
+        # fuse='stages' runs advance k physical steps per step() call
+        # (run.steps_per_call); the artifact's runtime argument means
+        # PHYSICAL steps, so the loop length is scaled — without this a
+        # k=4 chain artifact called with n=100 ran 400 physical steps
+        spc = 1 if explicit_step else getattr(run, "steps_per_call", 1)
 
         if with_gradient:
             raise ValueError(
@@ -158,7 +178,11 @@ def export_program(run, example_state: Dict[str, jax.Array],
                 "with_gradient=False")
 
         def run_dyn(state, n):
-            return jax.lax.fori_loop(0, n, lambda _, s: step(s), state)
+            # n is PHYSICAL steps; non-multiples of steps_per_call round
+            # down (a dynamic loop cannot raise) — ExportedOp.__call__
+            # rejects them eagerly on the Python side
+            return jax.lax.fori_loop(0, n // spc, lambda _, s: step(s),
+                                     state)
 
         def fn(n, *arrays):
             out = run_dyn(dict(zip(names, arrays)), n)
@@ -167,7 +191,7 @@ def export_program(run, example_state: Dict[str, jax.Array],
         exp = jax_export.export(
             jax.jit(fn), platforms=list(platforms) if platforms else None)(
             jax.ShapeDtypeStruct((), jnp.int32), *specs)
-        return ExportedOp(exp)
+        return ExportedOp(exp, steps_per_call=spc)
 
     def fn(*arrays):
         out = run(dict(zip(names, arrays)), n_steps)

@@ -165,8 +165,17 @@ def autotune_chain(op, carry_map: Dict[str, str], state,
         return fused_time_chain(op, k, carry_map, periodic=periodic,
                                 tile_rows=tile, **chain_kwargs)
 
+    extra = ""
+    if chain_kwargs:
+        extra = "|" + ",".join(f"{k}={chain_kwargs[k]!r}"
+                               for k in sorted(chain_kwargs))
+    # candidate sets are part of the key: a winner picked from (2,4) must
+    # not be served to a caller sweeping (2,...,16), and builder kwargs
+    # (vmem budget, dtype override) change what was measured
     key = (f"chain|{'vjp' if vjp else 'fwd'}|{op.op_name}|{spatial}|"
-           f"{arr0.dtype}|periodic={periodic}|{device}")
+           f"{arr0.dtype}|periodic={periodic}|{device}"
+           f"|k={tuple(k_candidates)}|tiles={tuple(tile_candidates)}"
+           + extra)
     cache = _load_cache() if use_cache else {}
     hit = cache.get(key)
     if hit and not force:

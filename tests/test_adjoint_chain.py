@@ -193,3 +193,26 @@ def test_diffusion3d_frozen_kappa_periodic_twin_chain():
     np.testing.assert_allclose(st["u"], ref, rtol=RTOL, atol=ATOL)
     np.testing.assert_allclose(cot0["u"], ref_ct, rtol=1e-11, atol=1e-11)
     np.testing.assert_array_equal(cot0["kappa"], jnp.zeros_like(kap))
+
+
+def test_frozen_coefficient_passthrough_cotangent():
+    """The chain's forward RETURNS the frozen coefficient unchanged, so
+    its VJP must keep the identity pass-through term — the twin path once
+    returned zeros (code-review confirmed repro: grad of sum(chain['c'])
+    was 0.0 fused vs 1.0 sequential)."""
+    from pystencils_autodiff_tpu.ops.time_chain import fused_time_chain
+
+    op = wave_step_op(dt=0.02, dtype="float64", grad_c=False)
+    carry = {"u_curr": "u_next", "u_prev": "u_curr"}
+    shape = (12, 16)
+    state = {"u_curr": rand(0, shape), "u_prev": rand(1, shape),
+             "c": 1.0 + 0.1 * jax.random.uniform(jax.random.PRNGKey(2),
+                                                 shape, jnp.float64)}
+
+    for fused_bwd in (True, False):
+        chain = fused_time_chain(op, 2, carry, periodic=True,
+                                 interpret=True, fused_bwd=fused_bwd)
+        g = jax.grad(lambda s: jnp.sum(chain(s)["c"]))(state)
+        np.testing.assert_array_equal(
+            g["c"], jnp.ones(shape, jnp.float64),
+            err_msg=f"fused_bwd={fused_bwd}")

@@ -139,3 +139,32 @@ def test_default_timer_on_hardware(tune_cache):
     assert res.per_step_s > 0
     out = res.fn({"u": state["u"]})
     assert bool(jnp.all(jnp.isfinite(out["u"])))
+
+
+def test_cache_key_scopes_candidates_and_kwargs(tune_cache):
+    """A winner tuned under one configuration must not be served for
+    another: candidate sets and builder kwargs are part of the key."""
+    op = heat_step_op(dt=0.1)
+    state = _state()
+    autotune_chain(op, {"u": "u_next"}, state, k_candidates=(2, 4),
+                   periodic=True, interpret=True,
+                   timer=fake_timer_table({2: 2e-3, 4: 1e-3}))
+
+    seen = []
+
+    def spy_timer(chain_fn, st, k, c, r, vjp):
+        seen.append(k)
+        return {2: 2e-3, 4: 1e-3, 8: 5e-4}[k]
+
+    # wider candidate set -> cache miss, re-measures, finds better k
+    res = autotune_chain(op, {"u": "u_next"}, state,
+                         k_candidates=(2, 4, 8), periodic=True,
+                         interpret=True, timer=spy_timer)
+    assert not res.cached and res.best["k"] == 8 and seen == [2, 4, 8]
+    # different builder kwargs -> separate entry
+    seen.clear()
+    res2 = autotune_chain(op, {"u": "u_next"}, state, k_candidates=(2, 4),
+                          periodic=True, interpret=True,
+                          vmem_limit_bytes=32 * 1024 * 1024,
+                          timer=spy_timer)
+    assert not res2.cached and seen == [2, 4]

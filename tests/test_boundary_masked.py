@@ -215,3 +215,43 @@ def test_bounce_back_custom_velocities_need_weights_for_moving_wall():
     with pytest.raises(ValueError, match="matching lattice weights"):
         bounce_back(f, solid, u_wall=(0.0, 0.0, 0.1),
                     velocities=D3Q19_VELOCITIES)
+
+
+def test_spec_kwargs_reach_bc_fn():
+    """The spec's trailing dict passes keyword args through — wrap=True
+    bounce-back on a periodic domain was unreachable from the spec form
+    (code-review finding)."""
+    n = 8
+    solid = np.zeros((n, n), bool)
+    solid[0, :] = True  # wall touching the domain edge: wrap vs clamp differ
+    f = jnp.asarray(np.random.default_rng(0).random((n, n, 9)),
+                    jnp.float64)
+
+    bh_wrap = BoundaryHandling((1, 1), {"f": ("bounce_back", solid,
+                                              {"wrap": True})})
+    bh_clamp = BoundaryHandling((1, 1), {"f": ("bounce_back", solid)})
+
+    direct_wrap = bounce_back(f, solid, wrap=True)
+    direct_clamp = bounce_back(f, solid)
+    np.testing.assert_array_equal(bh_wrap({"f": f})["f"], direct_wrap)
+    np.testing.assert_array_equal(bh_clamp({"f": f})["f"], direct_clamp)
+    assert float(jnp.max(jnp.abs(direct_wrap - direct_clamp))) > 0
+
+
+def test_recorded_wrap_conflict_raises_in_fused_compile():
+    """A recorded bounce_back(wrap=True) cannot fuse into a bounded
+    chain: fused kernels wrap exactly when the chain domain is periodic."""
+    from pystencils_autodiff_tpu.graph_datahandling import GraphDataHandling
+
+    n = 12
+    solid = np.zeros((n, n), bool)
+    solid[0, :] = solid[-1, :] = solid[:, 0] = solid[:, -1] = True
+    dh = GraphDataHandling((n - 2, n - 2), ghost_layers=1,
+                           default_dtype=jnp.float64)
+    dh.add_field("f", index_shape=(9,), init=0.0)
+    op = d2q9_bgk_op(omega=1.2, dtype="float64")
+    with dh.timeloop() as loop:
+        loop.boundary({"f": ("bounce_back", solid, {"wrap": True})})
+        loop.sweep(op, {"f": "f_out"})
+    with pytest.raises(ValueError, match="wrap"):
+        dh.compile(fuse="stages", k=2, interpret=True)

@@ -160,3 +160,43 @@ def test_step_count_polymorphic_program_export():
 
     with pytest.raises(ValueError, match="forward-only"):
         export_program(run, state, n_steps=None, with_gradient=True)
+
+
+def test_dynamic_export_scales_fused_chain_steps():
+    """A step-count-polymorphic artifact built from a fuse='stages' run
+    (k physical steps per step() call) must interpret its runtime
+    argument as PHYSICAL steps (code-review finding: it once ran n*k)."""
+    import numpy as np
+    import pytest
+
+    from pystencils_autodiff_tpu.graph_datahandling import GraphDataHandling
+    from pystencils_autodiff_tpu.models.heat import heat_step_op
+    from pystencils_autodiff_tpu.serving import export_program
+
+    n, k = 16, 2
+    hop = heat_step_op(dt=0.1, kappa_field=False, dtype="float32")
+
+    def build(fuse):
+        dh = GraphDataHandling((n - 2, n - 2), ghost_layers=1,
+                               default_dtype=jnp.float32)
+        dh.add_field("u", init=0.0)
+        dh.set_array("u", jax.random.normal(jax.random.PRNGKey(0), (n, n),
+                                            jnp.float32))
+        with dh.timeloop() as loop:
+            loop.sweep(hop, {"u": "u_next"})
+        if fuse == "stages":
+            return dh, dh.compile(fuse="stages", k=k, interpret=True)
+        return dh, dh.compile()
+
+    dh_s, run_s = build("stages")
+    dh_n, run_n = build("none")
+    state = dh_s.state()
+
+    exp = export_program(run_s, state, n_steps=None, with_gradient=False)
+    assert exp.steps_per_call == k
+    out_dyn = exp(jnp.int32(4), state["u"])[0]
+    out_ref = run_n({"u": state["u"]}, 4)["u"]
+    np.testing.assert_allclose(np.asarray(out_dyn), np.asarray(out_ref),
+                               rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError, match="multiple"):
+        exp(3, state["u"])
