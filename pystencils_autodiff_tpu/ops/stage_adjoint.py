@@ -52,10 +52,21 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                           k: int, periodic: bool = False,
                           interpret: Optional[bool] = None,
                           tile_rows: Optional[int] = None,
-                          vmem_limit_bytes: int = 100 * 1024 * 1024):
+                          vmem_limit_bytes: int = 100 * 1024 * 1024,
+                          shard=None):
     """Build ``g(state, cot_state) -> (state_k, cot_0)`` advancing ``k``
     cycles of the stage sequence and pulling the state cotangents back
-    through all of them, in one kernel."""
+    through all of them, in one kernel.
+
+    ``shard`` (an ``ops.flatten.ShardSpec``, parallel.ShardedChain fused
+    backward): ``state`` is then a halo-EXTENDED local block of a larger
+    global domain; the returned fn takes a third ``bases`` argument (the
+    global coordinate of ext-local 0 per dim), row halo strips are
+    bounded-style even for globally periodic domains (the wrap arrived
+    via ppermute), and every interior / exact-VJP mask tests GLOBAL
+    coordinates — making this kernel the exact transpose of
+    ``stage_chain._make_stage_chain_kernel(shard=...)`` on the same
+    block."""
     from .flatten import FlatGeom, pick_chain_tile
     from .pallas_kernel import _on_tpu, _shift_lateral
 
@@ -66,8 +77,11 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
     require_row_major(state_fields.values(), "fused_stage_chain_vjp")
     S = len(stages)
     nd = fwd_progs[0].ndim
-    if periodic and nd != 2:
+    if periodic and nd != 2 and shard is None:
         raise ValueError("periodic fused chains support 2D domains only")
+    # sharded blocks never wrap rows intra-block: the periodic neighbour
+    # data is in the exchanged halo
+    row_wrap = periodic and shard is None
 
     bwd_progs = [backward_program(op) for op, _ in stages]
     grad_ofs = [{f.name: f.corresponding_forward_field.name
@@ -162,7 +176,7 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
         all_in = ([("s", key) for key in state_keys]
                   + [("c", key) for key in state_keys])
 
-        def fn(state, cots):
+        def fn(state, cots, bases=None):
             arrays, ups, downs = [], [], []
             for kind, (name, idx) in all_in:
                 is_cot = kind == "c"
@@ -172,7 +186,7 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                 arrays.append(plane)
                 xr = plane.reshape((nb, t, cols))
                 if LO:
-                    if periodic:
+                    if row_wrap:
                         ups.append(jnp.roll(xr[:, t - LO:], 1, axis=0))
                     else:
                         first = (jnp.zeros((1, LO, cols), dtype) if is_cot
@@ -181,7 +195,7 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                         ups.append(jnp.concatenate(
                             [first, xr[:-1, t - LO:]], 0))
                 if HI:
-                    if periodic:
+                    if row_wrap:
                         downs.append(jnp.roll(xr[:, :HI], -1, axis=0))
                     else:
                         last = (jnp.zeros((1, HI, cols), dtype) if is_cot
@@ -191,12 +205,21 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                             [xr[1:, :HI], last], 0))
             n_in = len(all_in)
             n_up, n_dn = len(ups), len(downs)
+            scalar_ins = []
+            if shard is not None:
+                if bases is None:
+                    raise ValueError("sharded vjp kernel needs base offsets")
+                scalar_ins.append(jnp.asarray(bases, jnp.int32))
 
             def kernel(*refs):
                 xs = refs[:n_in]
                 up_refs = refs[n_in:n_in + n_up]
                 dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
-                outs = refs[n_in + n_up + n_dn:]
+                rest = refs[n_in + n_up + n_dn:]
+                if shard is not None:
+                    bases_ref, rest = rest[0], rest[1:]
+                    base_vals = [bases_ref[d] for d in range(nd)]
+                outs = rest
                 tile_i = pl.program_id(0)
 
                 full: Dict[tuple, jax.Array] = {}
@@ -249,8 +272,17 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                             jnp.int32, shape_s, 0) + base)
                         c_ids = jax.lax.broadcasted_iota(
                             jnp.int32, shape_s, 1)
-                        m = ((r_ids >= 0) & (r_ids < rows)
-                             & geom.interior_mask(r_ids, c_ids, prog.ghost))
+                        m = (r_ids >= 0) & (r_ids < rows)
+                        if shard is not None:
+                            # one shard of a global domain: mask the GLOBAL
+                            # ghost frame only (must match the forward
+                            # sharded kernel's write mask bit-for-bit)
+                            m &= geom.interior_mask_global(
+                                r_ids, c_ids, prog.ghost, base_vals,
+                                shard.global_spatial)
+                        else:
+                            m &= geom.interior_mask(r_ids, c_ids,
+                                                    prog.ghost)
                         stage_out = {key_: jnp.where(m, v, 0)
                                      for key_, v in stage_out.items()}
 
@@ -309,9 +341,14 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                                 cc = (jax.lax.broadcasted_iota(
                                     jnp.int32, (_er, cols), 1)
                                     + acc.offsets[-1])
-                                m = ((rr >= 0) & (rr < rows)
-                                     & geom.interior_mask(rr, cc,
-                                                          fwd.ghost))
+                                m = (rr >= 0) & (rr < rows)
+                                if shard is not None:
+                                    m &= geom.interior_mask_global(
+                                        rr, cc, fwd.ghost, base_vals,
+                                        shard.global_spatial)
+                                else:
+                                    m &= geom.interior_mask(rr, cc,
+                                                            fwd.ghost)
                                 xm = geom.crossing_mask(r_tgt, acc.offsets)
                                 if xm is not None:
                                     m &= xm
@@ -365,18 +402,20 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                 return pl.BlockSpec((1,) + shape[1:], lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
 
+            scalar_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)
+                            for _ in scalar_ins]
             result = pl.pallas_call(
                 kernel,
                 grid=(nb,),
                 out_shape=tuple(jax.ShapeDtypeStruct((rows, cols), dtype)
                                 for _ in range(2 * len(state_keys))),
                 in_specs=[plane] * n_in + [strip_spec(u.shape) for u in ups]
-                + [strip_spec(d.shape) for d in downs],
+                + [strip_spec(d.shape) for d in downs] + scalar_specs,
                 out_specs=tuple(plane for _ in range(2 * len(state_keys))),
                 interpret=interp,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=scoped_vmem(vmem_limit_bytes)),
-            )(*arrays, *ups, *downs)
+            )(*arrays, *ups, *downs, *scalar_ins)
 
             def restack(planes_flat, base):
                 out, pos = {}, base
@@ -397,7 +436,7 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
 
     cache = {}
 
-    def chain_grad(state, cot_state):
+    def chain_grad(state, cot_state, bases=None):
         f0 = state_fields[state_names[0]]
         arr0 = state[state_names[0]]
         spatial = storage_spatial(f0, arr0)
@@ -405,7 +444,7 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
         if key not in cache:
             interp = interpret if interpret is not None else not _on_tpu()
             cache[key] = build(spatial, arr0.dtype, interp)
-        return cache[key](state, cot_state)
+        return cache[key](state, cot_state, bases)
 
     chain_grad.input_names = list(state_names)
     chain_grad.k = k

@@ -93,7 +93,7 @@ class ShardedChain:
                  vmem_limit_bytes: int = 100 * 1024 * 1024,
                  seq_lowering: Optional[str] = None,
                  intermediates: Sequence[str] = (),
-                 boundary=None):
+                 boundary=None, fused_bwd: bool = False):
         from ..ops.pallas_kernel import _on_tpu
         from ..ops.chain_bc import (bc_dim_reach, normalize_chain_bcs)
 
@@ -149,6 +149,30 @@ class ShardedChain:
         self.halo = {d: (self.k * cyc[d][0], self.k * cyc[d][1])
                      for d in self.dim_axes}
 
+        self._fused_bwd = bool(fused_bwd)
+        if self._fused_bwd:
+            if self.bcs:
+                raise ValueError(
+                    "fused_bwd=True does not support fused boundary "
+                    "conditions yet — use the default sequential-recompute "
+                    "backward")
+            from ..ops.common import backward_program
+
+            # the adjoint chain needs forward-recompute margin PLUS the
+            # backward spread: exchanging k*(cyc_fwd + cyc_bwd) per side
+            # guarantees every block-edge clamp transpose is multiplied by
+            # a zero cotangent (the cot halo outruns the backward spread)
+            cyc_b = [(0, 0)] * self.ndim
+            for op, _ in self.stages:
+                bp = backward_program(op)
+                cyc_b = [(lo + plo, hi + phi)
+                         for (lo, hi), (plo, phi) in zip(cyc_b, bp.ghost)]
+            self._halo_bwd = {
+                d: (self.k * (cyc[d][0] + cyc_b[d][0]),
+                    self.k * (cyc[d][1] + cyc_b[d][1]))
+                for d in self.dim_axes}
+            self._vjp_kernel_cache: Dict[tuple, object] = {}
+
         for d, ax in self.dim_axes.items():
             if ax not in mesh.axis_names:
                 raise ValueError(f"axis {ax!r} not in mesh {mesh.axis_names}")
@@ -185,6 +209,14 @@ class ShardedChain:
             return self._fused(state), {n: state[n] for n in names}
 
         def bwd_rule(saved, cot):
+            if self._fused_bwd:
+                specs = {n: self.partition_spec(self.state_fields[n])
+                         for n in names}
+                grads = jax.shard_map(self._local_pull, mesh=self.mesh,
+                                      in_specs=(specs, specs),
+                                      out_specs=specs,
+                                      check_vma=False)(saved, cot)
+                return (grads,)
             _, pull = jax.vjp(self._sequential, self._cast(saved))
             (grads,) = pull(self._cast(cot))
             return (grads,)
@@ -275,6 +307,101 @@ class ShardedChain:
                 idx[d] = slice(lo, lo + local_spatial[d])
             out[n] = o[tuple(idx)]
         return out
+
+    # -- fused comm-avoiding backward ----------------------------------------
+
+    def _local_pull(self, st_loc, cot_loc):
+        """Per-shard pullback: ONE deep halo exchange (k·(reach_f+reach_b)
+        per side), then the fused two-phase adjoint kernel on the extended
+        block; jax's vjp of the exchange+slice composition supplies the
+        exact transposed ppermute routing of the halo cotangents."""
+        import numpy as _np
+
+        from ..ops.stage_adjoint import fused_stage_chain_vjp
+
+        names = self.input_names
+        a0 = st_loc[names[0]]
+        local_spatial = tuple(a0.shape[: self.ndim])
+        halo = self._halo_bwd
+        for d, (lo, hi) in halo.items():
+            if max(lo, hi) > local_spatial[d]:
+                raise ValueError(
+                    f"fused-backward halo {max(lo, hi)} along dim {d} "
+                    f"exceeds the local shard extent {local_spatial[d]}: "
+                    f"reduce k or the mesh axis size (the adjoint chain "
+                    f"needs forward + backward reach per cycle)")
+        ext_spatial = tuple(s + sum(halo.get(d, (0, 0)))
+                            for d, s in enumerate(local_spatial))
+
+        bases = []
+        for d in range(self.ndim):
+            if d in self.dim_axes:
+                idx = lax.axis_index(self.dim_axes[d])
+                bases.append(idx * local_spatial[d]
+                             - halo.get(d, (0, 0))[0])
+            else:
+                bases.append(jnp.int32(0))
+        bases = jnp.stack([jnp.asarray(b, jnp.int32) for b in bases])
+
+        dtype = self._dtype or a0.dtype
+        key = (ext_spatial, str(dtype))
+        global_spatial = tuple(
+            s * self.mesh.shape[self.dim_axes[d]] if d in self.dim_axes
+            else s for d, s in enumerate(local_spatial))
+        shard = ShardSpec(global_spatial=global_spatial,
+                          sharded_dims=tuple(sorted(self.dim_axes)))
+        if key not in self._kernel_cache:
+            self._kernel_cache[key] = _make_stage_chain_kernel(
+                self.progs, self.carries, self.state_fields,
+                self.input_names, self.k, ext_spatial, dtype,
+                self._interp, self.periodic, tile_rows=self._tile_rows,
+                vmem_limit_bytes=self._vmem, shard=shard, bcs=self.bcs)
+        if key not in self._vjp_kernel_cache:
+            self._vjp_kernel_cache[key] = fused_stage_chain_vjp(
+                self.stages, self.k, periodic=self.periodic,
+                interpret=self._interp, tile_rows=self._tile_rows,
+                vmem_limit_bytes=self._vmem, shard=shard)
+        fwd_kern = self._kernel_cache[key]
+        vjp_kern = self._vjp_kernel_cache[key]
+
+        @jax.custom_vjp
+        def kernel_ext(ext, bases_):
+            return fwd_kern(ext, bases_)
+
+        def kfwd(ext, bases_):
+            return fwd_kern(ext, bases_), (ext, bases_)
+
+        def kbwd(res, cot_ext):
+            ext, bases_ = res
+            _, cot_in = vjp_kern(ext, cot_ext, bases_)
+            return (cot_in,
+                    _np.zeros(bases_.shape, jax.dtypes.float0))
+
+        kernel_ext.defvjp(kfwd, kbwd)
+
+        def f2(st):
+            ext = {}
+            for n in names:
+                e = st[n]
+                for d in sorted(halo):
+                    lo, hi = halo[d]
+                    if lo or hi:
+                        e = exchange_dim(e, d, self.dim_axes[d], lo, hi,
+                                         self.periodic)
+                ext[n] = e
+            out_ext = kernel_ext(ext, bases)
+            out = {}
+            for n in names:
+                o = out_ext[n]
+                idx = [slice(None)] * o.ndim
+                for d, (lo, _hi) in halo.items():
+                    idx[d] = slice(lo, lo + local_spatial[d])
+                out[n] = o[tuple(idx)]
+            return out
+
+        _, pull = jax.vjp(f2, self._cast(st_loc))
+        (grads,) = pull(self._cast(cot_loc))
+        return grads
 
     # -- sequential backward recompute --------------------------------------
 

@@ -229,3 +229,100 @@ def test_graph_compile_fused_sharded_matches_replay():
     out_r = run_replay(state, 2 * k)
     np.testing.assert_allclose(np.asarray(out_f["u"]), np.asarray(out_r["u"]),
                                rtol=RTOL, atol=ATOL)
+
+
+@needs_8
+@pytest.mark.parametrize("periodic", [False, True])
+def test_fused_backward_matches_sequential(periodic):
+    """fused_bwd=True: the backward is ONE deep halo exchange
+    (k·(reach_f+reach_b) per side) + the two-phase adjoint kernel per
+    shard, with jax transposing the exchange — gradients must match the
+    sequential-recompute backward to fp accumulation tolerance."""
+    op = heat_op_2d()
+    k = 2
+    mesh = make_mesh((4,), ("x",))
+    u = rand(7, (64, 32))
+    cot = rand(8, (64, 32))
+
+    chains = {fb: ShardedChain(op, k, mesh, {0: "x"},
+                               carry_map={"u": "u_next"},
+                               periodic=periodic, interpret=True,
+                               fused_bwd=fb)
+              for fb in (False, True)}
+
+    results = {}
+    for fb, ch in chains.items():
+        @jax.jit
+        def run(uv, cv, _ch=ch):
+            out, pull = jax.vjp(lambda a: _ch({"u": a})["u"], uv)
+            return out, pull(cv)[0]
+        results[fb] = run(u, cot)
+
+    np.testing.assert_allclose(np.asarray(results[True][0]),
+                               np.asarray(results[False][0]),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(results[True][1]),
+                               np.asarray(results[False][1]),
+                               rtol=1e-11, atol=1e-11)
+
+    # and against the plain single-device sequential gradient
+    seq = _sequential([(op, {"u": "u_next"})], k, periodic)
+    _, pull = jax.vjp(lambda a: seq({"u": a})["u"], u)
+    np.testing.assert_allclose(np.asarray(results[True][1]),
+                               np.asarray(pull(cot)[0]),
+                               rtol=1e-11, atol=1e-11)
+
+
+@needs_8
+@pytest.mark.parametrize("periodic", [False, True])
+def test_fused_backward_elastic_stages(periodic):
+    """Heterogeneous 2-sweep elastic cycle with fused_bwd=True."""
+    stages = elastic_stages()
+    k = 2
+    mesh = make_mesh((2,), ("x",))
+    chain = ShardedChain(stages, k, mesh, {0: "x"}, periodic=periodic,
+                         interpret=True, fused_bwd=True)
+    names = ["vx", "vy", "sxx", "syy", "sxy"]
+    state = {n: rand(i, (64, 32)) for i, n in enumerate(names)}
+    cots = {n: rand(60 + i, (64, 32)) for i, n in enumerate(names)}
+
+    @jax.jit
+    def run_vjp(state, cots):
+        out, pull = jax.vjp(chain, state)
+        return out, pull(cots)[0]
+
+    out, grads = run_vjp(state, cots)
+    seq = _sequential(stages, k, periodic)
+
+    @jax.jit
+    def ref_vjp(state, cots):
+        out, pull = jax.vjp(seq, state)
+        return out, pull(cots)[0]
+
+    ref_out, ref_grads = ref_vjp(state, cots)
+    for n in names:
+        np.testing.assert_allclose(np.asarray(out[n]),
+                                   np.asarray(ref_out[n]),
+                                   rtol=RTOL, atol=ATOL, err_msg=n)
+        np.testing.assert_allclose(np.asarray(grads[n]),
+                                   np.asarray(ref_grads[n]),
+                                   rtol=1e-11, atol=1e-11, err_msg=n)
+
+
+@needs_8
+def test_fused_backward_ppermute_count():
+    """The fused backward exchanges ONCE (deep halo): the whole vjp costs
+    4 ppermutes along the sharded dim (2 fwd-exchange + 2 transposed),
+    independent of k — vs 2·k·(fwd+bwd) for sequential recompute."""
+    op = heat_op_2d()
+    k = 4
+    mesh = make_mesh((4,), ("x",))
+    chain = ShardedChain(op, k, mesh, {0: "x"}, carry_map={"u": "u_next"},
+                         periodic=True, interpret=True, fused_bwd=True)
+    u = rand(9, (64, 32))
+
+    def loss(a):
+        return jnp.sum(chain({"u": a})["u"] ** 2)
+
+    txt = jax.jit(jax.grad(loss)).lower(u).as_text()
+    assert txt.count("ppermute") <= 8  # 2 fwd + (2 + 2-transposed) bwd
