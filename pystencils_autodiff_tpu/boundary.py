@@ -286,7 +286,7 @@ class BoundaryHandling:
                                      f"{sorted(_BC_FNS) + sorted(_MASKED_BC_FNS)}")
                 kwargs = {}
                 if args and isinstance(args[-1], dict):
-                    kwargs = args[-1]
+                    kwargs = dict(args[-1])  # snapshot: no caller aliasing
                     args = args[:-1]
                 parsed.append((kind, tuple(args), kwargs))
             self.specs[name] = parsed

@@ -580,9 +580,14 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                             if not carriers:
                                 return jnp.zeros((_er, cols), dtype)
                             ck = ("c", primal, acc.index, acc.offsets[-1])
-                            full_v = _cot[(carriers[0], acc.index)]
-                            for extra in carriers[1:]:
-                                full_v = full_v + _cot[(extra, acc.index)]
+
+                            def full_v(_cs=carriers, _ix=acc.index,
+                                       _ct=_cot):
+                                v_ = _ct[(_cs[0], _ix)]
+                                for extra in _cs[1:]:
+                                    v_ = v_ + _ct[(extra, _ix)]
+                                return v_
+
                             v = lat_shifted_read(
                                 _c, shared_b, ck, full_v, acc.offsets[-1],
                                 lo_b + geom.row_off(acc.offsets), _er,

@@ -77,17 +77,23 @@ def lat_shifted_read(cache, shared, ck, full, off, start, ext,
     rotates the full extended tile ONCE (memoised in ``cache``) and
     slices per access; single-use offsets keep slice-then-shift
     (pre-shifting the larger un-sliced tile for one use measured a 1.5×
-    regression on the variable-κ diffusion)."""
+    regression on the variable-κ diffusion).
+
+    ``full`` may be a zero-arg callable (e.g. a multi-carrier cotangent
+    sum): it is only evaluated when the cache misses, so cache hits skip
+    re-emitting the sum into the kernel."""
     import jax.lax
 
     from .pallas_kernel import _shift_lateral
 
     if ck not in shared:
-        v = jax.lax.slice_in_dim(full, start, start + ext, axis=0)
+        v = jax.lax.slice_in_dim(full() if callable(full) else full,
+                                 start, start + ext, axis=0)
         return _shift_lateral(v, off, 1, zero_fill, interpret, periodic)
     v = cache.get(ck)
     if v is None:
-        v = _shift_lateral(full, off, 1, zero_fill, interpret, periodic)
+        v = _shift_lateral(full() if callable(full) else full,
+                           off, 1, zero_fill, interpret, periodic)
         cache[ck] = v
     return jax.lax.slice_in_dim(v, start, start + ext, axis=0)
 

@@ -84,6 +84,24 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
     row_wrap = periodic and shard is None
 
     bwd_progs = [backward_program(op) for op, _ in stages]
+    if periodic and shard is not None:
+        # row wrap is disabled for sharded blocks: every leading dim the
+        # stencil (forward OR backward) reaches into must get its wrap
+        # data via the exchanged halo — an unsharded reached dim would
+        # silently lose its seam
+        reached = set()
+        for p in list(fwd_progs) + list(bwd_progs):
+            for d in range(nd - 1):
+                if p.ghost[d] != (0, 0):
+                    reached.add(d)
+        missing = sorted(reached - set(shard.sharded_dims))
+        if missing:
+            raise ValueError(
+                f"periodic sharded vjp kernel: leading dims {missing} are "
+                f"reached by the stencil but not in shard.sharded_dims — "
+                f"their wrap data never arrives via halo exchange (map "
+                f"them to a size-1 mesh axis if they should not be "
+                f"decomposed)")
     grad_ofs = [{f.name: f.corresponding_forward_field.name
                  for f in op.backward_output_fields} for op, _ in stages]
 
@@ -326,9 +344,14 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                             if not carriers:
                                 return jnp.zeros((_er, cols), dtype)
                             ck = ("c", primal, acc.index, acc.offsets[-1])
-                            full_v = _cot[(carriers[0], acc.index)]
-                            for extra in carriers[1:]:
-                                full_v = full_v + _cot[(extra, acc.index)]
+
+                            def full_v(_cs=carriers, _ix=acc.index,
+                                       _ct=_cot):
+                                v_ = _ct[(_cs[0], _ix)]
+                                for extra in _cs[1:]:
+                                    v_ = v_ + _ct[(extra, _ix)]
+                                return v_
+
                             v = lat_shifted_read(
                                 _c, shared_bwd[_j], ck, full_v,
                                 acc.offsets[-1],

@@ -285,7 +285,10 @@ class ShardedChain:
         bases = jnp.stack([jnp.asarray(b, jnp.int32) for b in bases])
 
         dtype = self._dtype or a0.dtype
-        key = (ext_spatial, str(dtype))
+        # local_spatial is part of the key: the fused-backward path builds
+        # kernels for the SAME ext extent with a different halo depth and
+        # a different baked global extent — (ext, local) is injective
+        key = (ext_spatial, local_spatial, str(dtype))
         if key not in self._kernel_cache:
             global_spatial = tuple(
                 s * self.mesh.shape[self.dim_axes[d]] if d in self.dim_axes
@@ -344,7 +347,7 @@ class ShardedChain:
         bases = jnp.stack([jnp.asarray(b, jnp.int32) for b in bases])
 
         dtype = self._dtype or a0.dtype
-        key = (ext_spatial, str(dtype))
+        key = (ext_spatial, local_spatial, str(dtype))
         global_spatial = tuple(
             s * self.mesh.shape[self.dim_axes[d]] if d in self.dim_axes
             else s for d, s in enumerate(local_spatial))

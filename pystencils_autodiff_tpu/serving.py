@@ -12,6 +12,7 @@ torch/TF extension workflow (SURVEY.md §3.3/§3.4), in the XLA world.
 
 from __future__ import annotations
 
+import json
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -38,8 +39,13 @@ class ExportedOp:
 
     def __call__(self, *args):
         if self.steps_per_call > 1 and args:
-            n = args[0]
-            if isinstance(n, int) and n % self.steps_per_call:
+            try:
+                # any concrete integer (int, numpy/jnp scalars) — traced
+                # values fall through (cannot be checked eagerly)
+                n = int(args[0])
+            except (TypeError, jax.errors.TracerIntegerConversionError):
+                n = None
+            if n is not None and n % self.steps_per_call:
                 raise ValueError(
                     f"n_steps={n} is not a multiple of this artifact's "
                     f"chain depth (steps_per_call="
@@ -230,17 +236,30 @@ def save_exported(exported: "ExportedOp", path: str) -> None:
     if exported.vjp is not None:
         with open(path + ".vjp", "wb") as fh:
             fh.write(exported.vjp.serialize())
+    if exported.steps_per_call > 1:
+        # persist the multiple-of-chain-depth contract alongside — a
+        # loaded k-chunked artifact silently rounds its step count down
+        # otherwise
+        with open(path + ".meta", "w") as fh:
+            json.dump({"steps_per_call": exported.steps_per_call}, fh)
 
 
 def load_exported(path: str):
     """Load a serialized artifact; returns callables ``(fn, vjp_fn|None)``.
 
-    Needs only jax — no sympy / symbolic layer."""
+    Needs only jax — no sympy / symbolic layer.  Step-count-polymorphic
+    artifacts built from fused-chain runs re-load with their
+    multiple-of-chain-depth check intact (``path + ".meta"``)."""
     import os
 
     with open(path, "rb") as fh:
         exp = jax_export.deserialize(fh.read())
     fn = exp.call
+    if os.path.exists(path + ".meta"):
+        with open(path + ".meta") as fh:
+            spc = int(json.load(fh).get("steps_per_call", 1))
+        if spc > 1:
+            fn = ExportedOp(exp, steps_per_call=spc)
     vjp_fn = None
     if os.path.exists(path + ".vjp"):
         with open(path + ".vjp", "rb") as fh:

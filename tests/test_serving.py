@@ -200,3 +200,38 @@ def test_dynamic_export_scales_fused_chain_steps():
                                rtol=1e-6, atol=1e-6)
     with pytest.raises(ValueError, match="multiple"):
         exp(3, state["u"])
+
+
+def test_saved_dynamic_artifact_keeps_step_guard(tmp_path):
+    """save/load round trip preserves the multiple-of-chain-depth check,
+    and numpy/jnp integer step counts are validated too (code-review
+    findings: both silently rounded down before)."""
+    import pytest
+
+    from pystencils_autodiff_tpu.graph_datahandling import GraphDataHandling
+    from pystencils_autodiff_tpu.models.heat import heat_step_op
+    from pystencils_autodiff_tpu.serving import (export_program,
+                                                 load_exported,
+                                                 save_exported)
+
+    n, k = 16, 2
+    dh = GraphDataHandling((n - 2, n - 2), ghost_layers=1,
+                           default_dtype=jnp.float32)
+    dh.add_field("u", init=0.0)
+    hop = heat_step_op(dt=0.1, kappa_field=False, dtype="float32")
+    with dh.timeloop() as loop:
+        loop.sweep(hop, {"u": "u_next"})
+    run = dh.compile(fuse="stages", k=k, interpret=True)
+    exp = export_program(run, dh.state(), n_steps=None, with_gradient=False)
+
+    u = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.float32)
+    with pytest.raises(ValueError, match="multiple"):
+        exp(jnp.int32(3), u)  # non-int scalar must be validated too
+
+    path = str(tmp_path / "prog.bin")
+    save_exported(exp, path)
+    fn, _ = load_exported(path)
+    out = fn(jnp.int32(4), u)
+    assert out[0].shape == (n, n)
+    with pytest.raises(ValueError, match="multiple"):
+        fn(3, u)
