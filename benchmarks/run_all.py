@@ -174,6 +174,13 @@ def main():
     bench_chain("3 wave chain k=4 fwd+adj", wave_step_op(),
                 {"u_curr": "u_next", "u_prev": "u_curr"},
                 {"u_curr": x2, "u_prev": x2, "c": c2}, k=4, n_arrays=8)
+    # frozen velocity: linear-in-state -> twin-chain fast path (adjoint
+    # state w.r.t. wavefields only; FWI keeps the default two-phase row)
+    bench_chain("3 wave chain k=4 fwd+adj (frozen c, twin)",
+                wave_step_op(grad_c=False),
+                {"u_curr": "u_next", "u_prev": "u_curr"},
+                {"u_curr": x2, "u_prev": x2, "c": c2}, k=4, n_arrays=8,
+                periodic=True, calls=2)
 
     # config 4: anisotropic 27-point
     op = anisotropic27_op()

@@ -52,6 +52,7 @@ _HEAVY = (
     "test_wave_adjoint_chain", "test_fused_bwd_chain_gradients",
     "test_mass_momentum_conserved_3d", "test_awkward_shape_periodic",
     "test_weno5_rk3_chain", "test_elastic_stage_chain_sharded",
+    "test_fused_backward_elastic_stages",
 )
 
 
