@@ -44,3 +44,18 @@ try:
     ShardedStencil(op, mesh, {5: "x"})
 except ValueError as e:
     print("P-dim:", e)
+
+# comm-avoiding fused chain: k steps per ONE deep halo exchange, and with
+# fused_bwd=True the BACKWARD is comm-avoiding too (one deeper exchange +
+# the two-phase adjoint kernel per shard)
+from pystencils_autodiff_tpu.parallel import ShardedChain
+
+hop = AutoDiffOp([Assignment(out.center,
+    u[0,0] + 0.1*(u[1,0]+u[-1,0]+u[0,1]+u[0,-1]-4*u[0,0]))], op_name="heat_c")
+# chains shard leading (row) dims only — the last spatial dim is the TPU
+# lane dim; reuse the mesh's "x" axis for a 1D decomposition here
+chain = ShardedChain(hop, k=4, mesh=mesh, dim_axes={0: "x"},
+                     carry_map={"u": "out"}, fused_bwd=True, interpret=True)
+uc = jax.device_put(u0, chain.input_shardings()["u"])
+gc = jax.jit(jax.grad(lambda a: jnp.sum(chain({"u": a})["u"] ** 2)))(uc)
+print("fused-chain fused-backward grad:", gc.shape, gc.sharding)
