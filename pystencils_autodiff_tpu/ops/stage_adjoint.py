@@ -53,7 +53,7 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                           interpret: Optional[bool] = None,
                           tile_rows: Optional[int] = None,
                           vmem_limit_bytes: int = 100 * 1024 * 1024,
-                          shard=None):
+                          shard=None, bcs=None, extra_state=None):
     """Build ``g(state, cot_state) -> (state_k, cot_0)`` advancing ``k``
     cycles of the stage sequence and pulling the state cotangents back
     through all of them, in one kernel.
@@ -74,6 +74,29 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
     if not stages:
         raise ValueError("no stages")
     fwd_progs, carries, state_fields, state_names = _validate_stages(stages)
+    # in-chain boundary conditions (ops/chain_bc.py): every supported BC
+    # event is LINEAR/affine in state, so its transpose needs no saved
+    # primals — only the (chain-invariant, pass-through) mask planes and
+    # the running cotangents.  neumann's multi-pass frame fill transpose
+    # is not implemented yet — route those chains to the sequential
+    # backward.
+    bcs = dict(bcs or {})
+    if bcs:
+        if shard is not None:
+            raise ValueError("fused_stage_chain_vjp: bcs + shard is not "
+                             "supported yet (use the sequential backward)")
+        bad = [bc.kind for bl in bcs.values() for bc in bl
+               if bc.kind not in ("dirichlet", "masked_dirichlet",
+                                  "bounce_back")]
+        if bad:
+            raise ValueError(
+                f"fused_stage_chain_vjp: BC kinds {bad} have no fused "
+                f"transpose yet — use fused_bwd=False (sequential "
+                f"recompute backward)")
+    if extra_state:
+        state_fields = {**state_fields, **extra_state}
+        state_names = list(state_names) + [n for n in extra_state
+                                           if n not in state_names]
     require_row_major(state_fields.values(), "fused_stage_chain_vjp")
     S = len(stages)
     nd = fwd_progs[0].ndim
@@ -166,19 +189,37 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
             lo_b, hi_b = geom.row_reach(ba)
             lof.append(lo_f), hif.append(hi_f)
             lob.append(lo_b), hib.append(hi_b)
-        LO = k * (sum(lof) + sum(lob))
-        HI = k * (sum(hif) + sum(hib))
+        # BC events consume read reach before their stage (phase 1), and
+        # their transposes consume the MIRRORED reach after the stage's
+        # transpose (phase 2) — same flattened-row accounting as the
+        # forward kernel
+        from .chain_bc import bc_shift_offsets
+
+        bcF: Dict[int, list] = {}
+        for j in range(S):
+            rs = []
+            for bc in bcs.get(j, ()):
+                offs = bc_shift_offsets(bc, nd)
+                rs.append((max([0] + [-geom.row_off(o) for o in offs]),
+                           max([0] + [geom.row_off(o) for o in offs])))
+            bcF[j] = rs
+        bclo = [sum(lo for lo, _ in bcF[j]) for j in range(S)]
+        bchi = [sum(hi for _, hi in bcF[j]) for j in range(S)]
+        LO = k * (sum(lof) + sum(lob) + sum(bclo) + sum(bchi))
+        HI = k * (sum(hif) + sum(hib) + sum(bchi) + sum(bclo))
         n_stages = k * S
         stage_j = [i % S for i in range(n_stages)]
-        # prefix sums over the flattened (cycle, stage) sequence
-        cumF_lo = [0]
-        cumF = [0]
-        cumB_lo = [0]
+        # prefix sums over the flattened (cycle, stage) sequence; a
+        # phase-1 "stage" consumes its BCs' reach then the stencil's, so
+        # the save point (post-BC, pre-stencil) has its own low offset
+        cumF_lo = [0]       # low consumed after stage i (BCs + stencil)
+        cumF = [0]          # total consumed after stage i
+        cumF_lo_save = []   # low consumed at stage i's save point
         for i in range(n_stages):
             j = stage_j[i]
-            cumF_lo.append(cumF_lo[-1] + lof[j])
-            cumF.append(cumF[-1] + lof[j] + hif[j])
-            cumB_lo.append(cumB_lo[-1] + lob[j])
+            cumF_lo_save.append(cumF_lo[-1] + bclo[j])
+            cumF_lo.append(cumF_lo[-1] + bclo[j] + lof[j])
+            cumF.append(cumF[-1] + bclo[j] + bchi[j] + lof[j] + hif[j])
 
         itemsize = jnp.dtype(dtype).itemsize
         n_saved = sum(1 for i in range(n_stages) if need_primal[stage_j[i]])
@@ -251,12 +292,83 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                     full[(kind, key)] = (jnp.concatenate(parts, axis=0)
                                          if len(parts) > 1 else parts[0])
 
+                def bc_coord(r_ids, c_ids, d):
+                    return (geom.dim_coord(r_ids, d) if d < nd - 1
+                            else c_ids)
+
+                def apply_bc_F(cur_s, bc, ghost_j, blo_b, er, g_row0):
+                    """One BC event on the in-register state — must match
+                    the forward kernel's apply_bc (and the sequential
+                    boundary.py implementations) exactly."""
+                    shape_b = (er, cols)
+
+                    def rd(key, off=(0,) * nd):
+                        v = cur_s[key]
+                        start = blo_b + geom.row_off(off)
+                        v = jax.lax.slice_in_dim(v, start, start + er,
+                                                 axis=0)
+                        return _shift_lateral(v, off[-1], 1, False, interp,
+                                              periodic)
+
+                    new = {key: rd(key) for key in state_keys}
+                    comps = field_components(state_fields[bc.field])
+                    r_ids = (jax.lax.broadcasted_iota(jnp.int32, shape_b, 0)
+                             + g_row0)
+                    c_ids = jax.lax.broadcasted_iota(jnp.int32, shape_b, 1)
+
+                    if bc.kind == "dirichlet":
+                        dims_bc = (bc.dims if bc.dims is not None
+                                   else range(nd))
+                        m = jnp.zeros(shape_b, bool)
+                        for d in dims_bc:
+                            lo_g, hi_g = ghost_j[d]
+                            if lo_g or hi_g:
+                                cd = bc_coord(r_ids, c_ids, d)
+                                m |= (cd < lo_g) | (cd >= spatial[d] - hi_g)
+                        for idx in comps:
+                            new[(bc.field, idx)] = jnp.where(
+                                m, jnp.asarray(bc.value, dtype),
+                                new[(bc.field, idx)])
+                    elif bc.kind == "masked_dirichlet":
+                        maskp = rd((bc.mask, ()))
+                        val = (rd((bc.value, ()))
+                               if isinstance(bc.value, str)
+                               else jnp.asarray(bc.value, dtype))
+                        for idx in comps:
+                            new[(bc.field, idx)] = jnp.where(
+                                maskp != 0, val, new[(bc.field, idx)])
+                    elif bc.kind == "bounce_back":
+                        solid = rd((bc.mask, ())) != 0
+                        for jv, cj in enumerate(bc.velocities):
+                            off = tuple(int(c) for c in cj)
+                            ghost = rd((bc.field, (bc.opposite[jv],)), off)
+                            if bc.u_wall is not None and any(cj):
+                                cu = jnp.asarray(0.0, dtype)
+                                for c, uw in zip(cj, bc.u_wall):
+                                    if c:
+                                        uv = (rd((uw, ()))
+                                              if isinstance(uw, str)
+                                              else jnp.asarray(uw, dtype))
+                                        cu = cu + c * uv
+                                ghost = ghost + (6.0 * bc.weights[jv]
+                                                 * bc.rho_wall) * cu
+                            new[(bc.field, (jv,))] = jnp.where(
+                                solid, ghost, new[(bc.field, (jv,))])
+                    return new
+
                 # ---- phase 1: forward recompute over all k·S stages ----
                 cur = {key: full[("s", key)] for key in state_keys}
                 saved: List[Optional[Dict]] = []
                 for i in range(n_stages):
                     j = stage_j[i]
                     prog, carry = fwd_progs[j], carries[j]
+                    done_lo, done_tot = cumF_lo[i], cumF[i]
+                    for bc, (blo_b, bhi_b) in zip(bcs.get(j, ()), bcF[j]):
+                        done_lo += blo_b
+                        done_tot += blo_b + bhi_b
+                        cur = apply_bc_F(cur, bc, prog.ghost, blo_b,
+                                         (LO + t + HI) - done_tot,
+                                         tile_i * t - (LO - done_lo))
                     saved.append(dict(cur) if need_primal[j] else None)
                     ext_rows = (LO + t + HI) - cumF[i + 1]
                     env: Dict[object, jax.Array] = {}
@@ -315,20 +427,143 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                                 v, lof[j], lof[j] + ext_rows, axis=0)
                     cur = nxt
 
+                def apply_bc_T(cot_s, bc, ghost_j, lo_rd, er, g_row0,
+                               inv_off):
+                    """Exact transpose of ``apply_bc_F``: cotangent of the
+                    post-BC state → cotangent of the pre-BC state.  BC
+                    events are linear/affine in state, so only the
+                    chain-invariant mask planes (read from the ORIGINAL
+                    input block at ``inv_off``) and the running cotangents
+                    are needed."""
+                    shape_b = (er, cols)
+
+                    def rdc(key, off=(0,) * nd):
+                        # cotangent read at MIRRORED offset; zero-fill
+                        # lateral shifts on bounded domains (out-of-lane
+                        # contributions are handled by the clamp folds)
+                        v = cot_s[key]
+                        start = lo_rd + geom.row_off(off)
+                        v = jax.lax.slice_in_dim(v, start, start + er,
+                                                 axis=0)
+                        return _shift_lateral(v, off[-1], 1, not periodic,
+                                              interp, periodic)
+
+                    def rdi(key, off=(0,) * nd):
+                        # chain-invariant plane (mask/solid) from the
+                        # original input block
+                        v = full[("s", key)]
+                        start = inv_off + geom.row_off(off)
+                        v = jax.lax.slice_in_dim(v, start, start + er,
+                                                 axis=0)
+                        return _shift_lateral(v, off[-1], 1, False, interp,
+                                              periodic)
+
+                    new = {key: rdc(key) for key in state_keys}
+                    comps = field_components(state_fields[bc.field])
+                    r_ids = (jax.lax.broadcasted_iota(jnp.int32, shape_b, 0)
+                             + g_row0)
+                    c_ids = jax.lax.broadcasted_iota(jnp.int32, shape_b, 1)
+
+                    if bc.kind == "dirichlet":
+                        dims_bc = (bc.dims if bc.dims is not None
+                                   else range(nd))
+                        m = jnp.zeros(shape_b, bool)
+                        for d in dims_bc:
+                            lo_g, hi_g = ghost_j[d]
+                            if lo_g or hi_g:
+                                cd = bc_coord(r_ids, c_ids, d)
+                                m |= (cd < lo_g) | (cd >= spatial[d] - hi_g)
+                        for idx in comps:
+                            new[(bc.field, idx)] = jnp.where(
+                                m, 0, new[(bc.field, idx)])
+                    elif bc.kind == "masked_dirichlet":
+                        m = rdi((bc.mask, ())) != 0
+                        for idx in comps:
+                            yj = new[(bc.field, idx)]
+                            if isinstance(bc.value, str):
+                                new[(bc.value, ())] = (
+                                    new[(bc.value, ())]
+                                    + jnp.where(m, yj, 0))
+                            new[(bc.field, idx)] = jnp.where(m, 0, yj)
+                    elif bc.kind == "bounce_back":
+                        solid = rdi((bc.mask, ())) != 0
+                        # forward: out_j = (1-s)·x_j + s·(x_jbar(·+c_j)
+                        #          + 6 w_j ρ (c_j·u));  transpose:
+                        #   x̂_m  = (1-s)·ŷ_m + Σ_{j: opp_j=m} T_j
+                        #   û_d += Σ_j 6 w_j ρ c_j[d]·s·ŷ_j
+                        # where T_j scatters s·ŷ_j back along −c_j, with
+                        # out-of-domain clamp reads FOLDED onto the edge
+                        # cell (the exact transpose of edge-clamp).
+                        import itertools as _it
+
+                        ybars = {}
+                        for jv, cj in enumerate(bc.velocities):
+                            m_tgt = bc.opposite[jv]
+                            off = tuple(int(c) for c in cj)
+                            dims_c = [d for d in range(nd) if off[d]]
+                            contrib = jnp.zeros(shape_b, dtype)
+                            if periodic:
+                                sy = (rdc((bc.field, (jv,)),
+                                          tuple(-c for c in off))
+                                      * rdi((bc.mask, ()),
+                                            tuple(-c for c in off)))
+                                contrib = sy
+                            else:
+                                for q in _it.chain.from_iterable(
+                                        _it.combinations(dims_c, r_)
+                                        for r_ in range(len(dims_c) + 1)):
+                                    eff = tuple(
+                                        0 if d in q else -off[d]
+                                        for d in range(nd))
+                                    sy = (rdc((bc.field, (jv,)), eff)
+                                          * rdi((bc.mask, ()), eff))
+                                    m_q = jnp.ones(shape_b, bool)
+                                    for d in dims_c:
+                                        cd = bc_coord(r_ids, c_ids, d)
+                                        if d in q:
+                                            # clamped dim: target is the
+                                            # outward edge cell
+                                            edge = (spatial[d] - 1
+                                                    if off[d] > 0 else 0)
+                                            m_q &= cd == edge
+                                        else:
+                                            m_q &= ((cd - off[d] >= 0)
+                                                    & (cd - off[d]
+                                                       < spatial[d]))
+                                    contrib = contrib + jnp.where(
+                                        m_q, sy, 0)
+                            ybars.setdefault(m_tgt, []).append(contrib)
+                            if bc.u_wall is not None and any(off):
+                                syc = (rdc((bc.field, (jv,)))
+                                       * rdi((bc.mask, ())))
+                                for c, uw in zip(off, bc.u_wall):
+                                    if c and isinstance(uw, str):
+                                        new[(uw, ())] = (
+                                            new[(uw, ())]
+                                            + (6.0 * bc.weights[jv]
+                                               * bc.rho_wall * c) * syc)
+                        solid_f = solid.astype(dtype)
+                        for jv in range(len(bc.velocities)):
+                            base_v = (1 - solid_f) * new[(bc.field, (jv,))]
+                            for contrib in ybars.get(jv, ()):
+                                base_v = base_v + contrib
+                            new[(bc.field, (jv,))] = base_v
+                    return new
+
                 # ---- phase 2: reverse sweep over all stages ----
                 cumF_lo_total = cumF_lo[-1]
                 ck_rows = (LO + t + HI) - cumF[-1]
                 cot = {key: jax.lax.slice_in_dim(
                     full[("c", key)], cumF_lo_total,
                     cumF_lo_total + ck_rows, axis=0) for key in state_keys}
-                cumB_done_lo = 0
+                cl2 = cumF_lo_total  # low margin consumed (both phases)
                 for i in range(n_stages - 1, -1, -1):
                     j = stage_j[i]
                     bwd, fwd = bwd_progs[j], fwd_progs[j]
                     ext_rows = ck_rows - (lob[j] + hib[j])
                     prim = saved[i]
-                    prim_off = (cumF_lo_total - cumF_lo[i]) + cumB_done_lo
-                    row0_out = tile_i * t - cumB_lo[i]
+                    prim_off = cl2 - cumF_lo_save[i]
+                    row0_out = tile_i * t - LO + cl2 + lob[j]
                     env: Dict[object, jax.Array] = {}
                     shape_s = (ext_rows, cols)
 
@@ -378,11 +613,29 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                                 v = jnp.where(m, v, 0)
                             return v
                         ck = ("p", f.name, acc.index, acc.offsets[-1])
-                        return lat_shifted_read(
+                        v = lat_shifted_read(
                             _c, shared_bwd[_j], ck,
                             _prim[(f.name, acc.index)], acc.offsets[-1],
                             _po + lob[_j] + geom.row_off(acc.offsets),
                             _er, False, interp, periodic)
+                        if not periodic:
+                            # sanitize OUT-OF-DOMAIN primal garbage to 1:
+                            # recomputed states there are masked zeros /
+                            # clamp strips, and nonlinear backward
+                            # programs (1/ρ terms) turn them into NaN
+                            # jacobians — which poison exact terms via
+                            # 0·NaN even though the matching cotangent
+                            # read is masked to zero
+                            r_tgt = (jax.lax.broadcasted_iota(
+                                jnp.int32, (_er, cols), 0) + _r0)
+                            rr = r_tgt + geom.row_off(acc.offsets)
+                            cc = (jax.lax.broadcasted_iota(
+                                jnp.int32, (_er, cols), 1)
+                                + acc.offsets[-1])
+                            ok = ((rr >= 0) & (rr < rows)
+                                  & (cc >= 0) & (cc < cols))
+                            v = jnp.where(ok, v, 1)
+                        return v
 
                     grads_stage: Dict[tuple, jax.Array] = {}
                     for st in bwd.steps:
@@ -409,7 +662,17 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                         new_cot[(name, idx)] = v
                     cot = new_cot
                     ck_rows = ext_rows
-                    cumB_done_lo += lob[j]
+                    cl2 += lob[j]
+                    # BC transposes in reverse event order, each consuming
+                    # its MIRRORED reach
+                    for bc, (blo_b, bhi_b) in reversed(
+                            list(zip(bcs.get(j, ()), bcF[j]))):
+                        er_b = ck_rows - (bhi_b + blo_b)
+                        cot = apply_bc_T(cot, bc, fwd.ghost, bhi_b, er_b,
+                                         tile_i * t - LO + cl2 + bhi_b,
+                                         cl2 + bhi_b)
+                        ck_rows = er_b
+                        cl2 += bhi_b
 
                 fin_off = LO - cumF_lo_total
                 for jj, key in enumerate(state_keys):

@@ -604,7 +604,11 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
     Gradients are exact via sequential recompute of the per-op custom_vjp
     steps in the backward rule, or — with ``fused_bwd=True`` — via ONE
     fused value+gradient kernel (ops/stage_adjoint.py) so both directions
-    are temporally blocked.
+    are temporally blocked.  ``fused_bwd`` composes with in-chain
+    dirichlet / masked_dirichlet / bounce_back boundary conditions (their
+    transposes run inside the kernel; a cavity value+u_lid-gradient is
+    one kernel per k cycles); neumann frames still need the sequential
+    backward.
     """
     from .pallas_kernel import _on_tpu
 
@@ -624,11 +628,12 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
         state_fields = {**state_fields, **extra_fields}
         state_names = list(state_names) + list(extra_fields)
     if bcs:
-        if fused_bwd:
+        if fused_bwd and any(bc.kind == "neumann" for bl in bcs.values()
+                             for bc in bl):
             raise NotImplementedError(
-                "fused_bwd with in-chain boundary conditions is not "
-                "implemented yet — the sequential-recompute backward "
-                "differentiates them exactly (default)")
+                "fused_bwd with neumann frame BCs is not implemented yet "
+                "(the multi-pass frame-fill transpose) — the sequential-"
+                "recompute backward differentiates them exactly (default)")
         frame_kinds = [bc.kind for bl in bcs.values() for bc in bl
                        if bc.kind in ("dirichlet", "neumann")]
         if periodic and frame_kinds:
@@ -703,7 +708,8 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
         adj_chain = fused_stage_chain_vjp(stages, k, periodic=periodic,
                                           interpret=interpret,
                                           tile_rows=tile_rows,
-                                          vmem_limit_bytes=vmem_limit_bytes)
+                                          vmem_limit_bytes=vmem_limit_bytes,
+                                          bcs=bcs, extra_state=extra_fields)
 
         def bwd_rule(saved, cot):
             _, cot0 = adj_chain(_cast(saved), _cast(cot))

@@ -229,3 +229,111 @@ def test_sharded_chain_with_boundary():
     g_s = jax.grad(seq_loss)(u0)
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
                                rtol=RTOL, atol=ATOL)
+
+
+# ---- fused backward WITH in-chain BCs (round-3 session 2) ----------------
+
+def test_fused_bwd_frame_dirichlet_matches_sequential():
+    """dirichlet-frame transpose inside the two-phase kernel: gradients
+    must match the sequential-recompute backward exactly."""
+    op = heat_op()
+    k = 2
+    u0 = rand(10, (40, 32))
+    chains = {fb: fused_stage_chain(
+        [(op, {"u": "u_next"})], k, interpret=True,
+        boundary={"u": ("dirichlet", 1.5)}, fused_bwd=fb)
+        for fb in (False, True)}
+
+    outs, grads = {}, {}
+    for fb, ch in chains.items():
+        outs[fb] = jax.jit(ch)({"u": u0})["u"]
+        grads[fb] = jax.jit(jax.grad(
+            lambda a, _c=ch: jnp.sum(jnp.sin(_c({"u": a})["u"]))))(u0)
+    np.testing.assert_allclose(np.asarray(outs[True]),
+                               np.asarray(outs[False]),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(grads[True]),
+                               np.asarray(grads[False]),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_fused_bwd_masked_dirichlet_value_gradient():
+    """masked_dirichlet transpose: the cotangent must route into the
+    field-valued source; fused backward == sequential backward."""
+    op = heat_op()
+    k = 2
+    n = 40
+    obst = jnp.zeros((n, 32)).at[12:18, 10:20].set(1.0)
+    uval = rand(11, (n, 32))
+    u0 = rand(12, (n, 32))
+
+    grads = {}
+    for fb in (False, True):
+        chain = fused_stage_chain(
+            [(op, {"u": "u_next"})], k, interpret=True,
+            boundary={"u": ("masked_dirichlet", "obst", "uval")},
+            fused_bwd=fb)
+
+        def loss(uv, _c=chain):
+            out = _c({"u": u0, "obst": obst, "uval": uv})
+            return jnp.sum(jnp.sin(out["u"]))
+
+        grads[fb] = jax.jit(jax.grad(loss))(uval)
+    assert float(jnp.max(jnp.abs(grads[True]))) > 0
+    np.testing.assert_allclose(np.asarray(grads[True]),
+                               np.asarray(grads[False]),
+                               rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("k", [2])
+def test_fused_bwd_bounce_back_cavity(k):
+    """The lid-driven cavity with a FULLY fused value+gradient chain:
+    bounce-back transposes (incl. edge-clamp folds) inside the two-phase
+    kernel; u_lid gradient matches the sequential backward."""
+    n = 24
+    op, solid, f0 = _cavity_setup(n)
+    lid_mask = jnp.zeros((n, n)).at[0, :].set(1.0)
+
+    grads, outs = {}, {}
+    for fb in (False, True):
+        chain = fused_stage_chain(
+            [(op, {"f": "f_out"})], k, interpret=True,
+            boundary={"f": ("bounce_back", "solid", ("uw0", "uw1"))},
+            fused_bwd=fb)
+
+        def run(u_lid, _c=chain):
+            state = {"f": f0, "solid": solid,
+                     "uw0": jnp.zeros((n, n)), "uw1": lid_mask * u_lid}
+            return _c(state)["f"]
+
+        outs[fb] = jax.jit(run)(0.08)
+        grads[fb] = jax.jit(jax.grad(
+            lambda u, _r=run: jnp.sum(jnp.sin(_r(u)))))(0.08)
+
+    np.testing.assert_allclose(np.asarray(outs[True]),
+                               np.asarray(outs[False]),
+                               rtol=RTOL, atol=ATOL)
+    assert abs(float(grads[True])) > 0
+    np.testing.assert_allclose(float(grads[True]), float(grads[False]),
+                               rtol=1e-11)
+
+
+def test_fused_bwd_bounce_back_f_gradient():
+    """Gradient w.r.t. the distributions themselves (exercises the
+    transpose scatter along every velocity incl. diagonals)."""
+    n = 24
+    op, solid, f0 = _cavity_setup(n)
+
+    grads = {}
+    for fb in (False, True):
+        chain = fused_stage_chain(
+            [(op, {"f": "f_out"})], 2, interpret=True,
+            boundary={"f": ("bounce_back", "solid")}, fused_bwd=fb)
+
+        def loss(fv, _c=chain):
+            return jnp.sum(jnp.sin(_c({"f": fv, "solid": solid})["f"]))
+
+        grads[fb] = jax.jit(jax.grad(loss))(f0)
+    np.testing.assert_allclose(np.asarray(grads[True]),
+                               np.asarray(grads[False]),
+                               rtol=1e-11, atol=1e-11)
