@@ -238,6 +238,36 @@ def sec_cavity():
             print(f"cavity {layout} fused: FAILED {type(e).__name__}: "
                   f"{str(e)[:160]}")
 
+        if layout != "aos":
+            continue
+        # value+gradient in ONE kernel: the two-phase adjoint with fused
+        # BC transposes (round-3 session 2) vs sequential-recompute bwd
+        for fb in (False, True):
+            try:
+                ch_g = fused_stage_chain(
+                    [(op, {"f": "f_out"})], k, fused_bwd=fb,
+                    boundary={"f": ("bounce_back", "solid",
+                                    ("uw0", "uw1"))})
+
+                def vjp_step(c, _ch=ch_g):
+                    st = {**state0, "f": c[0], "uw1": c[1]}
+                    out, pull = jax.vjp(
+                        lambda fv, uv: _ch({**state0, "f": fv,
+                                            "uw1": uv})["f"],
+                        c[0], c[1])
+                    gf, gu = pull(c[0])
+                    return (out, gu)
+
+                t_g = timed_per_iter(lambda c: vjp_step(c),
+                                     (f0, lid), 3) / k
+                print(f"cavity {layout} {n}^2 value+u_lid-grad "
+                      f"({'fused' if fb else 'seq'} bwd): "
+                      f"{t_g*1e3:.3f} ms/step "
+                      f"({n*n/t_g/1e9:.2f} GLUPS)")
+            except Exception as e:
+                print(f"cavity grad ({'fused' if fb else 'seq'}): FAILED "
+                      f"{type(e).__name__}: {str(e)[:160]}")
+
 
 def sec_d3q19():
     from pystencils_autodiff_tpu.models.lbm import d3q19_bgk_op

@@ -53,6 +53,7 @@ _HEAVY = (
     "test_mass_momentum_conserved_3d", "test_awkward_shape_periodic",
     "test_weno5_rk3_chain", "test_elastic_stage_chain_sharded",
     "test_fused_backward_elastic_stages",
+    "test_fused_bwd_bounce_back_cavity", "test_fused_bwd_bounce_back_f",
 )
 
 
