@@ -250,12 +250,11 @@ def sec_cavity():
                                     ("uw0", "uw1"))})
 
                 def vjp_step(c, _ch=ch_g):
-                    st = {**state0, "f": c[0], "uw1": c[1]}
                     out, pull = jax.vjp(
                         lambda fv, uv: _ch({**state0, "f": fv,
                                             "uw1": uv})["f"],
                         c[0], c[1])
-                    gf, gu = pull(c[0])
+                    _, gu = pull(c[0])
                     return (out, gu)
 
                 t_g = timed_per_iter(lambda c: vjp_step(c),

@@ -617,20 +617,16 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                             _po + lo_b + geom.row_off(acc.offsets), _er,
                             False, interp, periodic)
                         if not periodic:
-                            # sanitize OUT-OF-DOMAIN primal garbage to 1:
-                            # masked-zero recompute zones give nonlinear
-                            # backward programs NaN jacobians (1/ρ), and
-                            # 0·NaN poisons exact terms even though the
-                            # matching cotangent read is masked
-                            r_tgt = (jax.lax.broadcasted_iota(
-                                jnp.int32, (_er, cols), 0) + _r0)
-                            rr = r_tgt + geom.row_off(acc.offsets)
+                            # sanitize OUT-OF-DOMAIN primal garbage to 1
+                            # (FlatGeom.in_domain_mask docstring)
+                            rr = (jax.lax.broadcasted_iota(
+                                jnp.int32, (_er, cols), 0) + _r0
+                                + geom.row_off(acc.offsets))
                             cc = (jax.lax.broadcasted_iota(
                                 jnp.int32, (_er, cols), 1)
                                 + acc.offsets[-1])
-                            ok = ((rr >= 0) & (rr < rows)
-                                  & (cc >= 0) & (cc < cols))
-                            v = jnp.where(ok, v, 1)
+                            v = jnp.where(geom.in_domain_mask(rr, cc),
+                                          v, 1)
                         return v
 
                     grads_stage: Dict[str, jax.Array] = {}

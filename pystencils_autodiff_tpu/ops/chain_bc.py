@@ -240,3 +240,82 @@ def normalize_chain_bcs(boundary, state_fields: Dict[str, Field],
         if out:
             bcs.setdefault(stage_idx, []).extend(out)
     return bcs, extra
+
+
+def apply_bc_tile(bc, ghost_j, state_keys, state_fields, rd, r_ids, c_ids,
+                  bc_coord, g_spatial, nd, dtype, lat_shift, geom=None):
+    """Apply one ChainBC to an in-register tile state — THE single
+    implementation both the forward chain kernel and the two-phase
+    adjoint's phase-1 recompute share (they must match bit-for-bit).
+
+    ``rd(key, off)`` reads a state plane at a spatial offset (the caller
+    owns extent/slice bookkeeping); ``bc_coord(r_ids, c_ids, d)`` returns
+    the global per-dim coordinate (shard-aware in the forward kernel);
+    ``lat_shift(v, s, axis)`` is the kernel's non-wrapping lateral shift
+    for neumann's inward copies.  Returns the new tile state dict.
+    """
+    import jax.numpy as jnp
+
+    from .common import field_components
+
+    new = {key: rd(key) for key in state_keys}
+    comps = field_components(state_fields[bc.field])
+    shape_b = r_ids.shape
+
+    if bc.kind == "dirichlet":
+        dims_bc = (bc.dims if bc.dims is not None else range(nd))
+        m = jnp.zeros(shape_b, bool)
+        for d in dims_bc:
+            lo_g, hi_g = ghost_j[d]
+            if lo_g or hi_g:
+                cd = bc_coord(r_ids, c_ids, d)
+                m |= (cd < lo_g) | (cd >= g_spatial[d] - hi_g)
+        for idx in comps:
+            new[(bc.field, idx)] = jnp.where(
+                m, jnp.asarray(bc.value, dtype), new[(bc.field, idx)])
+    elif bc.kind == "neumann":
+        dims_bc = (bc.dims if bc.dims is not None else range(nd))
+        for idx in comps:
+            plane = new[(bc.field, idx)]
+            for d in dims_bc:
+                lo_g, hi_g = ghost_j[d]
+                cd = bc_coord(r_ids, c_ids, d)
+                shift = (geom.strides[d] if d < nd - 1 else 1)
+                axis = 0 if d < nd - 1 else 1
+                for side, width in ((0, lo_g), (1, hi_g)):
+                    s = shift if side == 0 else -shift
+                    # g sequential inward-copy passes fill a width-g
+                    # frame from the first interior cell (corner cells
+                    # see earlier dims' fills, like boundary.py)
+                    for _ in range(width):
+                        shifted = lat_shift(plane, s, axis)
+                        m = ((cd < lo_g) if side == 0 else
+                             (cd >= g_spatial[d] - hi_g))
+                        plane = jnp.where(m, shifted, plane)
+            new[(bc.field, idx)] = plane
+    elif bc.kind == "masked_dirichlet":
+        maskp = rd((bc.mask, ()))
+        val = (rd((bc.value, ())) if isinstance(bc.value, str)
+               else jnp.asarray(bc.value, dtype))
+        for idx in comps:
+            new[(bc.field, idx)] = jnp.where(maskp != 0, val,
+                                             new[(bc.field, idx)])
+    elif bc.kind == "bounce_back":
+        solid = rd((bc.mask, ())) != 0
+        for jv, cj in enumerate(bc.velocities):
+            # pull scheme: ghost_j(s) = f_jbar(s + c_j); rd reads at +off
+            off = tuple(int(c) for c in cj)
+            ghost = rd((bc.field, (bc.opposite[jv],)), off)
+            if bc.u_wall is not None and any(cj):
+                cu = jnp.asarray(0.0, dtype)
+                for c, uw in zip(cj, bc.u_wall):
+                    if c:
+                        uv = (rd((uw, ())) if isinstance(uw, str)
+                              else jnp.asarray(uw, dtype))
+                        cu = cu + c * uv
+                ghost = ghost + (6.0 * bc.weights[jv] * bc.rho_wall) * cu
+            new[(bc.field, (jv,))] = jnp.where(solid, ghost,
+                                               new[(bc.field, (jv,))])
+    else:
+        raise ValueError(bc.kind)
+    return new

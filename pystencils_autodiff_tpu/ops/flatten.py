@@ -128,6 +128,23 @@ class FlatGeom:
             m &= (gc >= lo) & (gc < global_spatial[-1] - hi)
         return m
 
+    def in_domain_mask(self, r_ids, c_ids, bases=None, global_spatial=None):
+        """(flat row, col) lies inside the domain bounds — GLOBAL bounds
+        when ``bases``/``global_spatial`` are given (sharded blocks: edge
+        shards' outward halos are zero-filled and must count as
+        out-of-domain), local otherwise.  Used to sanitize reverse-phase
+        primal reads: recomputed values outside the domain are masked
+        zeros / clamp strips, and nonlinear backward programs turn them
+        into NaN jacobians that poison exact terms via 0·NaN."""
+        m = (r_ids >= 0) & (r_ids < self.rows)
+        if bases is None:
+            return m & (c_ids >= 0) & (c_ids < self.cols)
+        for d in range(self.nd - 1):
+            c = self.dim_coord(r_ids, d) + bases[d]
+            m &= (c >= 0) & (c < global_spatial[d])
+        gc = c_ids + bases[self.nd - 1]
+        return m & (gc >= 0) & (gc < global_spatial[-1])
+
     def crossing_mask(self, r_ids, offsets):
         """Validity of an access from target rows ``r_ids`` with spatial
         ``offsets``: every inner flattened dim's coordinate must stay in

@@ -93,6 +93,24 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                 f"fused_stage_chain_vjp: BC kinds {bad} have no fused "
                 f"transpose yet — use fused_bwd=False (sequential "
                 f"recompute backward)")
+        # phase 2 reads BC parameter planes from the ORIGINAL input block
+        # (chain-invariance); a carry-written mask/value/u_wall field
+        # would make every cycle's transpose use the cycle-0 plane
+        carried = {dst for c in carries for dst in c}
+        for bl in bcs.values():
+            for bc in bl:
+                params = [bc.mask] + list(bc.u_wall or ()) + [bc.value]
+                refs = [p for p in params if isinstance(p, str)]
+                if bc.value == bc.field:
+                    raise ValueError(
+                        f"fused backward: masked_dirichlet value field "
+                        f"aliases its target {bc.field!r} — unsupported")
+                hot = sorted(set(refs) & carried)
+                if hot:
+                    raise ValueError(
+                        f"fused backward: BC parameter field(s) {hot} are "
+                        f"carry targets (not chain-invariant) — use "
+                        f"fused_bwd=False")
     if extra_state:
         state_fields = {**state_fields, **extra_state}
         state_names = list(state_names) + [n for n in extra_state
@@ -297,9 +315,12 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                             else c_ids)
 
                 def apply_bc_F(cur_s, bc, ghost_j, blo_b, er, g_row0):
-                    """One BC event on the in-register state — must match
-                    the forward kernel's apply_bc (and the sequential
-                    boundary.py implementations) exactly."""
+                    """One BC event on the in-register state — the SAME
+                    shared implementation the forward kernel uses
+                    (chain_bc.apply_bc_tile), so the phase-1 recompute
+                    matches it bit-for-bit."""
+                    from .chain_bc import apply_bc_tile
+
                     shape_b = (er, cols)
 
                     def rd(key, off=(0,) * nd):
@@ -310,51 +331,15 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                         return _shift_lateral(v, off[-1], 1, False, interp,
                                               periodic)
 
-                    new = {key: rd(key) for key in state_keys}
-                    comps = field_components(state_fields[bc.field])
                     r_ids = (jax.lax.broadcasted_iota(jnp.int32, shape_b, 0)
                              + g_row0)
                     c_ids = jax.lax.broadcasted_iota(jnp.int32, shape_b, 1)
-
-                    if bc.kind == "dirichlet":
-                        dims_bc = (bc.dims if bc.dims is not None
-                                   else range(nd))
-                        m = jnp.zeros(shape_b, bool)
-                        for d in dims_bc:
-                            lo_g, hi_g = ghost_j[d]
-                            if lo_g or hi_g:
-                                cd = bc_coord(r_ids, c_ids, d)
-                                m |= (cd < lo_g) | (cd >= spatial[d] - hi_g)
-                        for idx in comps:
-                            new[(bc.field, idx)] = jnp.where(
-                                m, jnp.asarray(bc.value, dtype),
-                                new[(bc.field, idx)])
-                    elif bc.kind == "masked_dirichlet":
-                        maskp = rd((bc.mask, ()))
-                        val = (rd((bc.value, ()))
-                               if isinstance(bc.value, str)
-                               else jnp.asarray(bc.value, dtype))
-                        for idx in comps:
-                            new[(bc.field, idx)] = jnp.where(
-                                maskp != 0, val, new[(bc.field, idx)])
-                    elif bc.kind == "bounce_back":
-                        solid = rd((bc.mask, ())) != 0
-                        for jv, cj in enumerate(bc.velocities):
-                            off = tuple(int(c) for c in cj)
-                            ghost = rd((bc.field, (bc.opposite[jv],)), off)
-                            if bc.u_wall is not None and any(cj):
-                                cu = jnp.asarray(0.0, dtype)
-                                for c, uw in zip(cj, bc.u_wall):
-                                    if c:
-                                        uv = (rd((uw, ()))
-                                              if isinstance(uw, str)
-                                              else jnp.asarray(uw, dtype))
-                                        cu = cu + c * uv
-                                ghost = ghost + (6.0 * bc.weights[jv]
-                                                 * bc.rho_wall) * cu
-                            new[(bc.field, (jv,))] = jnp.where(
-                                solid, ghost, new[(bc.field, (jv,))])
-                    return new
+                    return apply_bc_tile(
+                        bc, ghost_j, state_keys, state_fields, rd, r_ids,
+                        c_ids, bc_coord, tuple(spatial), nd, dtype,
+                        lambda v, s, axis: _shift_lateral(
+                            v, s, axis, False, interp, False),
+                        geom=geom)
 
                 # ---- phase 1: forward recompute over all k·S stages ----
                 cur = {key: full[("s", key)] for key in state_keys}
@@ -619,21 +604,21 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                             _po + lob[_j] + geom.row_off(acc.offsets),
                             _er, False, interp, periodic)
                         if not periodic:
-                            # sanitize OUT-OF-DOMAIN primal garbage to 1:
-                            # recomputed states there are masked zeros /
-                            # clamp strips, and nonlinear backward
-                            # programs (1/ρ terms) turn them into NaN
-                            # jacobians — which poison exact terms via
-                            # 0·NaN even though the matching cotangent
-                            # read is masked to zero
-                            r_tgt = (jax.lax.broadcasted_iota(
-                                jnp.int32, (_er, cols), 0) + _r0)
-                            rr = r_tgt + geom.row_off(acc.offsets)
+                            # sanitize OUT-OF-DOMAIN primal garbage to 1
+                            # (FlatGeom.in_domain_mask docstring): global
+                            # bounds when sharded — edge shards' outward
+                            # halos are zero-filled and equally poisonous
+                            rr = (jax.lax.broadcasted_iota(
+                                jnp.int32, (_er, cols), 0) + _r0
+                                + geom.row_off(acc.offsets))
                             cc = (jax.lax.broadcasted_iota(
                                 jnp.int32, (_er, cols), 1)
                                 + acc.offsets[-1])
-                            ok = ((rr >= 0) & (rr < rows)
-                                  & (cc >= 0) & (cc < cols))
+                            ok = geom.in_domain_mask(
+                                rr, cc,
+                                base_vals if shard is not None else None,
+                                shard.global_spatial
+                                if shard is not None else None)
                             v = jnp.where(ok, v, 1)
                         return v
 

@@ -331,6 +331,8 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
                         else c_ids)
 
             def apply_bc(state, bc, ghost_j, blo, er, margin_lo):
+                from .chain_bc import apply_bc_tile
+
                 shape_b = (er, cols)
 
                 def rd(key, off=(0,) * nd, _er=er, _blo=blo):
@@ -340,73 +342,15 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
                     return _shift_lateral(v, off[-1], 1, False, interpret,
                                           periodic)
 
-                new = {key: rd(key) for key in state_keys}
-                comps = field_components(state_fields[bc.field])
                 r_ids = (jax.lax.broadcasted_iota(jnp.int32, shape_b, 0)
                          + i * t - margin_lo)
                 c_ids = jax.lax.broadcasted_iota(jnp.int32, shape_b, 1)
-
-                if bc.kind == "dirichlet":
-                    dims_bc = (bc.dims if bc.dims is not None else range(nd))
-                    m = jnp.zeros(shape_b, bool)
-                    for d in dims_bc:
-                        lo_g, hi_g = ghost_j[d]
-                        if lo_g or hi_g:
-                            cd = bc_coord(r_ids, c_ids, d)
-                            m |= (cd < lo_g) | (cd >= g_spatial[d] - hi_g)
-                    for idx in comps:
-                        new[(bc.field, idx)] = jnp.where(
-                            m, jnp.asarray(bc.value, dtype),
-                            new[(bc.field, idx)])
-                elif bc.kind == "neumann":
-                    dims_bc = (bc.dims if bc.dims is not None else range(nd))
-                    for idx in comps:
-                        plane = new[(bc.field, idx)]
-                        for d in dims_bc:
-                            lo_g, hi_g = ghost_j[d]
-                            cd = bc_coord(r_ids, c_ids, d)
-                            shift = (geom.strides[d] if d < nd - 1 else 1)
-                            axis = 0 if d < nd - 1 else 1
-                            for side, width in ((0, lo_g), (1, hi_g)):
-                                s = shift if side == 0 else -shift
-                                # g inward-copy passes fill a width-g frame
-                                # from the first interior cell (corner cells
-                                # see earlier dims' fills, like boundary.py)
-                                for _ in range(width):
-                                    shifted = _shift_lateral(
-                                        plane, s, axis, False, interpret,
-                                        False)
-                                    m = ((cd < lo_g) if side == 0 else
-                                         (cd >= g_spatial[d] - hi_g))
-                                    plane = jnp.where(m, shifted, plane)
-                        new[(bc.field, idx)] = plane
-                elif bc.kind == "masked_dirichlet":
-                    maskp = rd((bc.mask, ()))
-                    val = (rd((bc.value, ()))
-                           if isinstance(bc.value, str)
-                           else jnp.asarray(bc.value, dtype))
-                    for idx in comps:
-                        new[(bc.field, idx)] = jnp.where(
-                            maskp != 0, val, new[(bc.field, idx)])
-                elif bc.kind == "bounce_back":
-                    solid = rd((bc.mask, ())) != 0
-                    for jv, cj in enumerate(bc.velocities):
-                        # pull scheme: ghost_j(s) = f_jbar(s + c_j), and
-                        # rd(key, off) reads at cell + off
-                        off = tuple(int(c) for c in cj)
-                        ghost = rd((bc.field, (bc.opposite[jv],)), off)
-                        if bc.u_wall is not None and any(cj):
-                            cu = jnp.asarray(0.0, dtype)
-                            for c, u in zip(cj, bc.u_wall):
-                                if c:
-                                    uv = (rd((u, ())) if isinstance(u, str)
-                                          else jnp.asarray(u, dtype))
-                                    cu = cu + c * uv
-                            ghost = ghost + (6.0 * bc.weights[jv]
-                                             * bc.rho_wall) * cu
-                        new[(bc.field, (jv,))] = jnp.where(
-                            solid, ghost, new[(bc.field, (jv,))])
-                return new
+                return apply_bc_tile(
+                    bc, ghost_j, state_keys, state_fields, rd, r_ids,
+                    c_ids, bc_coord, g_spatial, nd, dtype,
+                    lambda v, s, axis: _shift_lateral(v, s, axis, False,
+                                                      interpret, False),
+                    geom=geom)
 
             henvs = []
             for j_, prog_ in enumerate(progs):

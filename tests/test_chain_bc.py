@@ -337,3 +337,24 @@ def test_fused_bwd_bounce_back_f_gradient():
     np.testing.assert_allclose(np.asarray(grads[True]),
                                np.asarray(grads[False]),
                                rtol=1e-11, atol=1e-11)
+
+
+def test_fused_bwd_rejects_non_invariant_bc_params():
+    """Phase 2 reads BC parameter planes from the original input block:
+    carry-written masks/values and target-aliased values are rejected at
+    build time instead of silently using stale planes."""
+    u, m, u_next = fields("u, m, u_next", 2)
+    op2 = AutoDiffOp([Assignment(
+        u_next[0, 0], u[0, 0] + 0.1 * m[0, 0]
+        + 0.1 * (u[1, 0] + u[-1, 0] - 2 * u[0, 0]))], op_name="heat_m")
+    with pytest.raises(ValueError, match="carry targets"):
+        fused_stage_chain(
+            [(op2, {"u": "u_next", "m": "u_next"})], 2, interpret=True,
+            boundary={"u": ("masked_dirichlet", "m", 0.5)},
+            fused_bwd=True)
+    op = heat_op()
+    with pytest.raises(ValueError, match="aliases"):
+        fused_stage_chain(
+            [(op, {"u": "u_next"})], 2, interpret=True,
+            boundary={"u": ("masked_dirichlet", "obst", "u")},
+            fused_bwd=True)
