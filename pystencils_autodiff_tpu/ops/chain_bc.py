@@ -34,7 +34,7 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 from ..field import Field
 
 __all__ = ["ChainBC", "normalize_chain_bcs", "bc_shift_offsets",
-           "bc_dim_reach", "apply_bc_sequential"]
+           "bc_dim_reach", "bc_row_reach", "apply_bc_sequential"]
 
 
 def apply_bc_sequential(state, bc: ChainBC, ghost, periodic: bool):
@@ -99,6 +99,25 @@ def bc_shift_offsets(bc: ChainBC, nd: int) -> List[Tuple[int, ...]]:
         # the pull ghost_j(s) = f_jbar(s + c_j) READS at +c_j
         return [tuple(int(c) for c in v) for v in bc.velocities]
     raise ValueError(f"unknown chain BC kind {bc.kind!r}")
+
+
+def bc_row_reach(bc: ChainBC, ghost, geom, nd: int) -> Tuple[int, int]:
+    """Flattened-row (lo, hi) read reach of one BC event — THE shared
+    accounting for the forward chain kernel and the two-phase adjoint
+    (their margins must agree or the transpose misaligns).  neumann's
+    ``g`` sequential inward-copy passes per dim shift by the dim stride
+    each; shift-based kinds derive from ``bc_shift_offsets``."""
+    if bc.kind == "neumann":
+        lo_r = hi_r = 0
+        for d in (bc.dims if bc.dims is not None else range(nd)):
+            g = max(ghost[d])
+            if g and d < nd - 1:
+                lo_r = max(lo_r, g * geom.strides[d])
+                hi_r = max(hi_r, g * geom.strides[d])
+        return lo_r, hi_r
+    offs = bc_shift_offsets(bc, nd)
+    return (max([0] + [-geom.row_off(o) for o in offs]),
+            max([0] + [geom.row_off(o) for o in offs]))
 
 
 def bc_dim_reach(bc: ChainBC, ghost, nd: int) -> List[Tuple[int, int]]:

@@ -77,17 +77,16 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
     # in-chain boundary conditions (ops/chain_bc.py): every supported BC
     # event is LINEAR/affine in state, so its transpose needs no saved
     # primals — only the (chain-invariant, pass-through) mask planes and
-    # the running cotangents.  neumann's multi-pass frame fill transpose
-    # is not implemented yet — route those chains to the sequential
-    # backward.
+    # the running cotangents.  neumann's frame-fill transpose reverses
+    # its pass sequence with zero-fill outward shifts.
     bcs = dict(bcs or {})
     if bcs:
         if shard is not None:
             raise ValueError("fused_stage_chain_vjp: bcs + shard is not "
                              "supported yet (use the sequential backward)")
         bad = [bc.kind for bl in bcs.values() for bc in bl
-               if bc.kind not in ("dirichlet", "masked_dirichlet",
-                                  "bounce_back")]
+               if bc.kind not in ("dirichlet", "neumann",
+                                  "masked_dirichlet", "bounce_back")]
         if bad:
             raise ValueError(
                 f"fused_stage_chain_vjp: BC kinds {bad} have no fused "
@@ -210,17 +209,13 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
         # BC events consume read reach before their stage (phase 1), and
         # their transposes consume the MIRRORED reach after the stage's
         # transpose (phase 2) — same flattened-row accounting as the
-        # forward kernel
-        from .chain_bc import bc_shift_offsets
+        # forward kernel (bc_row_reach is shared with it)
+        from .chain_bc import bc_row_reach
 
         bcF: Dict[int, list] = {}
         for j in range(S):
-            rs = []
-            for bc in bcs.get(j, ()):
-                offs = bc_shift_offsets(bc, nd)
-                rs.append((max([0] + [-geom.row_off(o) for o in offs]),
-                           max([0] + [geom.row_off(o) for o in offs])))
-            bcF[j] = rs
+            bcF[j] = [bc_row_reach(bc, fwd_progs[j].ghost, geom, nd)
+                      for bc in bcs.get(j, ())]
         bclo = [sum(lo for lo, _ in bcF[j]) for j in range(S)]
         bchi = [sum(hi for _, hi in bcF[j]) for j in range(S)]
         LO = k * (sum(lof) + sum(lob) + sum(bclo) + sum(bchi))
@@ -461,6 +456,45 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                         for idx in comps:
                             new[(bc.field, idx)] = jnp.where(
                                 m, 0, new[(bc.field, idx)])
+                    elif bc.kind == "neumann":
+                        # forward: g inward-copy passes per (dim, side) in
+                        # ascending dim order, low side first —
+                        #   y = (1−m)·x + m·S_in x.
+                        # transpose, passes reversed:
+                        #   x̂ = (1−m)·ŷ + S_out(m_strict·ŷ)
+                        # with zero-fill outward shifts; the source mask is
+                        # STRICT (frame AND in-domain) so halo rows — whose
+                        # dim-0 coordinate runs past the domain — never
+                        # scatter into valid cells.  Inner-dim crossings
+                        # self-mask: a crossed source's mod-coordinate
+                        # lands outside the frame.
+                        dims_bc = list(bc.dims if bc.dims is not None
+                                       else range(nd))
+                        for idx in comps:
+                            plane = new[(bc.field, idx)]
+                            for d in reversed(dims_bc):
+                                lo_g, hi_g = ghost_j[d]
+                                if not (lo_g or hi_g):
+                                    continue
+                                cd = bc_coord(r_ids, c_ids, d)
+                                shift = (geom.strides[d] if d < nd - 1
+                                         else 1)
+                                axis = 0 if d < nd - 1 else 1
+                                for side, width in ((1, hi_g), (0, lo_g)):
+                                    s = shift if side == 0 else -shift
+                                    if side == 0:
+                                        m_t = cd < lo_g
+                                        m_src = (cd >= 0) & m_t
+                                    else:
+                                        m_t = cd >= spatial[d] - hi_g
+                                        m_src = m_t & (cd < spatial[d])
+                                    for _ in range(width):
+                                        contrib = _shift_lateral(
+                                            jnp.where(m_src, plane, 0),
+                                            -s, axis, True, interp, False)
+                                        plane = (jnp.where(m_t, 0, plane)
+                                                 + contrib)
+                            new[(bc.field, idx)] = plane
                     elif bc.kind == "masked_dirichlet":
                         m = rdi((bc.mask, ())) != 0
                         for idx in comps:

@@ -171,31 +171,13 @@ def _make_stage_chain_kernel(progs: Sequence[StencilProgram],
 
     # BC events (ops/chain_bc.py) consume their own read reach from the
     # margin before the stage they precede, exactly like a stencil stage
+    from .chain_bc import bc_row_reach
+
     bcs = dict(bcs or {})
     bc_reaches: Dict[int, list] = {}
     for j, prog in enumerate(progs):
-        rs = []
-        for bc in bcs.get(j, ()):
-            if bc.kind == "neumann":
-                # g sequential inward-copy passes fill a width-g frame
-                dims_bc = (bc.dims if bc.dims is not None
-                           else range(len(prog.ghost)))
-                lo_r = hi_r = 0
-                for d in dims_bc:
-                    g = max(prog.ghost[d])
-                    if g:
-                        step = (geom.strides[d] if d < nd - 1 else 0)
-                        lo_r = max(lo_r, g * step)
-                        hi_r = max(hi_r, g * step)
-                rs.append((lo_r, hi_r))
-            else:
-                from .chain_bc import bc_shift_offsets
-
-                offs = bc_shift_offsets(bc, nd)
-                lo_r = max([0] + [-geom.row_off(o) for o in offs])
-                hi_r = max([0] + [geom.row_off(o) for o in offs])
-                rs.append((lo_r, hi_r))
-        bc_reaches[j] = rs
+        bc_reaches[j] = [bc_row_reach(bc, prog.ghost, geom, nd)
+                         for bc in bcs.get(j, ())]
     lo_cyc = (sum(lo for lo, _ in reaches)
               + sum(lo for rs in bc_reaches.values() for lo, _ in rs))
     hi_cyc = (sum(hi for _, hi in reaches)
@@ -548,11 +530,10 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
     Gradients are exact via sequential recompute of the per-op custom_vjp
     steps in the backward rule, or — with ``fused_bwd=True`` — via ONE
     fused value+gradient kernel (ops/stage_adjoint.py) so both directions
-    are temporally blocked.  ``fused_bwd`` composes with in-chain
-    dirichlet / masked_dirichlet / bounce_back boundary conditions (their
-    transposes run inside the kernel; a cavity value+u_lid-gradient is
-    one kernel per k cycles); neumann frames still need the sequential
-    backward.
+    are temporally blocked.  ``fused_bwd`` composes with every in-chain
+    boundary condition kind — dirichlet / neumann / masked_dirichlet /
+    bounce_back transposes all run inside the kernel (a cavity
+    value+u_lid-gradient is one kernel per k cycles).
     """
     from .pallas_kernel import _on_tpu
 
@@ -572,12 +553,6 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
         state_fields = {**state_fields, **extra_fields}
         state_names = list(state_names) + list(extra_fields)
     if bcs:
-        if fused_bwd and any(bc.kind == "neumann" for bl in bcs.values()
-                             for bc in bl):
-            raise NotImplementedError(
-                "fused_bwd with neumann frame BCs is not implemented yet "
-                "(the multi-pass frame-fill transpose) — the sequential-"
-                "recompute backward differentiates them exactly (default)")
         frame_kinds = [bc.kind for bl in bcs.values() for bc in bl
                        if bc.kind in ("dirichlet", "neumann")]
         if periodic and frame_kinds:

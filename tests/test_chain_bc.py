@@ -156,9 +156,6 @@ def test_chain_bc_validation():
     with pytest.raises(ValueError, match="meaningless on"):
         fused_stage_chain([(op, {"u": "u_next"})], 1, periodic=True,
                           interpret=True, boundary={"u": "neumann"})
-    with pytest.raises(NotImplementedError, match="fused_bwd"):
-        fused_stage_chain([(op, {"u": "u_next"})], 1, interpret=True,
-                          fused_bwd=True, boundary={"u": "neumann"})
     with pytest.raises(TypeError, match="state-field NAME"):
         fused_stage_chain([(op, {"u": "u_next"})], 1, interpret=True,
                           boundary={"u": ("masked_dirichlet",
@@ -232,6 +229,79 @@ def test_sharded_chain_with_boundary():
 
 
 # ---- fused backward WITH in-chain BCs (round-3 session 2) ----------------
+
+def _assert_fused_bwd_matches_sequential(stages, k, state, boundary,
+                                         tile_rows=None, wrt=None):
+    """Build the chain with fused_bwd False/True; outputs and gradients
+    (w.r.t. ``wrt`` or the first state field) must agree bit-exactly."""
+    chains = {fb: fused_stage_chain(stages, k, interpret=True,
+                                    boundary=boundary, fused_bwd=fb,
+                                    tile_rows=tile_rows)
+              for fb in (False, True)}
+    wrt = wrt or next(iter(state))
+    outs, grads = {}, {}
+    for fb, ch in chains.items():
+        outs[fb] = jax.jit(ch)(state)[wrt]
+
+        def loss(a, _c=ch):
+            return jnp.sum(jnp.sin(_c({**state, wrt: a})[wrt]))
+
+        grads[fb] = jax.jit(jax.grad(loss))(state[wrt])
+    np.testing.assert_allclose(np.asarray(outs[True]),
+                               np.asarray(outs[False]),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(grads[True]),
+                               np.asarray(grads[False]),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_fused_bwd_neumann_matches_sequential():
+    """neumann frame transpose inside the two-phase kernel (2D)."""
+    _assert_fused_bwd_matches_sequential(
+        [(heat_op(), {"u": "u_next"})], 2, {"u": rand(11, (40, 32))},
+        {"u": "neumann"})
+
+
+def test_fused_bwd_neumann_wide_frame():
+    """Width-2 frame (reach-2 stencil): the multi-PASS fill transpose —
+    two reversed zero-fill passes per (dim, side)."""
+    u, u_next = fields("u, u_next", 2)
+    op = AutoDiffOp([Assignment(
+        u_next[0, 0],
+        u[0, 0] + 0.05 * (u[2, 0] + u[-2, 0] + u[0, 2] + u[0, -2]
+                          - 4 * u[0, 0]))], op_name="wide2d")
+    _assert_fused_bwd_matches_sequential(
+        [(op, {"u": "u_next"})], 2, {"u": rand(12, (48, 32))},
+        {"u": "neumann"})
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 32), (16, 12, 32)])
+def test_fused_bwd_neumann_3d(shape):
+    """3D frames: dim-0/dim-1/lateral fills, reversed dim order in the
+    transpose; the 12-slab variant misaligns tile extents with slabs."""
+    u, u_next = fields("u, u_next", 3)
+    op = AutoDiffOp([Assignment(
+        u_next[0, 0, 0],
+        u[0, 0, 0] + 0.05 * (u[1, 0, 0] + u[-1, 0, 0] + u[0, 1, 0]
+                             + u[0, -1, 0] + u[0, 0, 1] + u[0, 0, -1]
+                             - 6 * u[0, 0, 0]))], op_name="heat3d_bc")
+    _assert_fused_bwd_matches_sequential(
+        [(op, {"u": "u_next"})], 2, {"u": rand(13, shape)},
+        {"u": "neumann"})
+
+
+def test_fused_bwd_neumann_with_masked_dirichlet():
+    """neumann frame + in-domain masked dirichlet in the same cycle, with
+    the gradient taken w.r.t. the dirichlet VALUE field."""
+    mask = np.zeros((40, 32))
+    mask[10:14, 8:12] = 1.0
+    state = {"u": rand(14, (40, 32)), "obst": jnp.asarray(mask),
+             "uval": rand(15, (40, 32))}
+    _assert_fused_bwd_matches_sequential(
+        [(heat_op(), {"u": "u_next"})], 2, state,
+        {"u": ["neumann", ("masked_dirichlet", "obst", "uval")]},
+        wrt="uval")
+
 
 def test_fused_bwd_frame_dirichlet_matches_sequential():
     """dirichlet-frame transpose inside the two-phase kernel: gradients
