@@ -81,9 +81,6 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
     # its pass sequence with zero-fill outward shifts.
     bcs = dict(bcs or {})
     if bcs:
-        if shard is not None:
-            raise ValueError("fused_stage_chain_vjp: bcs + shard is not "
-                             "supported yet (use the sequential backward)")
         bad = [bc.kind for bl in bcs.values() for bc in bl
                if bc.kind not in ("dirichlet", "neumann",
                                   "masked_dirichlet", "bounce_back")]
@@ -241,10 +238,26 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
         t = tile_rows or pick_chain_tile(rows, LO, HI,
                                          cols * itemsize * n_live,
                                          vmem_limit_bytes)
+        pad_rows = 0
         if t is None or rows % t or t < LO + HI:
-            raise ValueError(f"no viable tile for rows={rows}, "
-                             f"halo={LO + HI}")
-        nb = rows // t
+            if row_wrap:
+                raise ValueError(f"no viable tile for rows={rows}, "
+                                 f"halo={LO + HI} (periodic rows must "
+                                 f"admit a divisor tile)")
+            # bounded/sharded: pad the flattened row axis (same trick as
+            # the forward kernel) — pad rows are edge copies (state) /
+            # zeros (cotangents); every mask tests the TRUE global row,
+            # so valid cells never depend on pad content
+            from .pallas_kernel import _round_up
+
+            t = (int(tile_rows) if tile_rows
+                 else max(256, _round_up(LO + HI + 1, 8)))
+            if t < LO + HI:
+                raise ValueError(f"tile_rows={t} smaller than chain halo "
+                                 f"{LO + HI}")
+            pad_rows = _round_up(rows, t) - rows
+        rows_padded = rows + pad_rows
+        nb = rows_padded // t
         all_in = ([("s", key) for key in state_keys]
                   + [("c", key) for key in state_keys])
 
@@ -255,6 +268,11 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                 arr = (cots[name] if is_cot else state[name]).astype(dtype)
                 plane = plane_view(state_fields[name], arr, idx).reshape(
                     (rows, cols))
+                if pad_rows:
+                    plane = (jnp.pad(plane, ((0, pad_rows), (0, 0)))
+                             if is_cot else
+                             jnp.pad(plane, ((0, pad_rows), (0, 0)),
+                                     mode="edge"))
                 arrays.append(plane)
                 xr = plane.reshape((nb, t, cols))
                 if LO:
@@ -305,8 +323,17 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                     full[(kind, key)] = (jnp.concatenate(parts, axis=0)
                                          if len(parts) > 1 else parts[0])
 
+                g_spatial = (shard.global_spatial if shard is not None
+                             else tuple(spatial))
+
                 def bc_coord(r_ids, c_ids, d):
-                    return (geom.dim_coord(r_ids, d) if d < nd - 1
+                    """Global per-dim coordinate for frame-BC masks (the
+                    bases offset makes every mask/clamp test global when
+                    running on one shard of a larger domain)."""
+                    if d < nd - 1:
+                        c = geom.dim_coord(r_ids, d)
+                        return c + base_vals[d] if shard is not None else c
+                    return (c_ids + base_vals[nd - 1] if shard is not None
                             else c_ids)
 
                 def apply_bc_F(cur_s, bc, ghost_j, blo_b, er, g_row0):
@@ -331,7 +358,7 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                     c_ids = jax.lax.broadcasted_iota(jnp.int32, shape_b, 1)
                     return apply_bc_tile(
                         bc, ghost_j, state_keys, state_fields, rd, r_ids,
-                        c_ids, bc_coord, tuple(spatial), nd, dtype,
+                        c_ids, bc_coord, g_spatial, nd, dtype,
                         lambda v, s, axis: _shift_lateral(
                             v, s, axis, False, interp, False),
                         geom=geom)
@@ -452,7 +479,7 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                             lo_g, hi_g = ghost_j[d]
                             if lo_g or hi_g:
                                 cd = bc_coord(r_ids, c_ids, d)
-                                m |= (cd < lo_g) | (cd >= spatial[d] - hi_g)
+                                m |= (cd < lo_g) | (cd >= g_spatial[d] - hi_g)
                         for idx in comps:
                             new[(bc.field, idx)] = jnp.where(
                                 m, 0, new[(bc.field, idx)])
@@ -486,8 +513,8 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                                         m_t = cd < lo_g
                                         m_src = (cd >= 0) & m_t
                                     else:
-                                        m_t = cd >= spatial[d] - hi_g
-                                        m_src = m_t & (cd < spatial[d])
+                                        m_t = cd >= g_spatial[d] - hi_g
+                                        m_src = m_t & (cd < g_spatial[d])
                                     for _ in range(width):
                                         contrib = _shift_lateral(
                                             jnp.where(m_src, plane, 0),
@@ -542,13 +569,13 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                                         if d in q:
                                             # clamped dim: target is the
                                             # outward edge cell
-                                            edge = (spatial[d] - 1
+                                            edge = (g_spatial[d] - 1
                                                     if off[d] > 0 else 0)
                                             m_q &= cd == edge
                                         else:
                                             m_q &= ((cd - off[d] >= 0)
                                                     & (cd - off[d]
-                                                       < spatial[d]))
+                                                       < g_spatial[d]))
                                     contrib = contrib + jnp.where(
                                         m_q, sy, 0)
                             ybars.setdefault(m_tgt, []).append(contrib)
@@ -712,7 +739,8 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
             result = pl.pallas_call(
                 kernel,
                 grid=(nb,),
-                out_shape=tuple(jax.ShapeDtypeStruct((rows, cols), dtype)
+                out_shape=tuple(jax.ShapeDtypeStruct((rows_padded, cols),
+                                                     dtype)
                                 for _ in range(2 * len(state_keys))),
                 in_specs=[plane] * n_in + [strip_spec(u.shape) for u in ups]
                 + [strip_spec(d.shape) for d in downs] + scalar_specs,
@@ -721,6 +749,8 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=scoped_vmem(vmem_limit_bytes)),
             )(*arrays, *ups, *downs, *scalar_ins)
+            if pad_rows:
+                result = [r[:rows] for r in result]
 
             def restack(planes_flat, base):
                 out, pos = {}, base

@@ -116,6 +116,7 @@ class ShardedChain:
             {n: f.index_shape for n, f in state_fields.items()},
             progs[0].ndim, len(stages),
             next(iter(state_fields.values())).dtype)
+        self._extra_fields = extra_fields
         if extra_fields:
             state_fields = {**state_fields, **extra_fields}
             state_names = list(state_names) + list(extra_fields)
@@ -151,25 +152,29 @@ class ShardedChain:
 
         self._fused_bwd = bool(fused_bwd)
         if self._fused_bwd:
-            if self.bcs:
-                raise ValueError(
-                    "fused_bwd=True does not support fused boundary "
-                    "conditions yet — use the default sequential-recompute "
-                    "backward")
             from ..ops.common import backward_program
 
             # the adjoint chain needs forward-recompute margin PLUS the
             # backward spread: exchanging k*(cyc_fwd + cyc_bwd) per side
             # guarantees every block-edge clamp transpose is multiplied by
-            # a zero cotangent (the cot halo outruns the backward spread)
+            # a zero cotangent (the cot halo outruns the backward spread).
+            # BC transposes consume their MIRRORED reach in phase 2 on top
+            # of the forward reach already inside ``cyc`` (they shift the
+            # running cotangents, matching stage_adjoint's LO/HI, which add
+            # bclo+bchi on BOTH sides).
             cyc_b = [(0, 0)] * self.ndim
             for op, _ in self.stages:
                 bp = backward_program(op)
                 cyc_b = [(lo + plo, hi + phi)
                          for (lo, hi), (plo, phi) in zip(cyc_b, bp.ghost)]
+            bcr = [(0, 0)] * self.ndim
+            for j, p in enumerate(progs):
+                for bc in self.bcs.get(j, ()):
+                    bcr = [(lo + blo, hi + bhi) for (lo, hi), (blo, bhi)
+                           in zip(bcr, bc_dim_reach(bc, p.ghost, self.ndim))]
             self._halo_bwd = {
-                d: (self.k * (cyc[d][0] + cyc_b[d][0]),
-                    self.k * (cyc[d][1] + cyc_b[d][1]))
+                d: (self.k * (cyc[d][0] + cyc_b[d][0] + bcr[d][1]),
+                    self.k * (cyc[d][1] + cyc_b[d][1] + bcr[d][0]))
                 for d in self.dim_axes}
             self._vjp_kernel_cache: Dict[tuple, object] = {}
 
@@ -363,7 +368,8 @@ class ShardedChain:
             self._vjp_kernel_cache[key] = fused_stage_chain_vjp(
                 self.stages, self.k, periodic=self.periodic,
                 interpret=self._interp, tile_rows=self._tile_rows,
-                vmem_limit_bytes=self._vmem, shard=shard)
+                vmem_limit_bytes=self._vmem, shard=shard, bcs=self.bcs,
+                extra_state=self._extra_fields)
         fwd_kern = self._kernel_cache[key]
         vjp_kern = self._vjp_kernel_cache[key]
 

@@ -255,6 +255,89 @@ def _assert_fused_bwd_matches_sequential(stages, k, state, boundary,
                                rtol=1e-11, atol=1e-11)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("spec,oracle", [
+    (("dirichlet", 0.5), lambda a, g: dirichlet(a, g, 0.5)),
+    ("neumann", lambda a, g: neumann(a, g)),
+])
+def test_sharded_fused_bwd_with_frame_bc(spec, oracle):
+    """ShardedChain(fused_bwd=True, boundary=…): the BC transposes run
+    inside the per-shard two-phase kernel at GLOBAL coordinates; gradients
+    must match the sequential single-device path exactly."""
+    from pystencils_autodiff_tpu.parallel import ShardedChain, make_mesh
+
+    op = heat_op()
+    k = 2
+    mesh = make_mesh((4,), ("x",))
+    chain = ShardedChain(op, k, mesh, {0: "x"}, carry_map={"u": "u_next"},
+                         interpret=True, boundary={"u": spec},
+                         fused_bwd=True)
+    step = stage_stepper(op, {"u": "u_next"})
+    ghost = ((1, 1), (1, 1))
+    u0 = rand(20, (64, 32))
+    cot = rand(21, (64, 32))
+
+    @jax.jit
+    def run(uv, cv):
+        out, pull = jax.vjp(lambda a: chain({"u": a})["u"], uv)
+        return out, pull(cv)[0]
+
+    out, grad = run(u0, cot)
+
+    def seq(a):
+        r = a
+        for _ in range(k):
+            r = step({"u": oracle(r, ghost)})["u"]
+        return r
+
+    ref_out, pull = jax.vjp(seq, u0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(pull(cot)[0]),
+                               rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_fused_bwd_bounce_back_cavity():
+    """Sharded lid-driven cavity with fused_bwd: value AND u_lid gradient
+    in one kernel per shard per k cycles, matching single-device
+    sequential stepping (the cavity done-criterion, sharded edition)."""
+    from pystencils_autodiff_tpu.parallel import ShardedChain, make_mesh
+
+    op, solid, f0 = _cavity_setup(n=32)
+    u_lid = 0.05 * jnp.exp(-((jnp.arange(32) - 16.0) / 8.0) ** 2)
+    u_lid2 = jnp.broadcast_to(u_lid, (32, 32))
+    k = 2
+    mesh = make_mesh((2,), ("x",))
+    chain = ShardedChain(
+        op, k, mesh, {0: "x"}, carry_map={"f": "f_out"}, interpret=True,
+        boundary={"f": ("bounce_back", "solid", ("u0", 0.0))},
+        fused_bwd=True)
+
+    step = stage_stepper(op, {"f": "f_out"})
+
+    def seq(f, ul):
+        r = f
+        for _ in range(k):
+            r = bounce_back(r, solid != 0, u_wall=(ul, 0.0), wrap=False)
+            r = step({"f": r})["f"]
+        return r
+
+    @jax.jit
+    def fused_loss(ul):
+        out = chain({"f": f0, "solid": solid, "u0": ul})["f"]
+        return jnp.sum(jnp.sin(out))
+
+    g_f = jax.grad(fused_loss)(u_lid2)
+    g_s = jax.grad(lambda ul: jnp.sum(jnp.sin(seq(f0, ul))))(u_lid2)
+    out_f = jax.jit(chain)({"f": f0, "solid": solid, "u0": u_lid2})["f"]
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(seq(f0, u_lid2)),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                               rtol=1e-11, atol=1e-11)
+    assert float(jnp.max(jnp.abs(g_f))) > 0
+
+
 def test_fused_bwd_neumann_matches_sequential():
     """neumann frame transpose inside the two-phase kernel (2D)."""
     _assert_fused_bwd_matches_sequential(
@@ -288,6 +371,15 @@ def test_fused_bwd_neumann_3d(shape):
     _assert_fused_bwd_matches_sequential(
         [(op, {"u": "u_next"})], 2, {"u": rand(13, shape)},
         {"u": "neumann"})
+
+
+def test_fused_bwd_pads_awkward_rows():
+    """Row counts with no multiple-of-8 divisor (36 = 4·9) previously made
+    the two-phase kernel raise 'no viable tile'; the bounded path now row-
+    pads exactly like the forward kernel."""
+    _assert_fused_bwd_matches_sequential(
+        [(heat_op(), {"u": "u_next"})], 2, {"u": rand(16, (36, 32))},
+        {"u": ("dirichlet", 0.25)})
 
 
 def test_fused_bwd_neumann_with_masked_dirichlet():
