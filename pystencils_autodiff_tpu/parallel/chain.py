@@ -18,11 +18,15 @@ blocks, the missing piece of the reference's waLBerla story
 schemes amortise — here the amortisation is ``k`` deep, exact, and
 differentiable).
 
-Gradients: the chain is a ``jax.custom_vjp``; the backward recomputes the
-cycles with sequential ``ShardedStencil`` sweeps and pulls back through
-them (recompute-from-checkpoint) — ppermute transposes give the exact
+Gradients: the chain is a ``jax.custom_vjp``.  The default backward
+recomputes the cycles with sequential ``ShardedStencil`` sweeps and pulls
+back through them (recompute-from-checkpoint); ``fused_bwd=True`` instead
+runs ONE ``k·(reach_f+reach_b)``-deep exchange plus the two-phase fused
+adjoint kernel per shard (ops/stage_adjoint.py) — 4 ppermutes per sharded
+dim per value+gradient call, independent of k, composing with in-chain
+boundary conditions.  Either way ppermute transposes give the exact
 transposed exchange, so cotangents are bit-identical to sequential
-stepping.  (A fused comm-avoiding backward is tracked in ROADMAP.md.)
+stepping.
 """
 
 from __future__ import annotations
