@@ -9,7 +9,18 @@ shard_map/halo-exchange tests run "multi-chip" without a cluster.
 import os
 import sys
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    _flags += " --xla_force_host_platform_device_count=8"
+if (not os.environ.get("PYSTENCILS_ADTPU_TPU_TESTS")
+        and not os.environ.get("PYSTENCILS_ADTPU_XLA_FULL_OPT")
+        and "--xla_backend_optimization_level" not in _flags):
+    # the CPU oracle suite is XLA-COMPILE-bound (big unrolled
+    # interpret-mode graphs, tiny domains): backend opt level 0 cuts the
+    # serial suite ~32% — it is a compile-time knob, results are
+    # identical; set PYSTENCILS_ADTPU_XLA_FULL_OPT=1 to restore
+    _flags += " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = _flags.strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
