@@ -151,6 +151,53 @@ def test_bounce_back_cavity_chain(k):
     assert abs(float(g_f)) > 0, "lid-velocity gradient must be alive"
 
 
+def test_fused_bwd_bounce_back_streaming_canary():
+    """Default-lane canary for the bounce-back transpose machinery
+    (per-velocity scatter, edge-clamp folds, wall-velocity cotangents):
+    a pure streaming stage keeps the stage programs tiny so the trace is
+    dominated by the BC transpose itself — the k=2 BGK cavities in the
+    thorough tier check the same path on the full collision operator."""
+    from pystencils_autodiff_tpu import Field
+    from pystencils_autodiff_tpu.models.lbm import D2Q9_VELOCITIES
+
+    n = 16
+    f = Field("f", 2, index_shape=(9,), dtype="float64")
+    fo = Field("f_out", 2, index_shape=(9,), dtype="float64")
+    asgs = [Assignment(fo(j), f[tuple(-c for c in cj)](j))
+            for j, cj in enumerate(D2Q9_VELOCITIES)]
+    op = AutoDiffOp(asgs, op_name="stream9")
+    k = 1
+    chain = fused_stage_chain(
+        [(op, {"f": "f_out"})], k, interpret=True, fused_bwd=True,
+        boundary={"f": ("bounce_back", "solid", ("uw0", "uw1"))})
+    step = stage_stepper(op, {"f": "f_out"})
+    solid = (jnp.zeros((n, n)).at[0, :].set(1.0).at[-1, :].set(1.0)
+             .at[:, 0].set(1.0).at[:, -1].set(1.0))
+    f0 = 1.0 + 0.01 * rand(3, (n, n, 9))
+    lid_mask = jnp.zeros((n, n)).at[0, :].set(1.0)
+
+    def fused_run(u_lid):
+        return chain({"f": f0, "solid": solid, "uw0": jnp.zeros((n, n)),
+                      "uw1": lid_mask * u_lid})["f"]
+
+    def seq_run(u_lid):
+        r = f0
+        for _ in range(k):
+            r = bounce_back(r, solid != 0,
+                            u_wall=(jnp.zeros((n, n)), lid_mask * u_lid))
+            r = step({"f": r})["f"]
+        return r
+
+    u_lid = 0.08
+    np.testing.assert_allclose(np.asarray(jax.jit(fused_run)(u_lid)),
+                               np.asarray(seq_run(u_lid)),
+                               rtol=RTOL, atol=ATOL)
+    g_f = jax.jit(jax.grad(lambda u: jnp.sum(jnp.sin(fused_run(u)))))(u_lid)
+    g_s = jax.jit(jax.grad(lambda u: jnp.sum(jnp.sin(seq_run(u)))))(u_lid)
+    np.testing.assert_allclose(float(g_f), float(g_s), rtol=1e-11)
+    assert abs(float(g_f)) > 0
+
+
 def test_chain_bc_validation():
     op = heat_op()
     with pytest.raises(ValueError, match="meaningless on"):
