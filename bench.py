@@ -27,38 +27,31 @@ amortises away.
 
 import json
 import os
-import subprocess
 import sys
 
+# a dead TPU relay makes jax.devices() hang in C land (observed
+# 2026-08-17, multi-hour outage), which would hang the whole driver
+# check: probe backend init in a subprocess (utils/relay.py — skipped
+# when the env already pins CPU) and on timeout re-run pinned to CPU
+# with an honest label.  Truthiness, not presence: an empty value means
+# "not set" at both this check and the config pin below.
+_FORCED_CPU = bool(os.environ.get("PYSTENCILS_ADTPU_BENCH_CPU"))
+if __name__ == "__main__" and not _FORCED_CPU:
+    from pystencils_autodiff_tpu.utils.relay import backend_alive
 
-def _backend_alive(timeout_s: float = 150.0) -> bool:
-    """Probe jax backend init in a SUBPROCESS: a dead TPU relay makes
-    jax.devices() hang in C land (observed 2026-08-17, multi-hour
-    outage), which would hang the whole driver check.  On timeout the
-    parent re-runs itself pinned to CPU with an honest label."""
-    code = "import jax; jax.devices(); print('ok')"
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, text=True,
-                           timeout=timeout_s)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
-if __name__ == "__main__" and "PYSTENCILS_ADTPU_BENCH_CPU" not in os.environ:
-    if not _backend_alive():
+    if not backend_alive():
         print("# TPU backend unreachable (relay down?) — re-running the "
               "benchmark on CPU interpret mode; the GB/s value below is "
               "NOT a TPU measurement", file=sys.stderr)
         env = dict(os.environ, PYSTENCILS_ADTPU_BENCH_CPU="1",
                    JAX_PLATFORMS="cpu")
-        os.execvpe(sys.executable, [sys.executable, __file__], env)
+        os.execvpe(sys.executable,
+                   [sys.executable, __file__, *sys.argv[1:]], env)
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-if os.environ.get("PYSTENCILS_ADTPU_BENCH_CPU"):
+if _FORCED_CPU:
     jax.config.update("jax_platforms", "cpu")
 
 

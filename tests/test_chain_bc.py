@@ -385,11 +385,15 @@ def test_sharded_fused_bwd_bounce_back_cavity():
     assert float(jnp.max(jnp.abs(g_f))) > 0
 
 
-def test_fused_bwd_neumann_matches_sequential():
-    """neumann frame transpose inside the two-phase kernel (2D)."""
+@pytest.mark.parametrize("tile_rows", [None, 16])
+def test_fused_bwd_neumann_matches_sequential(tile_rows):
+    """neumann frame transpose inside the two-phase kernel (2D).
+    ``tile_rows=16`` forces a MULTI-TILE kernel (40 rows pad to 48,
+    nb=3), exercising the mirrored-reach margin accounting and the
+    strict source masks across tile cuts."""
     _assert_fused_bwd_matches_sequential(
         [(heat_op(), {"u": "u_next"})], 2, {"u": rand(11, (40, 32))},
-        {"u": "neumann"})
+        {"u": "neumann"}, tile_rows=tile_rows)
 
 
 def test_fused_bwd_neumann_wide_frame():
