@@ -165,10 +165,18 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
         feeds.append(fj)
         passes.append(pj)
 
-    need_primal = [any(not isinstance(a.field, AdjointField)
-                       for st in bp.steps for a in st.atoms
-                       if isinstance(a, Field.Access))
-                   for bp in bwd_progs]
+    # per-stage primal planes the backward program actually READS — save
+    # only those in phase 1 (saving the whole state dict per need_primal
+    # stage kept k·S·n_keys planes live and dominated the VMEM estimate,
+    # shrinking the viable tile; nonlinear stages typically read a small
+    # subset of the state)
+    saved_keys: List[tuple] = []
+    for bp in bwd_progs:
+        ks = {(a.field.name, a.index) for st in bp.steps for a in st.atoms
+              if isinstance(a, Field.Access)
+              and not isinstance(a.field, AdjointField)}
+        saved_keys.append(tuple(k for k in ks))
+    need_primal = [bool(ks) for ks in saved_keys]
 
     # shift-before-slice only pays for RECURRING lane offsets; single-use
     # offsets keep slice-then-shift (pre-shifting the larger un-sliced
@@ -232,9 +240,15 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
             cumF.append(cumF[-1] + bclo[j] + bchi[j] + lof[j] + hif[j])
 
         itemsize = jnp.dtype(dtype).itemsize
-        n_saved = sum(1 for i in range(n_stages) if need_primal[stage_j[i]])
-        n_live = (len(state_keys) * ((3 * n_saved + 10) if n_saved else 24)
-                  + 8)
+        # live planes: ~10 working values per state key, plus 3× every
+        # SAVED primal plane (saved at pre-stage extent, re-read shifted
+        # in phase 2) across all k·S stages — selective saving means a
+        # stage contributes only the planes its backward actually reads
+        n_saved_planes = sum(len(saved_keys[stage_j[i]])
+                             for i in range(n_stages)
+                             if need_primal[stage_j[i]])
+        n_live = (len(state_keys) * (10 if n_saved_planes else 24)
+                  + 3 * n_saved_planes + 8)
         t = tile_rows or pick_chain_tile(rows, LO, HI,
                                          cols * itemsize * n_live,
                                          vmem_limit_bytes)
@@ -376,7 +390,8 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                         cur = apply_bc_F(cur, bc, prog.ghost, blo_b,
                                          (LO + t + HI) - done_tot,
                                          tile_i * t - (LO - done_lo))
-                    saved.append(dict(cur) if need_primal[j] else None)
+                    saved.append({kk: cur[kk] for kk in saved_keys[j]}
+                                 if need_primal[j] else None)
                     ext_rows = (LO + t + HI) - cumF[i + 1]
                     env: Dict[object, jax.Array] = {}
                     stage_out: Dict[tuple, jax.Array] = {}
