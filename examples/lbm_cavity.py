@@ -85,3 +85,37 @@ print(f"lid-velocity recovery: start 0.05 -> {float(u):.6f} "
       f"(true {u_lid_true}), loss {float(val):.3e}")
 assert abs(float(u) - u_lid_true) < 1e-3, "gradient should recover the lid velocity"
 print("cavity OK")
+
+# --- TPU fast path: the same cavity as ONE fused kernel per k cycles -------
+# On hardware, per-step stepping pays an HBM round trip per sweep; the fused
+# chain runs k full [bounce-back, BGK] cycles in one Pallas kernel, and with
+# fused_bwd=True the u_lid GRADIENT comes out of one two-phase kernel too
+# (the BC transposes run in-kernel).  Bit-exact vs the stepper above.
+from pystencils_autodiff_tpu.ops import fused_stage_chain
+
+k = 2
+chain = fused_stage_chain(
+    [(op, {"f": "f_out"})], k, fused_bwd=True,
+    boundary={"f": ("bounce_back", "solid", ("uw0", "uw1"))})
+lid_mask = jnp.zeros((n, n)).at[0, :].set(1.0)
+
+
+def run_cavity_fused(u_lid, f0, n_calls):
+    state = {"f": f0, "solid": solid.astype(f0.dtype),
+             "uw0": jnp.zeros((n, n)), "uw1": lid_mask * u_lid}
+    return jax.lax.fori_loop(
+        0, n_calls, lambda _, s: {**s, "f": chain(s)["f"]}, state)["f"]
+
+
+f_seq = jax.jit(run_cavity, static_argnums=2)(u_lid_true, f_eq0, 2 * k)
+f_fus = jax.jit(run_cavity_fused, static_argnums=2)(u_lid_true, f_eq0, 2)
+np.testing.assert_allclose(np.asarray(f_fus), np.asarray(f_seq),
+                           rtol=1e-12, atol=1e-12)
+g_fused = jax.grad(lambda ul: jnp.sum(
+    jnp.sin(run_cavity_fused(ul, f_eq0, 2))))(u_lid_true)
+g_seq = jax.grad(lambda ul: jnp.sum(
+    jnp.sin(run_cavity(ul, f_eq0, 2 * k))))(u_lid_true)
+np.testing.assert_allclose(float(g_fused), float(g_seq), rtol=1e-10)
+print(f"fused chain (k={k}, in-kernel bounce-back, fused backward): "
+      f"state and u_lid gradient match the stepper "
+      f"({float(g_fused):+.6f})")
