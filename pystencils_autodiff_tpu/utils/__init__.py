@@ -1,4 +1,5 @@
-from .autotune import TuneResult, autotune_chain
+from .autotune import (TuneResult, autotune_chain,
+                       autotune_stage_chain)
 from .benchmark import (fetch_timed, roofline_gbps, rtt_baseline,
                         slope_timed)
 from .config import LoweringConfig, log_lowering_decision
@@ -6,6 +7,7 @@ from .profiling import KernelStats, timed_region, trace
 
 __all__ = [
     "autotune_chain",
+    "autotune_stage_chain",
     "TuneResult",
     "fetch_timed",
     "slope_timed",

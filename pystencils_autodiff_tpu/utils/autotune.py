@@ -33,7 +33,7 @@ from typing import Callable, Dict, Optional, Sequence, Tuple
 
 logger = logging.getLogger("pystencils_autodiff_tpu.autotune")
 
-__all__ = ["autotune_chain", "TuneResult"]
+__all__ = ["autotune_chain", "autotune_stage_chain", "TuneResult"]
 
 
 def _cache_path() -> str:
@@ -207,6 +207,134 @@ def autotune_chain(op, carry_map: Dict[str, str], state,
     if not table:
         raise last_exc if last_exc is not None else RuntimeError(
             "autotune_chain: no viable candidates")
+
+    (best_k, best_tile), best_t = min(table.items(), key=lambda kv: kv[1])
+    if use_cache:
+        cache[key] = {"k": best_k, "tile_rows": best_tile,
+                      "per_step_s": best_t}
+        _save_cache(cache)
+    return TuneResult(best={"k": best_k, "tile_rows": best_tile},
+                      per_step_s=best_t, fn=fns[(best_k, best_tile)],
+                      cached=False, table=table)
+
+
+def _stage_timer(chain_fn, state, k: int, calls: int, repeats: int,
+                 grad: bool) -> float:
+    """Per-step seconds of ``calls`` data-dependent stage-chain cycles —
+    value only, or value+gradient via ``jax.vjp`` of the chain (which
+    runs the fused two-phase backward when the chain was built with
+    ``fused_bwd=True``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .benchmark import fetch_timed, rtt_baseline
+
+    names = sorted(state)
+
+    if grad:
+        cots = {n: jnp.ones_like(state[n]) for n in names}
+
+        @jax.jit
+        def f(st):
+            def body(carry, _):
+                st_c, ct_c = carry
+                out, pull = jax.vjp(chain_fn, st_c)
+                (g,) = pull(ct_c)
+                return (out, g), None
+            (st2, _), _ = jax.lax.scan(body, (st, cots), None,
+                                       length=calls, unroll=calls)
+            return st2[names[0]]
+    else:
+        @jax.jit
+        def f(st):
+            def body(carry, _):
+                return chain_fn(carry), None
+            st2, _ = jax.lax.scan(body, st, None,
+                                  length=calls, unroll=calls)
+            return st2[names[0]]
+
+    rtt = rtt_baseline()
+    total = fetch_timed(f, dict(state), repeats=repeats)
+    return max((total - rtt) / (k * calls), 1e-12)
+
+
+def autotune_stage_chain(stages, state,
+                         k_candidates: Sequence[int] = (2, 3, 4, 6, 8),
+                         tile_candidates: Sequence[Optional[int]] = (None,),
+                         fused_bwd: bool = False, periodic: bool = False,
+                         boundary=None, calls: int = 4, repeats: int = 3,
+                         timer: Optional[Callable] = None,
+                         use_cache: bool = True, force: bool = False,
+                         **chain_kwargs) -> TuneResult:
+    """``autotune_chain`` for heterogeneous stage sequences
+    (``ops.fused_stage_chain``): sweep (k, tile_rows) on the live device
+    and return the winning chain built and cached.
+
+    ``stages``/``boundary`` follow ``fused_stage_chain``.  With
+    ``fused_bwd=True`` each candidate is timed on its full
+    value+gradient cost (``jax.vjp`` of the chain, i.e. the forward
+    kernel plus the two-phase adjoint kernel) — the quantity a training
+    loop actually pays.  ``timer(chain_fn, state, k, calls, repeats,
+    grad) -> per_step_seconds`` overrides the measurement.
+    """
+    import jax
+
+    from ..ops.stage_chain import fused_stage_chain
+
+    names = sorted(state)
+    arr0 = state[names[0]]
+    spatial = tuple(arr0.shape)
+    try:
+        device = jax.devices()[0].device_kind
+    except Exception:
+        device = "unknown"
+
+    def build(k: int, tile: Optional[int]):
+        return fused_stage_chain(stages, k, periodic=periodic,
+                                 tile_rows=tile, fused_bwd=fused_bwd,
+                                 boundary=boundary, **chain_kwargs)
+
+    stage_sig = "+".join(
+        f"{op.op_name}{sorted(carry.items())}" for op, carry in stages)
+    extra = ""
+    if chain_kwargs:
+        extra = "|" + ",".join(f"{k}={chain_kwargs[k]!r}"
+                               for k in sorted(chain_kwargs))
+    key = (f"stages|{'grad' if fused_bwd else 'fwd'}|{stage_sig}|{spatial}|"
+           f"{arr0.dtype}|periodic={periodic}|bc={boundary!r}|{device}"
+           f"|k={tuple(k_candidates)}|tiles={tuple(tile_candidates)}"
+           + extra)
+    cache = _load_cache() if use_cache else {}
+    hit = cache.get(key)
+    if hit and not force:
+        k, tile = hit["k"], hit.get("tile_rows")
+        logger.info("autotune cache hit for %s: k=%d tile=%s", key, k, tile)
+        return TuneResult(best={"k": k, "tile_rows": tile},
+                          per_step_s=hit.get("per_step_s"),
+                          fn=build(k, tile), cached=True)
+
+    timer = timer or _stage_timer
+    table: Dict[Tuple[int, Optional[int]], float] = {}
+    fns: Dict[Tuple[int, Optional[int]], Callable] = {}
+    last_exc: Optional[BaseException] = None
+    for k in k_candidates:
+        for tile in tile_candidates:
+            try:
+                fn = build(k, tile)
+                t = timer(fn, state, k, calls, repeats, fused_bwd)
+            except Exception as e:
+                logger.warning("autotune: candidate k=%d tile=%s failed "
+                               "(%s: %s)", k, tile, type(e).__name__,
+                               str(e)[:120])
+                last_exc = e
+                continue
+            table[(k, tile)] = t
+            fns[(k, tile)] = fn
+            logger.info("autotune: k=%d tile=%s -> %.3f ms/step",
+                        k, tile, t * 1e3)
+    if not table:
+        raise last_exc if last_exc is not None else RuntimeError(
+            "autotune_stage_chain: no viable candidates")
 
     (best_k, best_tile), best_t = min(table.items(), key=lambda kv: kv[1])
     if use_cache:

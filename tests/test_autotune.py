@@ -168,3 +168,56 @@ def test_cache_key_scopes_candidates_and_kwargs(tune_cache):
                           vmem_limit_bytes=32 * 1024 * 1024,
                           timer=spy_timer)
     assert not res2.cached and seen == [2, 4]
+
+
+# ---- stage-chain autotuning ------------------------------------------------
+
+def test_stage_chain_picks_fastest_and_caches(tune_cache):
+    """autotune_stage_chain sweeps fused_stage_chain configurations
+    (here: a BC'd chain with the fused two-phase backward) and persists
+    the winner keyed by stages + boundary + direction."""
+    from pystencils_autodiff_tpu.utils import autotune_stage_chain
+
+    op = heat_step_op(dt=0.1)
+    state = _state()
+
+    def timer(chain_fn, st, k, calls, repeats, grad):
+        assert grad is True
+        return {1: 2e-3, 2: 1e-3}[k]
+
+    res = autotune_stage_chain(
+        [(op, {"u": "u_next"})], state, k_candidates=(1, 2),
+        fused_bwd=True, boundary={"u": "neumann"}, interpret=True,
+        timer=timer)
+    assert res.best == {"k": 2, "tile_rows": None} and not res.cached
+
+    # the returned fn is the BC'd fused-bwd chain: differentiable
+    g = jax.grad(lambda a: jnp.sum(res.fn({"u": a})["u"] ** 2))(state["u"])
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+    # cache hit: no re-measurement
+    res2 = autotune_stage_chain(
+        [(op, {"u": "u_next"})], state, k_candidates=(1, 2),
+        fused_bwd=True, boundary={"u": "neumann"}, interpret=True,
+        timer=lambda *a: (_ for _ in ()).throw(AssertionError("re-measured")))
+    assert res2.cached and res2.best["k"] == 2
+
+    # a different boundary spec is a different key -> re-measures
+    res3 = autotune_stage_chain(
+        [(op, {"u": "u_next"})], state, k_candidates=(1, 2),
+        fused_bwd=True, boundary={"u": ("dirichlet", 0.0)}, interpret=True,
+        timer=timer)
+    assert not res3.cached
+
+
+def test_stage_chain_default_timer_runs_on_cpu(tune_cache):
+    """The real _stage_timer path (jax.vjp of the chain, unrolled scan)
+    executes in interpret mode — a smoke test that the measured quantity
+    is buildable and finite."""
+    from pystencils_autodiff_tpu.utils import autotune_stage_chain
+
+    op = heat_step_op(dt=0.1)
+    res = autotune_stage_chain(
+        [(op, {"u": "u_next"})], _state(16), k_candidates=(1,),
+        fused_bwd=False, periodic=True, interpret=True, calls=1, repeats=1)
+    assert res.per_step_s > 0
