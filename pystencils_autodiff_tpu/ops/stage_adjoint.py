@@ -45,7 +45,38 @@ from .common import (assemble_planes, backward_program, field_components,
                      scoped_vmem)
 from .stage_chain import _validate_stages
 
-__all__ = ["fused_stage_chain_vjp"]
+__all__ = ["fused_stage_chain_vjp", "validate_bc_invariance"]
+
+
+def validate_bc_invariance(bcs, carries) -> None:
+    """Build-time checks for BCs entering the fused backward: phase 2
+    reads BC parameter planes from the ORIGINAL input block
+    (chain-invariance) — a carry-written mask/value/u_wall field would
+    make every cycle's transpose use the cycle-0 plane, and a
+    masked_dirichlet value aliasing its target is ambiguous."""
+    bad = [bc.kind for bl in bcs.values() for bc in bl
+           if bc.kind not in ("dirichlet", "neumann",
+                              "masked_dirichlet", "bounce_back")]
+    if bad:
+        raise ValueError(
+            f"fused_stage_chain_vjp: BC kinds {bad} have no fused "
+            f"transpose yet — use fused_bwd=False (sequential "
+            f"recompute backward)")
+    carried = {dst for c in carries for dst in c}
+    for bl in bcs.values():
+        for bc in bl:
+            params = [bc.mask] + list(bc.u_wall or ()) + [bc.value]
+            refs = [p for p in params if isinstance(p, str)]
+            if bc.value == bc.field:
+                raise ValueError(
+                    f"fused backward: masked_dirichlet value field "
+                    f"aliases its target {bc.field!r} — unsupported")
+            hot = sorted(set(refs) & carried)
+            if hot:
+                raise ValueError(
+                    f"fused backward: BC parameter field(s) {hot} are "
+                    f"carry targets (not chain-invariant) — use "
+                    f"fused_bwd=False")
 
 
 def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
@@ -81,32 +112,7 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
     # its pass sequence with zero-fill outward shifts.
     bcs = dict(bcs or {})
     if bcs:
-        bad = [bc.kind for bl in bcs.values() for bc in bl
-               if bc.kind not in ("dirichlet", "neumann",
-                                  "masked_dirichlet", "bounce_back")]
-        if bad:
-            raise ValueError(
-                f"fused_stage_chain_vjp: BC kinds {bad} have no fused "
-                f"transpose yet — use fused_bwd=False (sequential "
-                f"recompute backward)")
-        # phase 2 reads BC parameter planes from the ORIGINAL input block
-        # (chain-invariance); a carry-written mask/value/u_wall field
-        # would make every cycle's transpose use the cycle-0 plane
-        carried = {dst for c in carries for dst in c}
-        for bl in bcs.values():
-            for bc in bl:
-                params = [bc.mask] + list(bc.u_wall or ()) + [bc.value]
-                refs = [p for p in params if isinstance(p, str)]
-                if bc.value == bc.field:
-                    raise ValueError(
-                        f"fused backward: masked_dirichlet value field "
-                        f"aliases its target {bc.field!r} — unsupported")
-                hot = sorted(set(refs) & carried)
-                if hot:
-                    raise ValueError(
-                        f"fused backward: BC parameter field(s) {hot} are "
-                        f"carry targets (not chain-invariant) — use "
-                        f"fused_bwd=False")
+        validate_bc_invariance(bcs, carries)
     if extra_state:
         state_fields = {**state_fields, **extra_state}
         state_names = list(state_names) + [n for n in extra_state

@@ -596,18 +596,68 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
 
     kernel_cache = {}
 
+    bc_sig = repr(sorted((j, tuple(bc.kind for bc in bl))
+                         for j, bl in bcs.items())) if bcs else ""
+    stage_sig = "+".join(p.name for p in progs)
+
+    def _build_fwd(spatial, dt_, interp, kk, vmem=None):
+        return _make_stage_chain_kernel(
+            progs, carries, state_fields, state_names, kk, spatial, dt_,
+            interp, periodic, tile_rows=tile_rows,
+            vmem_limit_bytes=vmem or vmem_limit_bytes, bcs=bcs)
+
     def fused_fwd(state):
         f0 = state_fields[state_names[0]]
         arr0 = state[state_names[0]]
         spatial = storage_spatial(f0, arr0)
         key = (spatial, str(arr0.dtype))
-        if key not in kernel_cache:
-            interp = interpret if interpret is not None else not _on_tpu()
-            kernel_cache[key] = _make_stage_chain_kernel(
-                progs, carries, state_fields, state_names, k, spatial,
-                dtype or arr0.dtype, interp, periodic, tile_rows=tile_rows,
-                vmem_limit_bytes=vmem_limit_bytes, bcs=bcs)
-        return kernel_cache[key]({n: state[n] for n in state_names})
+        if key in kernel_cache:
+            return kernel_cache[key]({n: state[n] for n in state_names})
+        interp = interpret if interpret is not None else not _on_tpu()
+        dt_ = dtype or arr0.dtype
+        if interp:
+            kernel_cache[key] = _build_fwd(spatial, dt_, interp, k)
+            return kernel_cache[key]({n: state[n] for n in state_names})
+        # on hardware: route Mosaic compile crashes/hangs (ops/guard.py)
+        # to smaller VMEM budgets, shallower chains (same math, k//kk
+        # kernel launches) and ultimately sequential stepping
+        from .guard import guard_variants, tuning_tag
+
+        abstract = {n: jax.ShapeDtypeStruct(state[n].shape, state[n].dtype)
+                    for n in state_names}
+
+        def compose(kk, vmem=None):
+            def build():
+                kern = _build_fwd(spatial, dt_, interp, kk, vmem)
+                # force the Mosaic compile NOW (AOT, abstract args) so it
+                # cannot escape the guard under an outer jit
+                jax.jit(kern).lower(abstract).compile()
+                reps = k // kk
+
+                def fn(st):
+                    for _ in range(reps):
+                        st = kern(st)
+                    return st
+                return fn
+            return build
+
+        variants = [(f"chain_k{k}", compose(k))]
+        for div in (2, 4):
+            variants.append((f"chain_k{k}_vmem/{div}",
+                             compose(k, vmem_limit_bytes // div)))
+        seen_kk = {k}
+        for kk in (k // 2, 1):
+            if 0 < kk < k and k % kk == 0 and kk not in seen_kk:
+                seen_kk.add(kk)
+                variants.append((f"chain_k{kk}", compose(kk)))
+        variants.append(("sequential", lambda: sequential))
+        name, fn, result = guard_variants(
+            variants, {n: state[n] for n in state_names},
+            signature=f"stage_chain|{stage_sig}|{spatial}|{arr0.dtype}|"
+                      f"k={k}|bc={bc_sig}"
+                      + tuning_tag(tile_rows, vmem_limit_bytes))
+        kernel_cache[key] = fn
+        return result
 
     @jax.custom_vjp
     def chain(state):
@@ -624,15 +674,73 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
     if fused_bwd:
         from .stage_adjoint import fused_stage_chain_vjp
 
-        adj_chain = fused_stage_chain_vjp(stages, k, periodic=periodic,
-                                          interpret=interpret,
-                                          tile_rows=tile_rows,
-                                          vmem_limit_bytes=vmem_limit_bytes,
-                                          bcs=bcs, extra_state=extra_fields)
+        if bcs:
+            # fail at BUILD time, not first backward (the vjp kernel
+            # builder is otherwise lazy behind the compile guard)
+            from .stage_adjoint import validate_bc_invariance
+
+            validate_bc_invariance(bcs, carries)
+
+        def _build_adj(vmem=None):
+            return fused_stage_chain_vjp(
+                stages, k, periodic=periodic, interpret=interpret,
+                tile_rows=tile_rows,
+                vmem_limit_bytes=vmem or vmem_limit_bytes,
+                bcs=bcs, extra_state=extra_fields)
+
+        adj_cache: Dict[tuple, object] = {}
 
         def bwd_rule(saved, cot):
-            _, cot0 = adj_chain(_cast(saved), _cast(cot))
-            return (cot0,)
+            saved, cot = _cast(saved), _cast(cot)
+            akey = tuple((n, tuple(saved[n].shape), str(saved[n].dtype))
+                         for n in state_names)
+            if akey in adj_cache:
+                _, cot0 = adj_cache[akey](saved, cot)
+                return (cot0,)
+            interp = interpret if interpret is not None else not _on_tpu()
+            if interp:
+                adj_cache[akey] = _build_adj()
+                _, cot0 = adj_cache[akey](saved, cot)
+                return (cot0,)
+            # on hardware: the two-phase kernel is the deepest module we
+            # build — route compile crashes/hangs to smaller VMEM budgets
+            # and ultimately the sequential-recompute backward (exact,
+            # k x the kernel launches)
+            from .guard import guard_variants, tuning_tag
+
+            abs_s = {n: jax.ShapeDtypeStruct(saved[n].shape,
+                                             saved[n].dtype)
+                     for n in state_names}
+            abs_c = {n: jax.ShapeDtypeStruct(cot[n].shape, cot[n].dtype)
+                     for n in state_names}
+
+            def compose(vmem=None):
+                def build():
+                    g = _build_adj(vmem)
+                    jax.jit(g).lower(abs_s, abs_c).compile()
+                    return g
+                return build
+
+            def seq_bwd():
+                def fn(sv, ct):
+                    out, pull = jax.vjp(sequential, sv)
+                    (grads,) = pull(ct)
+                    return out, grads
+                return fn
+
+            variants = [("stage_vjp", compose())]
+            for div in (2, 4):
+                variants.append((f"stage_vjp_vmem/{div}",
+                                 compose(vmem_limit_bytes // div)))
+            variants.append(("sequential_recompute", seq_bwd))
+            spatial0 = tuple(saved[state_names[0]].shape)
+            name, fn, result = guard_variants(
+                variants, saved, cot,
+                signature=f"stage_vjp|{stage_sig}|{spatial0}|k={k}|"
+                          f"bc={bc_sig}"
+                          + tuning_tag(tile_rows, vmem_limit_bytes))
+            adj_cache[akey] = fn
+            return (result[1],)
     else:
         def bwd_rule(saved, cot):
             _, pullback = jax.vjp(sequential, _cast(saved))

@@ -87,3 +87,111 @@ def test_known_pathology_heuristics():
     assert known_pathology("flat_chain_vjp_3d", cells=384 ** 3)
     assert known_pathology("flat_chain_vjp_3d", cells=256 ** 3) is None
     assert known_pathology("something_else", cells=10 ** 9) is None
+
+
+# ---- stage-chain integration: guard engages on the hardware path ----------
+
+def _heat_op():
+    from pystencils_autodiff_tpu import Assignment, AutoDiffOp, fields
+
+    u, u_next = fields("u, u_next", 2)
+    return AutoDiffOp([Assignment(
+        u_next[0, 0],
+        u[0, 0] + 0.1 * (u[1, 0] + u[-1, 0] + u[0, 1] + u[0, -1]
+                         - 4 * u[0, 0]))], op_name="heat2d_guard")
+
+
+def test_stage_chain_fwd_guard_routes_vmem(guard_cache, monkeypatch, caplog):
+    """A stage-chain kernel that crashes at the default VMEM budget must
+    fall through to the vmem/2 variant (simulated remote HTTP 500)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pystencils_autodiff_tpu.ops import pallas_kernel
+    from pystencils_autodiff_tpu.ops import stage_chain as sc
+
+    monkeypatch.setattr(pallas_kernel, "_on_tpu", lambda: True)
+    real_make = sc._make_stage_chain_kernel
+    default_vmem = 100 * 1024 * 1024
+
+    def fake_make(progs, carries, state_fields, state_names, kk, spatial,
+                  dtype, interp, periodic, tile_rows=None,
+                  vmem_limit_bytes=default_vmem, shard=None, bcs=None):
+        if not interp and vmem_limit_bytes >= default_vmem:
+            def kern(inputs):
+                raise RuntimeError("remote compiler HTTP 500")
+            return kern
+        return real_make(progs, carries, state_fields, state_names, kk,
+                         spatial, dtype, True, periodic,
+                         tile_rows=tile_rows,
+                         vmem_limit_bytes=vmem_limit_bytes, shard=shard,
+                         bcs=bcs)
+
+    monkeypatch.setattr(sc, "_make_stage_chain_kernel", fake_make)
+    op = _heat_op()
+    chain = sc.fused_stage_chain([(op, {"u": "u_next"})], 2)
+    u0 = jax.random.normal(jax.random.PRNGKey(0), (32, 32), jnp.float64)
+    with caplog.at_level(logging.WARNING,
+                         logger="pystencils_autodiff_tpu.guard"):
+        out = chain({"u": u0})["u"]
+    assert any("falling back" in r.message for r in caplog.records)
+    reg = json.loads(guard_cache.read_text())
+    assert any(k.endswith("chain_k2") and v == "crash"
+               for k, v in reg.items())
+    # the fallback is the same math: compare against interpret chain
+    ref = sc.fused_stage_chain([(op, {"u": "u_next"})], 2,
+                               interpret=True)({"u": u0})["u"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_stage_chain_bwd_guard_routes_vmem(guard_cache, monkeypatch):
+    """The fused two-phase backward gets the same routing: a crashing
+    vjp build falls through to a smaller VMEM budget, cotangents exact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pystencils_autodiff_tpu.ops import pallas_kernel, stage_adjoint
+    from pystencils_autodiff_tpu.ops import stage_chain as sc
+
+    monkeypatch.setattr(pallas_kernel, "_on_tpu", lambda: True)
+    real_make = sc._make_stage_chain_kernel
+    default_vmem = 100 * 1024 * 1024
+
+    def fwd_interp(progs, carries, state_fields, state_names, kk, spatial,
+                   dtype, interp, periodic, **kw):
+        return real_make(progs, carries, state_fields, state_names, kk,
+                         spatial, dtype, True, periodic, **kw)
+
+    monkeypatch.setattr(sc, "_make_stage_chain_kernel", fwd_interp)
+
+    real_vjp = stage_adjoint.fused_stage_chain_vjp
+
+    def fake_vjp(stages, k, periodic=False, interpret=None, tile_rows=None,
+                 vmem_limit_bytes=default_vmem, shard=None, bcs=None,
+                 extra_state=None):
+        if vmem_limit_bytes >= default_vmem:
+            def g(state, cots, bases=None):
+                raise RuntimeError("remote compiler HTTP 500")
+            return g
+        return real_vjp(stages, k, periodic=periodic, interpret=True,
+                        tile_rows=tile_rows,
+                        vmem_limit_bytes=vmem_limit_bytes, shard=shard,
+                        bcs=bcs, extra_state=extra_state)
+
+    monkeypatch.setattr(stage_adjoint, "fused_stage_chain_vjp", fake_vjp)
+    op = _heat_op()
+    chain = sc.fused_stage_chain([(op, {"u": "u_next"})], 2, fused_bwd=True)
+    u0 = jax.random.normal(jax.random.PRNGKey(1), (32, 32), jnp.float64)
+    g = jax.grad(lambda a: jnp.sum(jnp.sin(chain({"u": a})["u"])))(u0)
+    reg = json.loads(guard_cache.read_text())
+    assert any(k.endswith("stage_vjp") and v == "crash"
+               for k, v in reg.items())
+    ref_chain = sc.fused_stage_chain([(op, {"u": "u_next"})], 2,
+                                     interpret=True)
+    g_ref = jax.grad(lambda a: jnp.sum(
+        jnp.sin(ref_chain({"u": a})["u"])))(u0)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-12, atol=1e-12)
