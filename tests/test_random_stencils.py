@@ -154,3 +154,83 @@ def test_random_stencil_pallas_blocked_3d(seed):
     g2 = jax.grad(loss(f_ref))(arrays)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(a, b, rtol=RTOL, atol=ATOL)
+
+
+# ---- fuzzing the fused two-phase backward with in-chain BCs ---------------
+
+def _random_chain_op(rng: np.random.Generator, seed_tag: str):
+    """Random self-map u -> u_next (chainable), reach <= 2, mixed
+    linear/nonlinear terms."""
+    u, u_next = fields("u, u_next", 2)
+
+    def acc():
+        off = (int(rng.integers(-2, 3)), int(rng.integers(-2, 3)))
+        return u[off]
+
+    def term():
+        kind = rng.integers(4)
+        if kind == 0:
+            return float(np.round(rng.normal(0, 0.3), 2)) * acc()
+        if kind == 1:
+            return 0.1 * acc() * acc()
+        if kind == 2:
+            return 0.1 * acc() ** 2
+        return 0.2 * sp.sin(acc())
+
+    expr = u[0, 0] + sum((term() for t in range(int(rng.integers(2, 5)))),
+                         sp.Integer(0))
+    return AutoDiffOp([Assignment(u_next.center, expr)],
+                      op_name=f"randchain_{seed_tag}")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_chain_fused_bwd_with_bcs(seed):
+    """Property sweep over the MOST complex kernel (the two-phase fused
+    adjoint with in-chain BC transposes): for random nonlinear self-map
+    stencils, random chain depth, and a random BC kind, the fused
+    backward must match the sequential-recompute backward bit-for-bit."""
+    from pystencils_autodiff_tpu.ops import fused_stage_chain
+
+    rng = np.random.default_rng(7000 + seed)
+    op = _random_chain_op(rng, str(seed))
+    k = int(rng.integers(1, 3))
+    shape = (int(rng.integers(20, 41)), 32)
+    state = {"u": jnp.asarray(rng.standard_normal(shape))}
+    bc_kind = ["neumann", "dirichlet", "masked_dirichlet",
+               None][rng.integers(4)]
+    if bc_kind == "masked_dirichlet":
+        mask = np.zeros(shape)
+        mask[rng.integers(2, 10):rng.integers(12, 18),
+             rng.integers(2, 10):rng.integers(12, 18)] = 1.0
+        state["m"] = jnp.asarray(mask)
+        state["val"] = jnp.asarray(rng.standard_normal(shape))
+        boundary = {"u": ("masked_dirichlet", "m", "val")}
+        wrt = "val"
+    elif bc_kind == "dirichlet":
+        boundary = {"u": ("dirichlet", float(np.round(rng.normal(), 2)))}
+        wrt = "u"
+    elif bc_kind == "neumann":
+        boundary = {"u": "neumann"}
+        wrt = "u"
+    else:
+        boundary, wrt = None, "u"
+
+    outs, grads = {}, {}
+    for fb in (False, True):
+        chain = fused_stage_chain([(op, {"u": "u_next"})], k,
+                                  interpret=True, boundary=boundary,
+                                  fused_bwd=fb)
+        outs[fb] = jax.jit(chain)(state)["u"]
+
+        def loss(a, _c=chain):
+            return jnp.sum(jnp.sin(_c({**state, wrt: a})["u"]))
+
+        grads[fb] = jax.jit(jax.grad(loss))(state[wrt])
+    np.testing.assert_allclose(np.asarray(outs[True]),
+                               np.asarray(outs[False]),
+                               rtol=1e-12, atol=1e-12,
+                               err_msg=f"fwd seed={seed} bc={bc_kind} k={k}")
+    np.testing.assert_allclose(np.asarray(grads[True]),
+                               np.asarray(grads[False]),
+                               rtol=1e-10, atol=1e-10,
+                               err_msg=f"bwd seed={seed} bc={bc_kind} k={k}")
