@@ -239,3 +239,37 @@ def test_add_field_array_init_records_placeholder():
     alloc = dh.graph.nodes[0]
     assert alloc.init == "array(10, 10)"
     dh.graph.to_json()  # artifact stays serialisable
+
+
+def test_graph_stages_mesh_boundary_fused_bwd_compose():
+    """The OUTERMOST composition in one artifact: a recorded timeloop
+    with boundary nodes, compiled mesh-decomposed with fuse='stages' AND
+    fused_bwd=True — the comm-avoiding fused chain runs the BC (and its
+    transpose) inside the per-shard kernel.  Bit-exact vs the unfused
+    single-device replay, gradients included."""
+    from pystencils_autodiff_tpu.parallel import make_mesh
+
+    n, k = 32, 2
+    dh = GraphDataHandling((n - 2, n - 2), ghost_layers=1,
+                           default_dtype=jnp.float64)
+    dh.add_field("u", init=0.0)
+    dh.set_array("u", jax.random.normal(jax.random.PRNGKey(5), (n, n)))
+    op = heat_step_op(dt=0.1, kappa_field=False, dtype="float64")
+    with dh.timeloop() as loop:
+        loop.boundary({"u": "neumann"})
+        loop.sweep(op, {"u": "u_next"})
+    mesh = make_mesh((4,), ("x",))
+    run_f = dh.compile(fuse="stages", k=k, mesh=mesh, dim_axes={0: "x"},
+                       fused_bwd=True)
+    run_r = dh.compile()
+    st = dh.state()
+    out_f = run_f(st, 2 * k)["u"]
+    out_r = run_r(st, 2 * k)["u"]
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-12, atol=1e-12)
+    g_f = jax.grad(lambda a: jnp.sum(
+        jnp.sin(run_f({"u": a}, 2 * k)["u"])))(st["u"])
+    g_r = jax.grad(lambda a: jnp.sum(
+        jnp.sin(run_r({"u": a}, 2 * k)["u"])))(st["u"])
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               rtol=1e-11, atol=1e-11)
