@@ -46,8 +46,8 @@ def pytest_configure(config):
 
 
 # The thorough tier: tests measured >= 3 s on the 1-core host (XLA-compile
-# bound; generated from `pytest --durations=0`, see ROADMAP.md suite-budget
-# note).  The DEFAULT run skips them to stay under the 5-minute budget that
+# bound; regenerate with tools/regen_tiers.py from a `pytest --durations=0`
+# report, see ROADMAP.md suite-budget note).  The DEFAULT run skips them to stay under the 5-minute budget that
 # keeps a suite actually being run (VERDICT round 2, next #6); every skipped
 # family keeps a faster canary in the default lane (e.g. the k=1 streaming
 # bounce-back fused-bwd cavity stands in for the 78 s k=2 BGK one).  Set
