@@ -129,6 +129,7 @@ _THOROUGH = (
     "test_vjp.py::test_3d_stencil",
     "test_random_stencils.py::test_random_stencil_pallas_blocked[1]",
     "test_pallas.py::test_row_tiled_3d_varcoeff",
+    "test_chain_bc.py::test_fused_bwd_bounce_back_soa_layout",
 )
 
 

@@ -571,3 +571,83 @@ def test_fused_bwd_rejects_non_invariant_bc_params():
             [(op, {"u": "u_next"})], 2, interpret=True,
             boundary={"u": ("masked_dirichlet", "obst", "u")},
             fused_bwd=True)
+
+
+@pytest.mark.parametrize("spec,oracle", [
+    (("dirichlet", 0.5, (0,)), lambda a, g: dirichlet(a, g, 0.5, dims=(0,))),
+    (("neumann", (1,)), lambda a, g: neumann(a, g, dims=(1,))),
+])
+def test_fused_bwd_frame_bc_dim_subsets(spec, oracle):
+    """Frame BCs restricted to a dim SUBSET (dirichlet rows-only,
+    neumann cols-only): masks/passes must skip the excluded dims in both
+    the forward kernel and the transposes."""
+    op = heat_op()
+    k = 2
+    u0 = rand(30, (40, 32))
+    step = stage_stepper(op, {"u": "u_next"})
+    ghost = ((1, 1), (1, 1))
+    chain = fused_stage_chain([(op, {"u": "u_next"})], k, interpret=True,
+                              boundary={"u": spec}, fused_bwd=True)
+    out = jax.jit(chain)({"u": u0})["u"]
+    ref = u0
+    for _ in range(k):
+        ref = step({"u": oracle(ref, ghost)})["u"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=RTOL, atol=ATOL)
+
+    g_f = jax.jit(jax.grad(
+        lambda a: jnp.sum(jnp.sin(chain({"u": a})["u"]))))(u0)
+
+    def seq_loss(a):
+        r = a
+        for _ in range(k):
+            r = step({"u": oracle(r, ghost)})["u"]
+        return jnp.sum(jnp.sin(r))
+
+    g_s = jax.grad(seq_loss)(u0)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_fused_bwd_bounce_back_soa_layout():
+    """bounce-back + fused backward on an 'soa' (component-major)
+    population field: plane slicing must stay consistent between the BC
+    transpose reads and the state planes."""
+    from pystencils_autodiff_tpu import Field
+    from pystencils_autodiff_tpu.models.lbm import D2Q9_VELOCITIES
+
+    n = 16
+    f = Field("f", 2, index_shape=(9,), dtype="float64", layout="soa")
+    fo = Field("f_out", 2, index_shape=(9,), dtype="float64", layout="soa")
+    asgs = [Assignment(fo(j), f[tuple(-c for c in cj)](j))
+            for j, cj in enumerate(D2Q9_VELOCITIES)]
+    op = AutoDiffOp(asgs, op_name="stream9_soa")
+    chain = fused_stage_chain(
+        [(op, {"f": "f_out"})], 1, interpret=True, fused_bwd=True,
+        boundary={"f": ("bounce_back", "solid", ("uw0", "uw1"))})
+    step = stage_stepper(op, {"f": "f_out"})
+    solid = (jnp.zeros((n, n)).at[0, :].set(1.0).at[-1, :].set(1.0)
+             .at[:, 0].set(1.0).at[:, -1].set(1.0))
+    f0 = 1.0 + 0.01 * rand(31, (9, n, n))        # SoA: components leading
+    lid_mask = jnp.zeros((n, n)).at[0, :].set(1.0)
+
+    def fused_run(u_lid):
+        return chain({"f": f0, "solid": solid, "uw0": jnp.zeros((n, n)),
+                      "uw1": lid_mask * u_lid})["f"]
+
+    def seq_run(u_lid):
+        # bounce_back's jnp oracle is AoS (trailing Q); round-trip the
+        # SoA planes through it
+        r = jnp.moveaxis(
+            bounce_back(jnp.moveaxis(f0, 0, -1), solid != 0,
+                        u_wall=(jnp.zeros((n, n)), lid_mask * u_lid)),
+            -1, 0)
+        return step({"f": r})["f"]
+
+    u_lid = 0.08
+    np.testing.assert_allclose(np.asarray(jax.jit(fused_run)(u_lid)),
+                               np.asarray(seq_run(u_lid)),
+                               rtol=RTOL, atol=ATOL)
+    g_f = jax.jit(jax.grad(lambda u: jnp.sum(jnp.sin(fused_run(u)))))(u_lid)
+    g_s = jax.jit(jax.grad(lambda u: jnp.sum(jnp.sin(seq_run(u)))))(u_lid)
+    np.testing.assert_allclose(float(g_f), float(g_s), rtol=1e-11)
