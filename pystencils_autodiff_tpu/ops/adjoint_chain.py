@@ -755,19 +755,22 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                 cache[key] = build(spatial, arr0.dtype, interp)
             else:
                 def build_probed():
+                    from .guard import aot_probe
+
                     fn = build(spatial, arr0.dtype, interp)
                     # force the Mosaic compile NOW (AOT, abstract args):
                     # under an outer jit the in-trace call only TRACES the
                     # pallas_call, the guard would record a bogus success,
                     # and the remote-compiler crash would surface later
                     # uncaught (same escape compose() plugs in
-                    # time_chain.py)
+                    # time_chain.py); aot_probe keeps the executable so
+                    # the first real call doesn't recompile
                     abstract = jax.tree.map(
                         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
                         (dict(state), dict(cot_state), tuple(probe_cots)))
-                    jax.jit(lambda s, c, p: fn(s, c, p)).lower(
-                        *abstract).compile()
-                    return fn
+                    probed = aot_probe(lambda s, c, p: fn(s, c, p),
+                                       *abstract)
+                    return lambda s, c, p: probed(s, dict(c), tuple(p))
 
                 variants = [
                     ("fused_two_phase", build_probed),

@@ -36,7 +36,34 @@ from typing import Callable, List, Optional, Sequence, Tuple
 logger = logging.getLogger("pystencils_autodiff_tpu.guard")
 
 __all__ = ["CompileGuard", "guard_variants", "known_pathology",
-           "tuning_tag"]
+           "tuning_tag", "aot_probe"]
+
+
+def aot_probe(kern: Callable, *abstract):
+    """Force the Mosaic compile NOW (AOT, abstract args) so a crash/hang
+    cannot escape the surrounding guard — and KEEP the executable:
+    ``jit`` dispatch does not share the AOT cache (measured: the first
+    jit call after ``lower().compile()`` recompiles in full), so the
+    returned callable reuses the probe's executable for concrete calls,
+    falls back to plain ``jit`` on aval/device mismatch, and inlines the
+    raw kernel under an outer trace (where the outer jit owns the
+    compile)."""
+    import jax
+
+    jitted = jax.jit(kern)
+    compiled = jitted.lower(*abstract).compile()
+
+    def run(*args):
+        if any(isinstance(v, jax.core.Tracer)
+               for v in jax.tree.leaves(args)):
+            return kern(*args)
+        try:
+            return compiled(*args)
+        except Exception:
+            # aval mismatch (weak types, committed devices): the checks
+            # fire before execution, so falling back is safe
+            return jitted(*args)
+    return run
 
 _DEFAULT_VMEM = 100 * 1024 * 1024
 

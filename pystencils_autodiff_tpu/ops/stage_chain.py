@@ -596,7 +596,9 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
 
     kernel_cache = {}
 
-    bc_sig = repr(sorted((j, tuple(bc.kind for bc in bl))
+    # full ChainBC reprs: two chains differing only in BC dims/params
+    # must NOT share a crash/timeout registry entry (review finding)
+    bc_sig = repr(sorted((j, tuple(map(repr, bl)))
                          for j, bl in bcs.items())) if bcs else ""
     stage_sig = "+".join(p.name for p in progs)
 
@@ -628,10 +630,14 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
 
         def compose(kk, vmem=None):
             def build():
-                kern = _build_fwd(spatial, dt_, interp, kk, vmem)
+                from .guard import aot_probe
+
                 # force the Mosaic compile NOW (AOT, abstract args) so it
-                # cannot escape the guard under an outer jit
-                jax.jit(kern).lower(abstract).compile()
+                # cannot escape the guard under an outer jit; aot_probe
+                # keeps the executable so the first real call doesn't
+                # recompile
+                kern = aot_probe(_build_fwd(spatial, dt_, interp, kk, vmem),
+                                 abstract)
                 reps = k // kk
 
                 def fn(st):
@@ -716,9 +722,9 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
 
             def compose(vmem=None):
                 def build():
-                    g = _build_adj(vmem)
-                    jax.jit(g).lower(abs_s, abs_c).compile()
-                    return g
+                    from .guard import aot_probe
+
+                    return aot_probe(_build_adj(vmem), abs_s, abs_c)
                 return build
 
             def seq_bwd():
@@ -733,11 +739,12 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
                 variants.append((f"stage_vjp_vmem/{div}",
                                  compose(vmem_limit_bytes // div)))
             variants.append(("sequential_recompute", seq_bwd))
-            spatial0 = tuple(saved[state_names[0]].shape)
+            arr0 = saved[state_names[0]]
+            spatial0 = storage_spatial(state_fields[state_names[0]], arr0)
             name, fn, result = guard_variants(
                 variants, saved, cot,
-                signature=f"stage_vjp|{stage_sig}|{spatial0}|k={k}|"
-                          f"bc={bc_sig}"
+                signature=f"stage_vjp|{stage_sig}|{spatial0}|{arr0.dtype}|"
+                          f"k={k}|bc={bc_sig}"
                           + tuning_tag(tile_rows, vmem_limit_bytes))
             adj_cache[akey] = fn
             return (result[1],)

@@ -409,13 +409,17 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
 
                 def compose(kk, vmem=None):
                     def build():
-                        kern = _build_kernel(spatial, arr0.dtype, interp,
-                                             kk, vmem)
+                        from .guard import aot_probe
+
                         # force the Mosaic compile NOW (AOT, abstract
                         # args): under an outer jit the in-trace call
                         # would defer compilation past the guard, letting
-                        # HTTP 500s / scoped-VMEM OOMs escape it
-                        jax.jit(kern).lower(abstract).compile()
+                        # HTTP 500s / scoped-VMEM OOMs escape it;
+                        # aot_probe keeps the executable so the first
+                        # real call doesn't recompile
+                        kern = aot_probe(
+                            _build_kernel(spatial, arr0.dtype, interp,
+                                          kk, vmem), abstract)
                         reps = k // kk
 
                         def fn(st):

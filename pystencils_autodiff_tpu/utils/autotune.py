@@ -176,6 +176,16 @@ def autotune_chain(op, carry_map: Dict[str, str], state,
            f"{arr0.dtype}|periodic={periodic}|{device}"
            f"|k={tuple(k_candidates)}|tiles={tuple(tile_candidates)}"
            + extra)
+    return _run_sweep(build, key, state, k_candidates, tile_candidates,
+                      timer or _default_timer, vjp, calls, repeats,
+                      use_cache, force, "autotune_chain")
+
+
+def _run_sweep(build, key: str, state, k_candidates, tile_candidates,
+               timer, timer_flag: bool, calls: int, repeats: int,
+               use_cache: bool, force: bool, what: str) -> TuneResult:
+    """Shared sweep engine: cache-hit shortcut, (k, tile) loop with
+    skip-on-failure, winner selection, persistence."""
     cache = _load_cache() if use_cache else {}
     hit = cache.get(key)
     if hit and not force:
@@ -185,7 +195,6 @@ def autotune_chain(op, carry_map: Dict[str, str], state,
                           per_step_s=hit.get("per_step_s"),
                           fn=build(k, tile), cached=True)
 
-    timer = timer or _default_timer
     table: Dict[Tuple[int, Optional[int]], float] = {}
     fns: Dict[Tuple[int, Optional[int]], Callable] = {}
     last_exc: Optional[BaseException] = None
@@ -193,7 +202,7 @@ def autotune_chain(op, carry_map: Dict[str, str], state,
         for tile in tile_candidates:
             try:
                 fn = build(k, tile)
-                t = timer(fn, state, k, calls, repeats, vjp)
+                t = timer(fn, state, k, calls, repeats, timer_flag)
             except Exception as e:
                 logger.warning("autotune: candidate k=%d tile=%s failed "
                                "(%s: %s)", k, tile, type(e).__name__,
@@ -206,7 +215,7 @@ def autotune_chain(op, carry_map: Dict[str, str], state,
                         k, tile, t * 1e3)
     if not table:
         raise last_exc if last_exc is not None else RuntimeError(
-            "autotune_chain: no viable candidates")
+            f"{what}: no viable candidates")
 
     (best_k, best_tile), best_t = min(table.items(), key=lambda kv: kv[1])
     if use_cache:
@@ -230,31 +239,49 @@ def _stage_timer(chain_fn, state, k: int, calls: int, repeats: int,
     from .benchmark import fetch_timed, rtt_baseline
 
     names = sorted(state)
+    # carry only inexact fields through the scan: the kernel casts every
+    # output plane to the chain dtype, so bool/int mask fields (and
+    # dtype= overrides) would trip the scan carry-type check; masks are
+    # chain-invariant, so holding them fixed is also semantically right
+    live = [n for n in names
+            if jnp.issubdtype(jnp.asarray(state[n]).dtype, jnp.inexact)]
+    fixed = {n: state[n] for n in names if n not in live}
+
+    def full(st):
+        return {**fixed, **st}
+
+    def recast(new, like):
+        return {n: new[n].astype(like[n].dtype) for n in live}
 
     if grad:
-        cots = {n: jnp.ones_like(state[n]) for n in names}
+        cots = {n: jnp.ones_like(state[n]) for n in live}
 
         @jax.jit
         def f(st):
             def body(carry, _):
                 st_c, ct_c = carry
-                out, pull = jax.vjp(chain_fn, st_c)
-                (g,) = pull(ct_c)
-                return (out, g), None
+
+                def live_chain(s):
+                    out = chain_fn(full(s))
+                    return {n: out[n] for n in live}
+
+                out, pull = jax.vjp(live_chain, st_c)
+                (g,) = pull(recast(ct_c, out))
+                return (recast(out, st_c), recast(g, ct_c)), None
             (st2, _), _ = jax.lax.scan(body, (st, cots), None,
                                        length=calls, unroll=calls)
-            return st2[names[0]]
+            return st2[live[0]]
     else:
         @jax.jit
         def f(st):
             def body(carry, _):
-                return chain_fn(carry), None
+                return recast(chain_fn(full(carry)), carry), None
             st2, _ = jax.lax.scan(body, st, None,
                                   length=calls, unroll=calls)
-            return st2[names[0]]
+            return st2[live[0]]
 
     rtt = rtt_baseline()
-    total = fetch_timed(f, dict(state), repeats=repeats)
+    total = fetch_timed(f, {n: state[n] for n in live}, repeats=repeats)
     return max((total - rtt) / (k * calls), 1e-12)
 
 
@@ -296,51 +323,32 @@ def autotune_stage_chain(stages, state,
 
     stage_sig = "+".join(
         f"{op.op_name}{sorted(carry.items())}" for op, carry in stages)
+    # canonical BC part: normalize first so spec spellings that parse to
+    # the same ChainBC list ({'u': 'neumann'} vs {'u': ('neumann',)},
+    # dict insertion order) share one cache entry
+    if boundary:
+        from ..ops.chain_bc import normalize_chain_bcs
+        from ..ops.stage_chain import _validate_stages
+
+        progs, _, sfields, _ = _validate_stages(
+            [(op, dict(c)) for op, c in stages])
+        bcs_n, _ = normalize_chain_bcs(
+            boundary, sfields, {n: f.index_shape
+                                for n, f in sfields.items()},
+            progs[0].ndim, len(stages),
+            next(iter(sfields.values())).dtype)
+        bc_key = repr(sorted((j, tuple(map(repr, bl)))
+                             for j, bl in bcs_n.items()))
+    else:
+        bc_key = "None"
     extra = ""
     if chain_kwargs:
         extra = "|" + ",".join(f"{k}={chain_kwargs[k]!r}"
                                for k in sorted(chain_kwargs))
     key = (f"stages|{'grad' if fused_bwd else 'fwd'}|{stage_sig}|{spatial}|"
-           f"{arr0.dtype}|periodic={periodic}|bc={boundary!r}|{device}"
+           f"{arr0.dtype}|periodic={periodic}|bc={bc_key}|{device}"
            f"|k={tuple(k_candidates)}|tiles={tuple(tile_candidates)}"
            + extra)
-    cache = _load_cache() if use_cache else {}
-    hit = cache.get(key)
-    if hit and not force:
-        k, tile = hit["k"], hit.get("tile_rows")
-        logger.info("autotune cache hit for %s: k=%d tile=%s", key, k, tile)
-        return TuneResult(best={"k": k, "tile_rows": tile},
-                          per_step_s=hit.get("per_step_s"),
-                          fn=build(k, tile), cached=True)
-
-    timer = timer or _stage_timer
-    table: Dict[Tuple[int, Optional[int]], float] = {}
-    fns: Dict[Tuple[int, Optional[int]], Callable] = {}
-    last_exc: Optional[BaseException] = None
-    for k in k_candidates:
-        for tile in tile_candidates:
-            try:
-                fn = build(k, tile)
-                t = timer(fn, state, k, calls, repeats, fused_bwd)
-            except Exception as e:
-                logger.warning("autotune: candidate k=%d tile=%s failed "
-                               "(%s: %s)", k, tile, type(e).__name__,
-                               str(e)[:120])
-                last_exc = e
-                continue
-            table[(k, tile)] = t
-            fns[(k, tile)] = fn
-            logger.info("autotune: k=%d tile=%s -> %.3f ms/step",
-                        k, tile, t * 1e3)
-    if not table:
-        raise last_exc if last_exc is not None else RuntimeError(
-            "autotune_stage_chain: no viable candidates")
-
-    (best_k, best_tile), best_t = min(table.items(), key=lambda kv: kv[1])
-    if use_cache:
-        cache[key] = {"k": best_k, "tile_rows": best_tile,
-                      "per_step_s": best_t}
-        _save_cache(cache)
-    return TuneResult(best={"k": best_k, "tile_rows": best_tile},
-                      per_step_s=best_t, fn=fns[(best_k, best_tile)],
-                      cached=False, table=table)
+    return _run_sweep(build, key, state, k_candidates, tile_candidates,
+                      timer or _stage_timer, fused_bwd, calls, repeats,
+                      use_cache, force, "autotune_stage_chain")

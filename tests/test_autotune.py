@@ -221,3 +221,51 @@ def test_stage_chain_default_timer_runs_on_cpu(tune_cache):
         [(op, {"u": "u_next"})], _state(16), k_candidates=(1,),
         fused_bwd=False, periodic=True, interpret=True, calls=1, repeats=1)
     assert res.per_step_s > 0
+
+
+def test_stage_chain_real_timer_with_bool_mask_and_dtype(tune_cache):
+    """Regression (review finding): the real _stage_timer must handle
+    state entries the chain does not round-trip in dtype — a bool
+    obstacle mask with masked_dirichlet, and a dtype= override — without
+    tripping the scan carry-type check."""
+    from pystencils_autodiff_tpu.utils import autotune_stage_chain
+
+    op = heat_step_op(dt=0.1)
+    n = 16
+    mask = jnp.zeros((n, n), bool).at[5:8, 5:8].set(True)
+    state = {"u": _state(n)["u"].astype(jnp.float64),
+             "m": mask,
+             "val": jnp.ones((n, n), jnp.float64)}
+    res = autotune_stage_chain(
+        [(op, {"u": "u_next"})], state, k_candidates=(1,),
+        fused_bwd=True, boundary={"u": ("masked_dirichlet", "m", "val")},
+        interpret=True, calls=1, repeats=1)
+    assert res.per_step_s > 0
+
+    # dtype override over f32 state (forward timer path)
+    res2 = autotune_stage_chain(
+        [(op, {"u": "u_next"})], _state(n), k_candidates=(1,),
+        periodic=True, interpret=True, dtype=jnp.bfloat16,
+        calls=1, repeats=1)
+    assert res2.per_step_s > 0
+
+
+def test_stage_chain_boundary_key_is_canonical(tune_cache):
+    """Spec spellings that normalize identically share one cache entry."""
+    from pystencils_autodiff_tpu.utils import autotune_stage_chain
+
+    op = heat_step_op(dt=0.1)
+    state = _state()
+
+    def timer(chain_fn, st, k, calls, repeats, grad):
+        return 1e-3
+
+    autotune_stage_chain([(op, {"u": "u_next"})], state, k_candidates=(1,),
+                         boundary={"u": "neumann"}, interpret=True,
+                         timer=timer)
+    res = autotune_stage_chain(
+        [(op, {"u": "u_next"})], state, k_candidates=(1,),
+        boundary={"u": [("neumann",)]}, interpret=True,
+        timer=lambda *a: (_ for _ in ()).throw(
+            AssertionError("re-measured despite canonical key")))
+    assert res.cached

@@ -50,9 +50,13 @@ def main() -> int:
     entries, kept_heavy = [], 0.0
     default_time = 0.0
     for t, nodeid in rows:
-        short = nodeid.split("::")[1].split("[")[0]
+        # last :: segment = the test function even for class-based tests;
+        # strip only the PATH prefix (a param id could contain "tests/")
+        short = nodeid.split("::")[-1].split("[")[0]
+        entry = nodeid[len("tests/"):] if nodeid.startswith("tests/") \
+            else nodeid
         if t >= args.cut and short not in KEEPERS:
-            entries.append(nodeid.replace("tests/", ""))
+            entries.append(entry)
         else:
             default_time += t
             if t >= args.cut:
