@@ -130,6 +130,9 @@ _THOROUGH = (
     "test_random_stencils.py::test_random_stencil_pallas_blocked[1]",
     "test_pallas.py::test_row_tiled_3d_varcoeff",
     "test_chain_bc.py::test_fused_bwd_bounce_back_soa_layout",
+    "test_random_stencils.py::test_random_two_stage_chain_fused_bwd[0]",
+    "test_random_stencils.py::test_random_two_stage_chain_fused_bwd[1]",
+    "test_random_stencils.py::test_random_two_stage_chain_fused_bwd[2]",
 )
 
 

@@ -234,3 +234,54 @@ def test_random_chain_fused_bwd_with_bcs(seed):
                                np.asarray(grads[False]),
                                rtol=1e-10, atol=1e-10,
                                err_msg=f"bwd seed={seed} bc={bc_kind} k={k}")
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_two_stage_chain_fused_bwd(seed):
+    """Random heterogeneous 2-stage cycles: stage A writes an
+    intermediate w from u, stage B updates u from BOTH u and w — fuzzing
+    the per-stage carry transpose (feeds/passes) and the saved-plane
+    selection in the two-phase backward against sequential recompute."""
+    from pystencils_autodiff_tpu.ops import fused_stage_chain
+
+    rng = np.random.default_rng(8100 + seed)
+    u, w, w_out, u_next = fields("u, w, w_out, u_next", 2)
+
+    def acc(f):
+        return f[(int(rng.integers(-1, 2)), int(rng.integers(-1, 2)))]
+
+    def terms(f, n):
+        return sum((0.1 * float(np.round(rng.normal(), 2)) * acc(f)
+                    if rng.integers(2) else 0.1 * sp.sin(acc(f))
+                    for _ in range(n)), sp.Integer(0))
+
+    op_a = AutoDiffOp([Assignment(w_out.center,
+                                  terms(u, int(rng.integers(2, 4))))],
+                      op_name=f"stgA_{seed}")
+    op_b = AutoDiffOp([Assignment(
+        u_next.center,
+        u[0, 0] + terms(w, int(rng.integers(1, 3)))
+        + terms(u, int(rng.integers(1, 3))))], op_name=f"stgB_{seed}")
+    stages = [(op_a, {"w": "w_out"}), (op_b, {"u": "u_next"})]
+    k = int(rng.integers(1, 3))
+    state = {"u": jnp.asarray(rng.standard_normal((24, 32))),
+             "w": jnp.zeros((24, 32))}
+
+    outs, grads = {}, {}
+    for fb in (False, True):
+        chain = fused_stage_chain(stages, k, interpret=True, fused_bwd=fb,
+                                  intermediates=("w",))
+        outs[fb] = jax.jit(chain)(state)["u"]
+
+        def loss(a, _c=chain):
+            return jnp.sum(jnp.sin(_c({**state, "u": a})["u"]))
+
+        grads[fb] = jax.jit(jax.grad(loss))(state["u"])
+    np.testing.assert_allclose(np.asarray(outs[True]),
+                               np.asarray(outs[False]),
+                               rtol=1e-12, atol=1e-12,
+                               err_msg=f"fwd seed={seed} k={k}")
+    np.testing.assert_allclose(np.asarray(grads[True]),
+                               np.asarray(grads[False]),
+                               rtol=1e-10, atol=1e-10,
+                               err_msg=f"bwd seed={seed} k={k}")
