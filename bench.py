@@ -104,11 +104,14 @@ def main():
     rtt = rtt_baseline()
     total = fetch_timed(fwd_adjoint_chain, u, cu)
     steps = k * calls
-    per_step = max((total - rtt) / steps, 1e-9)
+    per_step_rtt = max((total - rtt) / steps, 1e-9)
 
-    # methodology cross-check (VERDICT r1 weak #8): two-point slope — any
-    # constant per-call overhead (RTT, dispatch, fetch) cancels in the
-    # difference, so it validates the RTT-subtraction number independently
+    # primary measurement: two-point slope — any constant per-call overhead
+    # (RTT, dispatch, fetch) cancels in the difference, so it needs no
+    # assumption that the tiny-kernel RTT baseline equals the big call's
+    # constant overhead (post-outage relay RTT variance made RTT
+    # subtraction read 30-40% fast on 2026-08-18; the slope matched the
+    # session-2 device-trace-validated numbers)
     def make_fn(n_calls):
         @jax.jit
         def f(u, cu):
@@ -124,6 +127,12 @@ def main():
 
     from pystencils_autodiff_tpu.utils import slope_timed
     per_step_slope = slope_timed(make_fn, u, calls, 2 * calls) / k
+    # slope is primary; fall back to RTT subtraction if relay noise made
+    # the difference degenerate (nonpositive or wildly small)
+    if per_step_slope > 0.25 * per_step_rtt:
+        per_step = per_step_slope
+    else:
+        per_step = per_step_rtt
 
     # sequential minimum HBM traffic per fwd+adjoint step:
     #   fwd:  read u_t,      write u_{t+1}   → 2 arrays
@@ -144,12 +153,12 @@ def main():
         "vs_baseline": round(gbps / target, 3),
     }
     print(json.dumps(result))
-    print(f"# per-step {per_step*1e3:.3f} ms (fwd+adjoint), rtt {rtt*1e3:.1f} ms, "
-          f"total {total*1e3:.1f} ms, target {target:.0f} GB/s, "
-          f"steps {steps}", file=sys.stderr)
-    print(f"# slope cross-check (constant-overhead-free): "
-          f"{per_step_slope*1e3:.3f} ms/step -> "
-          f"{bytes_per_step / max(per_step_slope, 1e-9) / 1e9:.1f} GB/s",
+    print(f"# per-step {per_step*1e3:.3f} ms (fwd+adjoint, two-point slope "
+          f"primary), target {target:.0f} GB/s, steps {steps}",
+          file=sys.stderr)
+    print(f"# RTT-subtraction cross-check: {per_step_rtt*1e3:.3f} ms/step "
+          f"-> {bytes_per_step / per_step_rtt / 1e9:.1f} GB/s "
+          f"(rtt {rtt*1e3:.1f} ms, total {total*1e3:.1f} ms)",
           file=sys.stderr)
     print("# effective-bandwidth accounting: sequential min traffic "
           "(4 arrays/step) / measured per-step time; the fused chain "
