@@ -39,9 +39,13 @@ def chain_calls(f, iters):
 
 
 def timed_per_iter(f, x, iters):
-    from pystencils_autodiff_tpu.utils import fetch_timed, rtt_baseline
-    rtt = rtt_baseline()
-    t = (fetch_timed(chain_calls(f, iters), x) - rtt) / iters
+    """Per-iteration time by the two-point slope method (see run_all.py):
+    constant per-call overhead (relay RTT, dispatch, fetch) cancels in the
+    difference, where min-of-N + RTT subtraction under-times short rows
+    whose total device work sits in the RTT noise floor."""
+    from pystencils_autodiff_tpu.utils import slope_timed
+    n1 = max(1, iters)
+    t = slope_timed(lambda n: chain_calls(f, n), x, n1, 2 * n1)
     return max(t, 1e-9)
 
 

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def chain(f, iters):
@@ -42,8 +43,13 @@ def chain(f, iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (hermetic smoke test; "
+                    "does not touch the TPU relay)")
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from pystencils_autodiff_tpu.models import (
         anisotropic27_op, diffusion3d_op, laplacian_op, wave_step_op)
@@ -188,6 +194,57 @@ def main():
     bench("4 aniso27 fwd", lambda a: f(a), x3, 2)
     bench("4 aniso27 fwd+adj", lambda a: jax.grad(
         lambda b: jnp.sum(f(b) * b))(a), x3, 4)
+    # fast path: 3D periodic LINEAR ops take twin chains over the
+    # plane-blocked geometry (docs/performance.md lever #1)
+    bench_chain("4 aniso27 chain k=2 fwd+adj", anisotropic27_op(),
+                {"u": "y"}, {"u": x3}, k=2, n_arrays=4, periodic=True,
+                calls=2)
+
+    # config 5: domain decomposition — the comm-avoiding sharded fused
+    # chain over the devices actually present (one chip on this relay;
+    # the 8-virtual-device CPU suite covers multi-shard exactness).  At
+    # parity with the unsharded headline row, the shard plumbing
+    # (deep-halo exchange + global-coordinate masks) costs ~nothing.
+    def bench_sharded_chain(name, op_, carry, state, k, n_arrays, calls=2):
+        from jax.sharding import Mesh
+        from pystencils_autodiff_tpu.parallel import ShardedChain
+        try:
+            mesh = Mesh(np.asarray(jax.devices()), ("x",))
+            ch = ShardedChain(op_, k, mesh, {0: "x"}, carry_map=carry,
+                              periodic=True, fused_bwd=True,
+                              interpret=not on_tpu)
+            names = list(state)
+            cots = {n: jnp.ones_like(v) for n, v in state.items()}
+
+            def make(nc):
+                @jax.jit
+                def g(st):
+                    def body(c, _):
+                        out, pull = jax.vjp(ch, c[0])
+                        grads = pull(c[1])[0]
+                        return (out, {n: grads.get(n, c[1][n])
+                                      for n in names}), None
+                    (st2, ct2), _ = jax.lax.scan(body, (st, cots), None,
+                                                 length=nc, unroll=nc)
+                    return st2[names[0]], ct2[names[0]]
+                return g
+
+            t1 = fetch_timed(make(calls), dict(state))
+            t2 = fetch_timed(make(2 * calls), dict(state))
+            t = max(t2 - t1, 1e-9) / (k * calls)
+        except Exception as e:
+            print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:140]}",
+                  file=sys.stderr)
+            rows.append((name, float("nan"), 0.0, 0.0, 0.0))
+            return
+        x0 = state[list(state)[0]]
+        ab = x0.size * x0.dtype.itemsize
+        gbps = n_arrays * ab / t / 1e9
+        rows.append((name, t * 1e3, x0.size / t / 1e9, gbps, gbps / peak))
+
+    bench_sharded_chain(
+        f"5 heat sharded chain k=8 fwd+adj ({len(jax.devices())}-dev mesh)",
+        heat_step_op(dt=0.1), {"u": "u_next"}, {"u": x2}, k=8, n_arrays=4)
 
     dev = jax.devices()[0].device_kind
     print(f"\n### Benchmarks ({dev}, {'small' if small else 'full'} sizes, "
