@@ -27,6 +27,8 @@ __all__ = [
     "masked_dirichlet",
     "masked_neumann",
     "bounce_back",
+    "sponge",
+    "cerjan_damping",
     "BoundaryHandling",
 ]
 
@@ -234,11 +236,65 @@ def bounce_back(f: jax.Array, solid, u_wall=None, rho_wall: float = 1.0,
     return jnp.stack(comps, -1)
 
 
+def sponge(arr: jax.Array, damp) -> jax.Array:
+    """Absorbing-layer (Cerjan/sponge) damping: multiply by a profile.
+
+    ``damp`` is a spatial array (build one with :func:`cerjan_damping`) or
+    a scalar; interior cells carry 1.0 and the absorbing frame decays
+    towards the boundary, so each application attenuates outgoing waves a
+    little more per layer cell — the standard cheap non-reflecting
+    boundary for time-stepped wave/FWI workloads (reference analog:
+    user-side damping sweeps around pystencils time loops; SURVEY.md §5.4).
+
+    Diagonal-linear in ``arr``, so the adjoint is the same multiply on the
+    cotangent; when ``damp`` is a traced array its gradient (``arr * ĉ``)
+    flows automatically.  Index (component) dimensions of ``arr`` follow
+    the trailing-axis convention of the other masked BCs.
+    """
+    damp = jnp.asarray(damp, arr.dtype)
+    if damp.ndim and arr.ndim > damp.ndim:
+        damp = damp.reshape(damp.shape + (1,) * (arr.ndim - damp.ndim))
+    return arr * damp
+
+
+def cerjan_damping(shape: Sequence[int], width: int, alpha: float = 0.0053,
+                   dims: Optional[Sequence[int]] = None,
+                   free: Sequence[Tuple[int, int]] = (),
+                   dtype=jnp.float32) -> jax.Array:
+    """Cerjan et al. (1985) absorbing-layer profile for :func:`sponge`.
+
+    ``G(i) = exp(-(alpha * (width - i))^2)`` for cells ``i < width`` from
+    a boundary, 1 in the interior; per-dim factors multiply, so corners
+    damp with the product.  ``free`` lists ``(dim, side)`` pairs to leave
+    undamped (e.g. ``[(0, 0)]`` keeps a free surface at the top in FWI).
+    The default ``alpha`` gives ~1%% amplitude reduction per pass at the
+    outermost of 20 layers — tune ``width``/``alpha`` per workload.
+    """
+    import numpy as np
+
+    nd = len(shape)
+    free = {(int(d), int(s)) for d, s in free}
+    damp = np.ones(tuple(shape), np.float64)
+    for d in (dims if dims is not None else range(nd)):
+        n = int(shape[d])
+        idx = np.arange(n)
+        g = np.ones(n, np.float64)
+        for side in (0, 1):
+            if (d, side) in free:
+                continue
+            dist = idx if side == 0 else (n - 1 - idx)
+            g = g * np.where(dist < width,
+                             np.exp(-(alpha * (width - dist)) ** 2), 1.0)
+        damp = damp * g.reshape([n if dd == d else 1 for dd in range(nd)])
+    return jnp.asarray(damp, dtype)
+
+
 _BC_FNS = {"dirichlet": dirichlet, "neumann": neumann, "periodic": periodic}
 # masked BCs take (arr, *args) — no ghost-frame spec
 _MASKED_BC_FNS = {"masked_dirichlet": masked_dirichlet,
                   "masked_neumann": masked_neumann,
-                  "bounce_back": bounce_back}
+                  "bounce_back": bounce_back,
+                  "sponge": sponge}
 
 
 class BoundaryHandling:

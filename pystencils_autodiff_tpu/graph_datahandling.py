@@ -348,6 +348,11 @@ class GraphDataHandling(DataHandling):
                             and getattr(a, "ndim", 0) > 0 else a
                             for a in args[1:]]
                     return (kind, mask, *rest)
+                if kind == "sponge":
+                    damp = (register_arr(args[0])
+                            if getattr(args[0], "ndim", 0) > 0
+                            else float(args[0]))
+                    return (kind, damp)
                 if kind == "bounce_back":
                     mask = register_arr(args[0])
                     rest = list(args[1:])

@@ -20,7 +20,9 @@ non-fused implementation): ``dirichlet`` (frame, scalar value),
 ``neumann`` (frame, ghost width 1), ``masked_dirichlet`` (mask field +
 scalar or field value), ``bounce_back`` (solid-mask field, optional
 moving-wall velocity fields/scalars; out-of-domain pulls edge-clamp,
-matching ``boundary.bounce_back(wrap=False)``).
+matching ``boundary.bounce_back(wrap=False)``), ``sponge`` (absorbing
+layer: elementwise multiply by a damping-profile field or scalar —
+``boundary.cerjan_damping`` builds the classic profile).
 
 Reference anchor: pystencils ``BoundaryHandling`` + lbmpy boundary sweeps
 inside waLBerla timeloops (SURVEY.md §1 L1, §2.1 #13).
@@ -37,10 +39,14 @@ __all__ = ["ChainBC", "normalize_chain_bcs", "bc_shift_offsets",
            "bc_dim_reach", "bc_row_reach", "apply_bc_sequential"]
 
 
-def apply_bc_sequential(state, bc: ChainBC, ghost, periodic: bool):
+def apply_bc_sequential(state, bc: ChainBC, ghost, periodic: bool,
+                        fields=None):
     """Apply one ChainBC to a (global-array) state dict with the plain jnp
     implementations from boundary.py — the oracle the fused kernel must
-    match bit-exactly, and the path the chains' backward recompute uses."""
+    match bit-exactly, and the path the chains' backward recompute uses.
+
+    ``fields`` (optional ``{name: Field}``) disambiguates index-dimension
+    placement for layout-sensitive kinds (sponge on 'soa' storage)."""
     import jax.numpy as jnp
 
     from ..boundary import bounce_back, dirichlet, neumann
@@ -64,6 +70,16 @@ def apply_bc_sequential(state, bc: ChainBC, ghost, periodic: bool):
         arr = bounce_back(arr, resolve(bc.mask) != 0, u_wall=u_wall,
                           rho_wall=bc.rho_wall, velocities=bc.velocities,
                           weights=bc.weights, wrap=periodic)
+    elif bc.kind == "sponge":
+        damp = jnp.asarray(resolve(bc.value), arr.dtype)
+        if damp.ndim and arr.ndim > damp.ndim:
+            f = (fields or {}).get(bc.field)
+            if f is not None and getattr(f, "index_major", False):
+                pass  # 'soa' storage: trailing-aligned broadcast is exact
+            else:
+                damp = damp.reshape(damp.shape
+                                    + (1,) * (arr.ndim - damp.ndim))
+        arr = arr * damp
     else:
         raise ValueError(bc.kind)
     return {**state, bc.field: arr}
@@ -85,7 +101,7 @@ class ChainBC:
 
 def bc_shift_offsets(bc: ChainBC, nd: int) -> List[Tuple[int, ...]]:
     """Spatial offsets the BC reads at (reach accounting)."""
-    if bc.kind in ("dirichlet", "masked_dirichlet"):
+    if bc.kind in ("dirichlet", "masked_dirichlet", "sponge"):
         return []
     if bc.kind == "neumann":
         offs = []
@@ -124,7 +140,7 @@ def bc_dim_reach(bc: ChainBC, ghost, nd: int) -> List[Tuple[int, int]]:
     """Per-spatial-dim (lo, hi) read reach of a BC event (for sharded-chain
     halo sizing; the flattened-row reach is computed kernel-side)."""
     r = [(0, 0)] * nd
-    if bc.kind in ("dirichlet", "masked_dirichlet"):
+    if bc.kind in ("dirichlet", "masked_dirichlet", "sponge"):
         return r
     if bc.kind == "neumann":
         for d in (bc.dims if bc.dims is not None else range(nd)):
@@ -203,6 +219,17 @@ def normalize_chain_bcs(boundary, state_fields: Dict[str, Field],
                     else:
                         value = float(value)
                     out.append(ChainBC(fname, kind, mask=mask, value=value))
+                elif kind == "sponge":
+                    if not args:
+                        raise ValueError("sponge needs a damping profile: "
+                                         "('sponge', damp_field_or_scalar)")
+                    damp = _require_field_name(args[0], "the damping "
+                                               "profile")
+                    if isinstance(damp, str):
+                        damp = field_ref(damp)
+                    else:
+                        damp = float(damp)
+                    out.append(ChainBC(fname, kind, value=damp))
                 elif kind == "bounce_back":
                     mask = field_ref(_require_field_name(args[0], "the mask"))
                     u_wall = None
@@ -255,7 +282,7 @@ def normalize_chain_bcs(boundary, state_fields: Dict[str, Field],
                     raise ValueError(
                         f"BC kind {kind!r} cannot fuse into a chain; "
                         f"supported: dirichlet, neumann, masked_dirichlet, "
-                        f"bounce_back")
+                        f"bounce_back, sponge")
         if out:
             bcs.setdefault(stage_idx, []).extend(out)
     return bcs, extra
@@ -319,6 +346,11 @@ def apply_bc_tile(bc, ghost_j, state_keys, state_fields, rd, r_ids, c_ids,
         for idx in comps:
             new[(bc.field, idx)] = jnp.where(maskp != 0, val,
                                              new[(bc.field, idx)])
+    elif bc.kind == "sponge":
+        damp = (rd((bc.value, ())) if isinstance(bc.value, str)
+                else jnp.asarray(bc.value, dtype))
+        for idx in comps:
+            new[(bc.field, idx)] = new[(bc.field, idx)] * damp
     elif bc.kind == "bounce_back":
         solid = rd((bc.mask, ())) != 0
         for jv, cj in enumerate(bc.velocities):

@@ -86,6 +86,22 @@ def tuning_tag(tile_rows=None, vmem_limit_bytes=_DEFAULT_VMEM) -> str:
 _DEFAULT_BUDGET_S = float(os.environ.get("PYSTENCILS_ADTPU_COMPILE_BUDGET",
                                          "600"))
 
+# transport-layer failure markers of the remote-compile relay: these are
+# TRANSIENT (a dropped connection, a relay restart), not shape-deterministic
+# Mosaic pathologies — persisting them as "crash" poisoned the default
+# route of a healthy kernel (observed 2026-08-18: one "response body
+# closed" during a benchmark recorded the 256³ diff3d two-phase chain as
+# crashed and every later run silently took the sequential fallback)
+_TRANSIENT_MARKERS = ("response body closed", "read body",
+                      "connection reset", "connection refused",
+                      "broken pipe", "failed to connect", "socket closed",
+                      "deadline exceeded", "unavailable")
+
+
+def _is_transient(exc: BaseException) -> bool:
+    s = str(exc).lower()
+    return any(m in s for m in _TRANSIENT_MARKERS)
+
 
 def _cache_path() -> str:
     p = os.environ.get("PYSTENCILS_ADTPU_GUARD_CACHE")
@@ -179,22 +195,48 @@ class CompileGuard:
                     f"{self.budget_s:.0f}s budget for {sig}; recording it — "
                     f"future runs will prefer the fallback")))
             timer.daemon = True
-            try:
-                timer.start()
-                t0 = time.monotonic()
-                fn = build()
-                result = fn(*args, **kwargs)
-                dt = time.monotonic() - t0
-            except Exception as e:  # crash (e.g. remote compiler HTTP 500)
-                timer.cancel()
-                self._registry[sig] = "crash"
-                _save_registry(self._registry)
-                self._warn(f"compile guard: {name} failed for {sig} "
-                           f"({type(e).__name__}: {e}); falling back")
-                last_exc = e
+            retried = False
+            while True:
+                try:
+                    timer.start()
+                    t0 = time.monotonic()
+                    fn = build()
+                    result = fn(*args, **kwargs)
+                    dt = time.monotonic() - t0
+                except Exception as e:
+                    timer.cancel()
+                    if _is_transient(e) and not retried:
+                        # relay hiccup, not a Mosaic pathology: retry the
+                        # SAME variant once before falling back
+                        self._warn(f"compile guard: transient backend "
+                                   f"failure for {sig} "
+                                   f"({type(e).__name__}: {e}); retrying")
+                        retried = True
+                        time.sleep(2.0)
+                        timer = threading.Timer(self.budget_s,
+                                                timed_out.set)
+                        timer.daemon = True
+                        continue
+                    if _is_transient(e):
+                        # still failing: fall back THIS RUN only — never
+                        # persist a transport error as a crash
+                        self._warn(f"compile guard: {name} failed "
+                                   f"transiently for {sig} "
+                                   f"({type(e).__name__}: {e}); falling "
+                                   f"back (not recorded)")
+                    else:  # crash (e.g. remote compiler HTTP 500)
+                        self._registry[sig] = "crash"
+                        _save_registry(self._registry)
+                        self._warn(f"compile guard: {name} failed for "
+                                   f"{sig} ({type(e).__name__}: {e}); "
+                                   f"falling back")
+                    last_exc = e
+                    fn = None
+                finally:
+                    timer.cancel()
+                break
+            if fn is None:
                 continue
-            finally:
-                timer.cancel()
             if timed_out.is_set():
                 self._registry[sig] = "timeout"
             else:

@@ -56,7 +56,7 @@ def validate_bc_invariance(bcs, carries) -> None:
     masked_dirichlet value aliasing its target is ambiguous."""
     bad = [bc.kind for bl in bcs.values() for bc in bl
            if bc.kind not in ("dirichlet", "neumann",
-                              "masked_dirichlet", "bounce_back")]
+                              "masked_dirichlet", "bounce_back", "sponge")]
     if bad:
         raise ValueError(
             f"fused_stage_chain_vjp: BC kinds {bad} have no fused "
@@ -69,7 +69,7 @@ def validate_bc_invariance(bcs, carries) -> None:
             refs = [p for p in params if isinstance(p, str)]
             if bc.value == bc.field:
                 raise ValueError(
-                    f"fused backward: masked_dirichlet value field "
+                    f"fused backward: {bc.kind} value/profile field "
                     f"aliases its target {bc.field!r} — unsupported")
             hot = sorted(set(refs) & carried)
             if hot:
@@ -253,6 +253,13 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
         n_saved_planes = sum(len(saved_keys[stage_j[i]])
                              for i in range(n_stages)
                              if need_primal[stage_j[i]])
+        # sponge damp gradients need the PRE-sponge target planes saved
+        # from phase 1 (the one BC transpose that reads a primal)
+        n_saved_planes += sum(
+            len(field_components(state_fields[bc.field]))
+            for i in range(n_stages)
+            for bc in bcs.get(stage_j[i], ())
+            if bc.kind == "sponge" and isinstance(bc.value, str))
         n_live = (len(state_keys) * (10 if n_saved_planes else 24)
                   + 3 * n_saved_planes + 8)
         t = tile_rows or pick_chain_tile(rows, LO, HI,
@@ -386,16 +393,27 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                 # ---- phase 1: forward recompute over all k·S stages ----
                 cur = {key: full[("s", key)] for key in state_keys}
                 saved: List[Optional[Dict]] = []
+                # pre-BC target planes for sponge damp gradients:
+                # bc_pre[i][bc_pos] = ({key: plane}, low margin at capture)
+                bc_pre: List[Dict[int, tuple]] = []
                 for i in range(n_stages):
                     j = stage_j[i]
                     prog, carry = fwd_progs[j], carries[j]
                     done_lo, done_tot = cumF_lo[i], cumF[i]
-                    for bc, (blo_b, bhi_b) in zip(bcs.get(j, ()), bcF[j]):
+                    pre_i: Dict[int, tuple] = {}
+                    for p, (bc, (blo_b, bhi_b)) in enumerate(
+                            zip(bcs.get(j, ()), bcF[j])):
                         done_lo += blo_b
                         done_tot += blo_b + bhi_b
+                        if (bc.kind == "sponge"
+                                and isinstance(bc.value, str)):
+                            pre_i[p] = (
+                                {kk: cur[kk] for kk in state_keys
+                                 if kk[0] == bc.field}, done_lo)
                         cur = apply_bc_F(cur, bc, prog.ghost, blo_b,
                                          (LO + t + HI) - done_tot,
                                          tile_i * t - (LO - done_lo))
+                    bc_pre.append(pre_i)
                     saved.append({kk: cur[kk] for kk in saved_keys[j]}
                                  if need_primal[j] else None)
                     ext_rows = (LO + t + HI) - cumF[i + 1]
@@ -456,13 +474,15 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                     cur = nxt
 
                 def apply_bc_T(cot_s, bc, ghost_j, lo_rd, er, g_row0,
-                               inv_off):
+                               inv_off, pre=None):
                     """Exact transpose of ``apply_bc_F``: cotangent of the
                     post-BC state → cotangent of the pre-BC state.  BC
                     events are linear/affine in state, so only the
                     chain-invariant mask planes (read from the ORIGINAL
                     input block at ``inv_off``) and the running cotangents
-                    are needed."""
+                    are needed — except sponge's damp gradient, whose
+                    phase-1 pre-BC target planes arrive via ``pre``
+                    (``({key: plane}, capture low margin)``)."""
                     shape_b = (er, cols)
 
                     def rdc(key, off=(0,) * nd):
@@ -552,6 +572,27 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                                     new[(bc.value, ())]
                                     + jnp.where(m, yj, 0))
                             new[(bc.field, idx)] = jnp.where(m, 0, yj)
+                    elif bc.kind == "sponge":
+                        # y = damp ⊙ x  ⇒  x̂ = damp ⊙ ŷ; when damp is a
+                        # field, its cotangent needs the pre-sponge primal
+                        # (the ONE BC transpose reading a saved plane):
+                        # d̂ += Σ_idx x_pre[idx] ⊙ ŷ[idx]
+                        damp = (rdi((bc.value, ()))
+                                if isinstance(bc.value, str)
+                                else jnp.asarray(bc.value, dtype))
+                        if isinstance(bc.value, str):
+                            pre_planes, cap_lo = pre
+                            start = inv_off - cap_lo
+                            acc = jnp.zeros(shape_b, dtype)
+                            for idx in comps:
+                                xp = jax.lax.slice_in_dim(
+                                    pre_planes[(bc.field, idx)], start,
+                                    start + er, axis=0)
+                                acc = acc + xp * new[(bc.field, idx)]
+                            new[(bc.value, ())] = new[(bc.value, ())] + acc
+                        for idx in comps:
+                            new[(bc.field, idx)] = (new[(bc.field, idx)]
+                                                    * damp)
                     elif bc.kind == "bounce_back":
                         solid = rdi((bc.mask, ())) != 0
                         # forward: out_j = (1-s)·x_j + s·(x_jbar(·+c_j)
@@ -732,12 +773,13 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                     cl2 += lob[j]
                     # BC transposes in reverse event order, each consuming
                     # its MIRRORED reach
-                    for bc, (blo_b, bhi_b) in reversed(
-                            list(zip(bcs.get(j, ()), bcF[j]))):
+                    for p, (bc, (blo_b, bhi_b)) in reversed(
+                            list(enumerate(zip(bcs.get(j, ()), bcF[j])))):
                         er_b = ck_rows - (bhi_b + blo_b)
                         cot = apply_bc_T(cot, bc, fwd.ghost, bhi_b, er_b,
                                          tile_i * t - LO + cl2 + bhi_b,
-                                         cl2 + bhi_b)
+                                         cl2 + bhi_b,
+                                         pre=bc_pre[i].get(p))
                         ck_rows = er_b
                         cl2 += bhi_b
 

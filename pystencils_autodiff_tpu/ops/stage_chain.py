@@ -590,7 +590,8 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
             for j, step in enumerate(_seq_cache):
                 for bc in bcs.get(j, ()):
                     state = apply_bc_sequential(state, bc, progs[j].ghost,
-                                                periodic)
+                                                periodic,
+                                                fields=state_fields)
                 state = step(state)
         return {n: state[n] for n in state_names}
 

@@ -442,6 +442,7 @@ class ShardedChain:
                 for bc in self.bcs.get(j, ()):
                     state = apply_bc_sequential(state, bc,
                                                 self.progs[j].ghost,
-                                                self.periodic)
+                                                self.periodic,
+                                                fields=self.state_fields)
                 state = step(state)
         return {n: state[n] for n in self.input_names}

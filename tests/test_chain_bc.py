@@ -651,3 +651,207 @@ def test_fused_bwd_bounce_back_soa_layout():
     g_f = jax.jit(jax.grad(lambda u: jnp.sum(jnp.sin(fused_run(u)))))(u_lid)
     g_s = jax.jit(jax.grad(lambda u: jnp.sum(jnp.sin(seq_run(u)))))(u_lid)
     np.testing.assert_allclose(float(g_f), float(g_s), rtol=1e-11)
+
+
+# ---------------------------------------------------------------------------
+# sponge (absorbing-layer) BC — round 3: non-reflecting boundaries for
+# wave/FWI time loops fuse into the chains like every other BC kind
+
+
+def test_cerjan_damping_profile():
+    from pystencils_autodiff_tpu.boundary import cerjan_damping
+
+    d = cerjan_damping((32, 24), width=6, alpha=0.1, dtype=jnp.float64)
+    assert d.shape == (32, 24)
+    # interior is exactly 1, boundary cells are the most damped
+    assert float(d[16, 12]) == 1.0
+    assert float(d[0, 12]) < float(d[3, 12]) < float(d[5, 12]) < 1.0
+    np.testing.assert_allclose(float(d[0, 12]), np.exp(-(0.1 * 6) ** 2),
+                               rtol=1e-12)
+    # corners damp with the product of both dims' factors
+    np.testing.assert_allclose(float(d[0, 0]), float(d[0, 12]) ** 2,
+                               rtol=1e-12)
+    # free side stays undamped
+    df = cerjan_damping((32, 24), width=6, alpha=0.1, free=[(0, 0)],
+                        dtype=jnp.float64)
+    assert float(df[0, 12]) == 1.0
+    assert float(df[-1, 12]) < 1.0
+
+
+def test_sponge_in_chain():
+    """Fused sponge == per-step jnp sponge, state and (recompute-backward)
+    gradients — field-valued and scalar damping."""
+    from pystencils_autodiff_tpu.boundary import cerjan_damping, sponge
+
+    op = heat_op()
+    k = 2
+    n = (40, 32)
+    u0 = rand(0, n)
+    damp = cerjan_damping(n, width=5, alpha=0.08, dtype=jnp.float64)
+    step = stage_stepper(op, {"u": "u_next"})
+
+    for spec, oracle_damp in ((("sponge", "damp"), damp),
+                              (("sponge", 0.93), 0.93)):
+        chain = fused_stage_chain([(op, {"u": "u_next"})], k,
+                                  interpret=True, tile_rows=16,
+                                  boundary={"u": spec})
+        state = {"u": u0}
+        if isinstance(spec[1], str):
+            state["damp"] = damp
+        out = jax.jit(chain)(state)["u"]
+        ref = u0
+        for _ in range(k):
+            ref = step({"u": sponge(ref, oracle_damp)})["u"]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=RTOL, atol=ATOL)
+
+        g_f = jax.jit(jax.grad(
+            lambda a, _c=chain, _s=state: jnp.sum(jnp.sin(
+                _c({**_s, "u": a})["u"]))))(u0)
+
+        def seq_loss(a, _d=oracle_damp):
+            r = a
+            for _ in range(k):
+                r = step({"u": sponge(r, _d)})["u"]
+            return jnp.sum(jnp.sin(r))
+
+        g_s = jax.grad(seq_loss)(u0)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                                   rtol=RTOL, atol=ATOL)
+
+
+def test_sponge_periodic_chain():
+    """sponge is maskless and composes with periodic chain domains (frame
+    BCs are rejected there; the damping profile is not a frame fill)."""
+    from pystencils_autodiff_tpu.boundary import cerjan_damping, sponge
+
+    op = heat_op()
+    k = 2
+    n = (32, 32)
+    u0 = rand(3, n)
+    damp = cerjan_damping(n, width=4, alpha=0.1, dtype=jnp.float64)
+    chain = fused_stage_chain([(op, {"u": "u_next"})], k, interpret=True,
+                              tile_rows=8, periodic=True,
+                              boundary={"u": ("sponge", "damp")})
+    step = stage_stepper(op, {"u": "u_next"}, periodic=True)
+    out = jax.jit(chain)({"u": u0, "damp": damp})["u"]
+    ref = u0
+    for _ in range(k):
+        ref = step({"u": sponge(ref, damp)})["u"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_sponge_fused_bwd_matches_sequential(k):
+    """Two-phase fused backward with the sponge transpose: gradients
+    w.r.t. the state AND the damping profile match the sequential
+    recompute backward exactly (the damp gradient is the one BC
+    transpose that consumes a saved pre-BC primal plane)."""
+    from pystencils_autodiff_tpu.boundary import cerjan_damping
+
+    op = heat_op()
+    n = (40, 32)
+    u0 = rand(7, n)
+    damp = cerjan_damping(n, width=5, alpha=0.08, dtype=jnp.float64)
+
+    outs, gus, gds = {}, {}, {}
+    for fb in (False, True):
+        chain = fused_stage_chain(
+            [(op, {"u": "u_next"})], k, interpret=True, fused_bwd=fb,
+            boundary={"u": [("sponge", "damp"), ("dirichlet", 0.0)]})
+
+        def loss(a, d, _c=chain):
+            out = _c({"u": a, "damp": d})
+            return jnp.sum(jnp.sin(out["u"]))
+
+        outs[fb] = jax.jit(chain)({"u": u0, "damp": damp})["u"]
+        gus[fb], gds[fb] = jax.jit(jax.grad(loss, argnums=(0, 1)))(u0, damp)
+    np.testing.assert_allclose(np.asarray(outs[True]),
+                               np.asarray(outs[False]),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(gus[True]),
+                               np.asarray(gus[False]),
+                               rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(gds[True]),
+                               np.asarray(gds[False]),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_sponge_fused_bwd_two_stage_wave():
+    """Absorbing boundary on a leapfrog wave chain (the FWI use case):
+    sponge on both wavefields, fused two-phase backward, gradient w.r.t.
+    the velocity field intact and equal to the sequential backward."""
+    from pystencils_autodiff_tpu.boundary import cerjan_damping
+    from pystencils_autodiff_tpu.models import wave_step_op
+
+    op = wave_step_op(dtype="float64")
+    k = 2
+    n = (36, 32)
+    u0, up0 = rand(20, n), rand(21, n)
+    c0 = 2.0 + 0.1 * jnp.abs(rand(22, n))
+    damp = cerjan_damping(n, width=4, alpha=0.1, free=[(0, 0)],
+                          dtype=jnp.float64)
+    carry = {"u_curr": "u_next", "u_prev": "u_curr"}
+
+    grads = {}
+    for fb in (False, True):
+        chain = fused_stage_chain(
+            [(op, carry)], k, interpret=True, fused_bwd=fb,
+            boundary={"u_curr": ("sponge", "damp"),
+                      "u_prev": ("sponge", "damp")})
+
+        def loss(c, _c=chain):
+            out = _c({"u_curr": u0, "u_prev": up0, "c": c, "damp": damp})
+            return jnp.sum(jnp.sin(out["u_curr"]))
+
+        grads[fb] = jax.jit(jax.grad(loss))(c0)
+    np.testing.assert_allclose(np.asarray(grads[True]),
+                               np.asarray(grads[False]),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_sponge_index_field_aos_and_soa():
+    """sponge on a multi-component population field: the damping plane
+    broadcasts over components in both storage layouts."""
+    from pystencils_autodiff_tpu import Field
+    from pystencils_autodiff_tpu.boundary import cerjan_damping, sponge
+    from pystencils_autodiff_tpu.models.lbm import D2Q9_VELOCITIES
+
+    n = 16
+    damp = cerjan_damping((n, n), width=3, alpha=0.1, dtype=jnp.float64)
+    for layout in ("c", "soa"):
+        f = Field("f", 2, index_shape=(9,), dtype="float64", layout=layout)
+        fo = Field("f_out", 2, index_shape=(9,), dtype="float64",
+                   layout=layout)
+        asgs = [Assignment(fo(j), f[tuple(-c for c in cj)](j))
+                for j, cj in enumerate(D2Q9_VELOCITIES)]
+        op = AutoDiffOp(asgs, op_name=f"stream9_sponge_{layout}")
+        for fb in (False, True):
+            chain = fused_stage_chain(
+                [(op, {"f": "f_out"})], 2, interpret=True, fused_bwd=fb,
+                boundary={"f": ("sponge", "damp")})
+            f0 = 1.0 + 0.01 * rand(31, ((9, n, n) if layout == "soa"
+                                        else (n, n, 9)))
+            step = stage_stepper(op, {"f": "f_out"})
+
+            def seq(a):
+                r = a
+                for _ in range(2):
+                    if layout == "soa":
+                        d = sponge(jnp.moveaxis(r, 0, -1), damp)
+                        r = step({"f": jnp.moveaxis(d, -1, 0)})["f"]
+                    else:
+                        r = step({"f": sponge(r, damp)})["f"]
+                return r
+
+            out = jax.jit(chain)({"f": f0, "damp": damp})["f"]
+            np.testing.assert_allclose(np.asarray(out),
+                                       np.asarray(seq(f0)),
+                                       rtol=RTOL, atol=ATOL)
+            g_f = jax.jit(jax.grad(
+                lambda a, _c=chain: jnp.sum(jnp.sin(
+                    _c({"f": a, "damp": damp})["f"]))))(f0)
+            g_s = jax.grad(lambda a: jnp.sum(jnp.sin(seq(a))))(f0)
+            np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                                       rtol=1e-11, atol=1e-11)

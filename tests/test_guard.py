@@ -195,3 +195,73 @@ def test_stage_chain_bwd_guard_routes_vmem(guard_cache, monkeypatch):
         jnp.sin(ref_chain({"u": a})["u"])))(u0)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_transient_backend_failure_not_persisted(guard_cache, caplog,
+                                                 monkeypatch):
+    """Relay transport errors (dropped connection mid-compile) must retry
+    once and, if still failing, fall back WITHOUT recording a crash — a
+    transient hiccup must not poison the variant's registry entry
+    (observed 2026-08-18: one 'response body closed' during a benchmark
+    disabled the healthy 256³ diff3d two-phase route persistently)."""
+    import pystencils_autodiff_tpu.ops.guard as guard_mod
+
+    monkeypatch.setattr(guard_mod.time, "sleep", lambda s: None)
+    attempts = []
+
+    def flaky():
+        def fn(x):
+            attempts.append(x)
+            raise RuntimeError(
+                "INTERNAL: http://127.0.0.1:8093/remote_compile: read "
+                "body: response body closed before all bytes were read")
+        return fn
+
+    def good():
+        def fn(x):
+            return x * 2
+        return fn
+
+    with caplog.at_level(logging.WARNING,
+                         logger="pystencils_autodiff_tpu.guard"):
+        name, fn, result = guard_variants(
+            [("fused", flaky), ("sequential", good)], 21, signature="tr1")
+    assert name == "sequential" and result == 42
+    assert len(attempts) == 2  # retried the same variant once
+    reg = json.loads(guard_cache.read_text()) if guard_cache.exists() else {}
+    assert reg.get("tr1|fused") is None  # nothing persisted
+    # a SECOND guard run tries the fused variant again (no skip)
+    calls2 = []
+
+    def now_healthy():
+        def fn(x):
+            calls2.append(x)
+            return x + 1
+        return fn
+
+    name2, _, result2 = guard_variants(
+        [("fused", now_healthy), ("sequential", good)], 1, signature="tr1")
+    assert name2 == "fused" and result2 == 2
+
+
+def test_transient_retry_succeeds(guard_cache, monkeypatch):
+    """A variant that fails transiently once and then works is kept (and
+    its compile time recorded), not skipped."""
+    import pystencils_autodiff_tpu.ops.guard as guard_mod
+
+    monkeypatch.setattr(guard_mod.time, "sleep", lambda s: None)
+    state = {"n": 0}
+
+    def flaky_then_ok():
+        def fn(x):
+            state["n"] += 1
+            if state["n"] == 1:
+                raise RuntimeError("connection reset by peer")
+            return x * 3
+        return fn
+
+    name, fn, result = guard_variants(
+        [("fused", flaky_then_ok)], 7, signature="tr2")
+    assert name == "fused" and result == 21
+    reg = json.loads(guard_cache.read_text())
+    assert isinstance(reg.get("tr2|fused"), float)
