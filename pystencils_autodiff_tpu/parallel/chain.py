@@ -24,9 +24,12 @@ back through them (recompute-from-checkpoint); ``fused_bwd=True`` instead
 runs ONE ``k·(reach_f+reach_b)``-deep exchange plus the two-phase fused
 adjoint kernel per shard (ops/stage_adjoint.py) — 4 ppermutes per sharded
 dim per value+gradient call, independent of k, composing with in-chain
-boundary conditions.  Either way ppermute transposes give the exact
-transposed exchange, so cotangents are bit-identical to sequential
-stepping.
+boundary conditions.  LINEAR single-op periodic chains skip the two-phase
+kernel entirely: the pullback is the transposed op's own sharded forward
+chain on the cotangents (twin chains, ops/adjoint_chain.py semantics) —
+same 4 ppermutes/dim, ~half the kernel cost.  Either way ppermute
+transposes give the exact transposed exchange, so cotangents are
+bit-identical to sequential stepping.
 """
 
 from __future__ import annotations
@@ -155,6 +158,26 @@ class ShardedChain:
                      for d in self.dim_axes}
 
         self._fused_bwd = bool(fused_bwd)
+        # linear twin-chain fast path (mirrors ops/adjoint_chain.py): for a
+        # LINEAR single-op periodic chain the k-step VJP is (Aᵀ)ᵏ, so the
+        # pullback is simply the transposed op's own comm-avoiding sharded
+        # chain on the cotangents — one 2-ppermute/dim deep exchange plus a
+        # cheap forward kernel instead of the two-phase recompute kernel
+        # (measured 2.7× on the 8192² heat chain, BENCH_NOTES round 3).
+        self._twin = None
+        if (self._fused_bwd and len(stages) == 1 and not self.bcs
+                and periodic):
+            from ..ops.adjoint_chain import transposed_linear_op
+
+            twin = transposed_linear_op(stages[0][0], stages[0][1])
+            if twin is not None:
+                cot_op, cot_carry, name_of, coeff_reads = twin
+                self._twin_info = (name_of, coeff_reads)
+                self._twin = ShardedChain(
+                    cot_op, k, mesh, dim_axes, carry_map=cot_carry,
+                    periodic=True, interpret=interpret,
+                    tile_rows=tile_rows, dtype=dtype,
+                    vmem_limit_bytes=vmem_limit_bytes)
         if self._fused_bwd:
             from ..ops.common import backward_program
 
@@ -218,6 +241,18 @@ class ShardedChain:
             return self._fused(state), {n: state[n] for n in names}
 
         def bwd_rule(saved, cot):
+            if self._twin is not None:
+                name_of, coeff_reads = self._twin_info
+                ct = {name_of[m]: cot[m] for m in name_of}
+                # coefficient arrays ride the cotangent chain unchanged
+                for cn in coeff_reads:
+                    ct[cn] = saved[cn]
+                ct = self._twin(self._cast(ct))
+                # declared-constant coefficients keep the identity
+                # pass-through term of their cotangent (the forward
+                # returns them unchanged; see ops/adjoint_chain.py)
+                return ({m: (ct[name_of[m]] if m in name_of else cot[m])
+                         for m in names},)
             if self._fused_bwd:
                 specs = {n: self.partition_spec(self.state_fields[n])
                          for n in names}

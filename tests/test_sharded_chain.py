@@ -326,3 +326,107 @@ def test_fused_backward_ppermute_count():
 
     txt = jax.jit(jax.grad(loss)).lower(u).as_text()
     assert txt.count("ppermute") <= 8  # 2 fwd + (2 + 2-transposed) bwd
+
+
+@needs_8
+@pytest.mark.parametrize("op_factory,carry,extra", [
+    (heat_op_2d, {"u": "u_next"}, {}),
+])
+def test_twin_backward_linear_matches_sequential(op_factory, carry, extra):
+    """LINEAR periodic single-op chains take the sharded twin-chain
+    backward (the transposed op's own comm-avoiding chain on the
+    cotangents); values and gradients must equal the sequential
+    single-device path exactly."""
+    op = op_factory()
+    k = 4
+    mesh = make_mesh((4,), ("x",))
+    chain = ShardedChain(op, k, mesh, {0: "x"}, carry_map=carry,
+                         periodic=True, interpret=True, fused_bwd=True)
+    assert chain._twin is not None  # the fast path actually engaged
+    u0 = rand(40, (64, 32))
+    cot = rand(41, (64, 32))
+    state = {"u": u0, **extra}
+
+    @jax.jit
+    def run(uv, cv):
+        out, pull = jax.vjp(lambda a: chain({**state, "u": a})["u"], uv)
+        return out, pull(cv)[0]
+
+    out_f, g_f = run(u0, cot)
+
+    step = stage_stepper(op, carry, periodic=True)
+
+    @jax.jit
+    def seq(uv, cv):
+        def f(a):
+            st = {**state, "u": a}
+            for _ in range(k):
+                st = step(st)
+            return st["u"]
+        out, pull = jax.vjp(f, uv)
+        return out, pull(cv)[0]
+
+    out_s, g_s = seq(u0, cot)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                               rtol=RTOL, atol=ATOL)
+
+
+@needs_8
+def test_twin_backward_frozen_coefficient():
+    """Constant-coefficient (frozen-c wave style) ops qualify for the
+    sharded twin backward: the coefficient rides the cotangent chain
+    unchanged and keeps its identity pass-through cotangent."""
+    from pystencils_autodiff_tpu import Field
+    from pystencils_autodiff_tpu.models import wave_step_op
+
+    op = wave_step_op(grad_c=False, dtype="float64")
+    k = 2
+    mesh = make_mesh((4,), ("x",))
+    carry = {"u_curr": "u_next", "u_prev": "u_curr"}
+    chain = ShardedChain(op, k, mesh, {0: "x"}, carry_map=carry,
+                         periodic=True, interpret=True, fused_bwd=True)
+    assert chain._twin is not None
+    n = (64, 32)
+    u0, up0 = rand(50, n), rand(51, n)
+    c0 = 2.0 + 0.1 * jnp.abs(rand(52, n))
+
+    def loss(uv, pv):
+        out = chain({"u_curr": uv, "u_prev": pv, "c": c0})
+        return jnp.sum(jnp.sin(out["u_curr"]) + jnp.cos(out["u_prev"]))
+
+    g_f = jax.jit(jax.grad(loss, argnums=(0, 1)))(u0, up0)
+
+    step = stage_stepper(op, carry, periodic=True)
+
+    def seq_loss(uv, pv):
+        st = {"u_curr": uv, "u_prev": pv, "c": c0}
+        for _ in range(k):
+            st = step(st)
+        return jnp.sum(jnp.sin(st["u_curr"]) + jnp.cos(st["u_prev"]))
+
+    g_s = jax.jit(jax.grad(seq_loss, argnums=(0, 1)))(u0, up0)
+    for a, b in zip(g_f, g_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=RTOL, atol=ATOL)
+
+
+@needs_8
+def test_twin_backward_ppermute_count():
+    """The twin backward costs the same 4 ppermutes per sharded dim as
+    the two-phase path (2 fwd-exchange + 2 cotangent-chain exchange),
+    independent of k."""
+    op = heat_op_2d()
+    k = 8
+    mesh = make_mesh((4,), ("x",))
+    chain = ShardedChain(op, k, mesh, {0: "x"}, carry_map={"u": "u_next"},
+                         periodic=True, interpret=True, fused_bwd=True)
+    assert chain._twin is not None
+    u = rand(9, (128, 32))
+
+    def loss(a):
+        return jnp.sum(chain({"u": a})["u"] ** 2)
+
+    txt = jax.jit(jax.grad(loss)).lower(u).as_text()
+    assert txt.count("ppermute") <= 8
