@@ -245,11 +245,14 @@ def sec_cavity():
         if layout != "aos":
             continue
         # value+gradient in ONE kernel: the two-phase adjoint with fused
-        # BC transposes (round-3 session 2) vs sequential-recompute bwd
-        for fb in (False, True):
+        # BC transposes (round-3 session 2) vs sequential-recompute bwd.
+        # The fused-bwd row uses k=2: the 9-plane two-phase kernel at
+        # k=4/2048^2 is a recorded Mosaic pathology (guard pre-seed
+        # stage_vjp_wide; k=2 compiles in 79 s and runs)
+        for fb, kg in ((False, k), (True, 2)):
             try:
                 ch_g = fused_stage_chain(
-                    [(op, {"f": "f_out"})], k, fused_bwd=fb,
+                    [(op, {"f": "f_out"})], kg, fused_bwd=fb,
                     boundary={"f": ("bounce_back", "solid",
                                     ("uw0", "uw1"))})
 
@@ -262,9 +265,9 @@ def sec_cavity():
                     return (out, gu)
 
                 t_g = timed_per_iter(lambda c: vjp_step(c),
-                                     (f0, lid), 3) / k
+                                     (f0, lid), 3) / kg
                 print(f"cavity {layout} {n}^2 value+u_lid-grad "
-                      f"({'fused' if fb else 'seq'} bwd): "
+                      f"({'fused' if fb else 'seq'} bwd, k={kg}): "
                       f"{t_g*1e3:.3f} ms/step "
                       f"({n*n/t_g/1e9:.2f} GLUPS)")
             except Exception as e:

@@ -40,15 +40,22 @@ __all__ = ["Step", "StencilProgram", "make_program", "forward_program",
            "scoped_vmem", "shared_lateral_offsets", "lat_shifted_read"]
 
 def shared_lateral_offsets(steps, key=None):
-    """Keys of lateral shifts used by ≥2 accesses across ``steps``.
+    """Keys of lateral shifts referenced by ≥2 step-atoms across ``steps``.
 
-    Shift-before-slice reuse only pays when a (field, component,
-    lateral-offset) combination recurs (27-point operands: 9 accesses per
-    lane offset); for single-use offsets the pre-shift acts on the larger
-    un-sliced tile and holds it live in VMEM for nothing — measured a
-    1.5× *regression* on the variable-κ diffusion.  ``key(acc)`` maps an
-    access to its cache key; default ``(name, index, offsets[-1])`` with
-    zero offsets skipped (a 0-shift is free)."""
+    Shift-before-slice reuse pays whenever the kernel would otherwise
+    EMIT the slice+rotate more than once.  That is reference count, not
+    distinct-access count: the kernel builders call ``read(acc)`` once
+    per atom reference per step, and Mosaic does not reliably CSE
+    ``tpu.dynamic_rotate``, so one streamed D2Q9 access feeding ρ, u and
+    its collision line re-rotates per step without the cache (measured:
+    switching this gate to distinct-access counting emitted 112 rotates
+    instead of 48 in the k=4 cavity chain and cost 1.5× wall time,
+    interleaved A/B on the v5e).  For genuinely single-use offsets the
+    pre-shift acts on the larger un-sliced tile and holds it live in
+    VMEM for nothing — measured a 1.5× *regression* on the variable-κ
+    diffusion — hence the ≥2 gate.  ``key(acc)`` maps an access to its
+    cache key; default ``(name, index, offsets[-1])`` with zero offsets
+    skipped (a 0-shift is free)."""
     from collections import Counter
 
     from ..field import Field

@@ -83,8 +83,13 @@ def tuning_tag(tile_rows=None, vmem_limit_bytes=_DEFAULT_VMEM) -> str:
         tag += f"|vmem={vmem_limit_bytes}"
     return tag
 
+# Every healthy kernel on record compiles in <35 s (guard registry);
+# 180 s is 5x that with margin.  600 s burned half an hour walking the
+# variant ladder on the 2048^2 BC'd two-phase cavity adjoint (each of
+# stage_vjp, vmem/2, vmem/4 hitting the full budget) before reaching
+# the sequential-recompute fallback (observed 2026-08-18).
 _DEFAULT_BUDGET_S = float(os.environ.get("PYSTENCILS_ADTPU_COMPILE_BUDGET",
-                                         "600"))
+                                         "180"))
 
 # transport-layer failure markers of the remote-compile relay: these are
 # TRANSIENT (a dropped connection, a relay restart), not shape-deterministic
@@ -150,6 +155,17 @@ def known_pathology(kind: str, **facts) -> Optional[str]:
         # same per-step arithmetic
         return ("3D plane-blocked chain with k>=4 at >=300^3 cells crashes "
                 "the remote Mosaic compiler (recorded round 3)")
+    if kind == "stage_vjp_wide" and facts.get("planes", 0) >= 9 \
+            and facts.get("k", 0) >= 4 and cells >= 2048 * 2048:
+        # the two-phase adjoint of a WIDE stage chain (LBM-class, >=9
+        # state planes) at k>=4 and >=2048^2 cells blew past a 600 s
+        # Mosaic compile budget and then VMEM-crashed the reduced-budget
+        # variant (recorded 2026-08-18 on the BC'd cavity chain; k=2
+        # compiles in 79 s and runs) — go straight to the
+        # sequential-recompute backward
+        return ("two-phase adjoint of a >=9-plane stage chain with k>=4 "
+                "at >=2048^2 cells exceeds the remote Mosaic compiler "
+                "(recorded round 3; use k=2 chains for a fused backward)")
     return None
 
 
@@ -163,6 +179,40 @@ class CompileGuard:
 
     def _warn(self, msg: str) -> None:
         logger.warning(msg)
+
+    def _bounded_build(self, build: Callable[[], Callable]):
+        """Run ``build()`` (kernel construction + AOT Mosaic probe) in a
+        daemon thread and wait at most ``budget_s``.
+
+        The compile is a C++ call that cannot be interrupted in-process;
+        a Timer that merely *marks* the timeout still leaves the caller
+        blocked for the full compile (observed 2026-08-18: the 2048² BC'd
+        two-phase cavity adjoint held the variant ladder for 10+ minutes
+        per variant).  Joining a worker thread bounds the caller's wall
+        time; an over-budget compile is abandoned (the thread finishes in
+        the background and its result is discarded).  Builds are pure
+        construction + AOT lowering with abstract args, so they do not
+        touch the caller's (thread-local) trace context.
+
+        Returns ``(fn, exc, timed_out)``."""
+        box: dict = {}
+        done = threading.Event()
+
+        def work():
+            try:
+                box["fn"] = build()
+            except BaseException as e:  # noqa: BLE001 — reported below
+                box["exc"] = e
+            finally:
+                done.set()
+
+        th = threading.Thread(target=work, daemon=True,
+                              name="compile-guard-build")
+        th.start()
+        th.join(self.budget_s)
+        if not done.is_set():
+            return None, None, True
+        return box.get("fn"), box.get("exc"), False
 
     def run(self, variants: Sequence[Tuple[str, Callable[[], Callable]]],
             *args, signature: str = "", **kwargs):
@@ -188,61 +238,59 @@ class CompileGuard:
 
         for name, build in picked:
             sig = f"{signature}|{name}"
-            timed_out = threading.Event()
-            timer = threading.Timer(
-                self.budget_s, lambda: (timed_out.set(), self._warn(
-                    f"compile guard: {name} exceeded the "
-                    f"{self.budget_s:.0f}s budget for {sig}; recording it — "
-                    f"future runs will prefer the fallback")))
-            timer.daemon = True
             retried = False
             while True:
-                try:
-                    timer.start()
-                    t0 = time.monotonic()
-                    fn = build()
-                    result = fn(*args, **kwargs)
-                    dt = time.monotonic() - t0
-                except Exception as e:
-                    timer.cancel()
-                    if _is_transient(e) and not retried:
+                t0 = time.monotonic()
+                fn, exc, timed_out = self._bounded_build(build)
+                if timed_out:
+                    # over-budget compile: abandon it (the worker thread
+                    # keeps running; its result is discarded) and move on
+                    self._registry[sig] = "timeout"
+                    _save_registry(self._registry)
+                    self._warn(
+                        f"compile guard: {name} exceeded the "
+                        f"{self.budget_s:.0f}s budget for {sig}; "
+                        f"abandoning it — future runs will prefer the "
+                        f"fallback")
+                    break
+                if exc is None:
+                    try:
+                        result = fn(*args, **kwargs)
+                        dt = time.monotonic() - t0
+                    except Exception as e:  # first call failed
+                        exc = e
+                if exc is not None:
+                    if _is_transient(exc) and not retried:
                         # relay hiccup, not a Mosaic pathology: retry the
                         # SAME variant once before falling back
                         self._warn(f"compile guard: transient backend "
                                    f"failure for {sig} "
-                                   f"({type(e).__name__}: {e}); retrying")
+                                   f"({type(exc).__name__}: {exc}); "
+                                   f"retrying")
                         retried = True
                         time.sleep(2.0)
-                        timer = threading.Timer(self.budget_s,
-                                                timed_out.set)
-                        timer.daemon = True
                         continue
-                    if _is_transient(e):
+                    if _is_transient(exc):
                         # still failing: fall back THIS RUN only — never
                         # persist a transport error as a crash
                         self._warn(f"compile guard: {name} failed "
                                    f"transiently for {sig} "
-                                   f"({type(e).__name__}: {e}); falling "
-                                   f"back (not recorded)")
+                                   f"({type(exc).__name__}: {exc}); "
+                                   f"falling back (not recorded)")
                     else:  # crash (e.g. remote compiler HTTP 500)
                         self._registry[sig] = "crash"
                         _save_registry(self._registry)
                         self._warn(f"compile guard: {name} failed for "
-                                   f"{sig} ({type(e).__name__}: {e}); "
+                                   f"{sig} ({type(exc).__name__}: {exc}); "
                                    f"falling back")
-                    last_exc = e
+                    last_exc = exc
                     fn = None
-                finally:
-                    timer.cancel()
-                break
+                    break
+                self._registry[sig] = round(dt, 1)
+                _save_registry(self._registry)
+                return name, fn, result
             if fn is None:
                 continue
-            if timed_out.is_set():
-                self._registry[sig] = "timeout"
-            else:
-                self._registry[sig] = round(dt, 1)
-            _save_registry(self._registry)
-            return name, fn, result
         raise last_exc if last_exc is not None else RuntimeError(
             "compile guard: no variants")
 

@@ -742,6 +742,23 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
             variants.append(("sequential_recompute", seq_bwd))
             arr0 = saved[state_names[0]]
             spatial0 = storage_spatial(state_fields[state_names[0]], arr0)
+            import logging
+
+            import numpy as _np
+
+            from .guard import known_pathology
+
+            n_planes = sum(len(field_components(state_fields[n]))
+                           for n in state_names)
+            reason = known_pathology(
+                "stage_vjp_wide", planes=n_planes, k=k,
+                cells=int(_np.prod(spatial0, dtype=_np.int64)))
+            if reason:
+                logging.getLogger(
+                    "pystencils_autodiff_tpu.guard").warning(
+                    "compile guard: %s — using the sequential-recompute "
+                    "backward for %s at %s", reason, stage_sig, spatial0)
+                variants = variants[-1:] + variants[:-1]
             name, fn, result = guard_variants(
                 variants, saved, cot,
                 signature=f"stage_vjp|{stage_sig}|{spatial0}|{arr0.dtype}|"

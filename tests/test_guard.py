@@ -265,3 +265,59 @@ def test_transient_retry_succeeds(guard_cache, monkeypatch):
     assert name == "fused" and result == 21
     reg = json.loads(guard_cache.read_text())
     assert isinstance(reg.get("tr2|fused"), float)
+
+
+def test_over_budget_build_is_abandoned(guard_cache):
+    """A build (kernel construction + AOT Mosaic probe) that exceeds the
+    budget is ABANDONED — the caller moves to the fallback within ~budget
+    wall time instead of blocking until the compile finishes (observed
+    2026-08-18: the in-process Timer only *marked* the timeout while the
+    2048² BC'd cavity adjoint held the ladder 10+ min per variant)."""
+    import threading
+    import time as _time
+
+    release = threading.Event()
+
+    def hung_build():
+        release.wait(30.0)  # stands in for a 10-minute remote compile
+        def fn(x):
+            return x - 1
+        return fn
+
+    def quick():
+        def fn(x):
+            return x + 1
+        return fn
+
+    guard = CompileGuard(budget_s=0.3)
+    t0 = _time.monotonic()
+    name, fn, result = guard.run(
+        [("deep", hung_build), ("fallback", quick)], 5, signature="ab1")
+    wall = _time.monotonic() - t0
+    release.set()  # let the abandoned worker exit
+    assert name == "fallback" and result == 6
+    assert wall < 5.0  # bounded by the budget, not the compile
+    reg = json.loads(guard_cache.read_text())
+    assert reg.get("ab1|deep") == "timeout"
+    # and a later guard instance skips the offender outright
+    name2, _, result2 = guard_variants(
+        [("deep", hung_build), ("fallback", quick)], 1,
+        signature="ab1", budget_s=0.3)
+    assert name2 == "fallback" and result2 == 2
+
+
+def test_stage_vjp_wide_pathology_seeded():
+    """LBM-class (>=9-plane) two-phase adjoints at k>=4 and >=2048^2
+    cells are pre-seeded offenders (recorded 2026-08-18: >600 s compile
+    then a VMEM crash on the BC'd cavity chain); narrower, shallower, or
+    smaller problems are not."""
+    assert known_pathology("stage_vjp_wide", planes=10, k=4,
+                           cells=2048 * 2048)
+    assert known_pathology("stage_vjp_wide", planes=9, k=6,
+                           cells=4096 * 4096)
+    assert not known_pathology("stage_vjp_wide", planes=10, k=2,
+                               cells=2048 * 2048)  # k=2 compiles (79 s)
+    assert not known_pathology("stage_vjp_wide", planes=4, k=4,
+                               cells=2048 * 2048)  # narrow chains fine
+    assert not known_pathology("stage_vjp_wide", planes=10, k=4,
+                               cells=1024 * 1024)  # small domains fine
