@@ -356,12 +356,13 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
             twin_guarded.k = k
             return twin_guarded
 
-    if periodic and nd != 2:
+    if periodic and nd != 2 and not (nd == 3 and not probes):
         raise ValueError(
-            "periodic fused_chain_vjp supports 2D domains only for "
-            "nonlinear ops (the two-phase recompute kernel); linear ops "
-            "of any rank take the twin-chain path, which this op did not "
-            "qualify for")
+            "periodic fused_chain_vjp supports 2D domains (flattened "
+            "two-phase kernel) and 3D domains without probes (plane-"
+            "blocked two-phase kernel, ops/plane_adjoint.py) for "
+            "nonlinear ops; linear ops of any rank take the twin-chain "
+            "path, which this op did not qualify for")
 
     from .common import shared_lateral_offsets
 
@@ -740,10 +741,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
     cache = {}
 
     def chain_grad(state, cot_state, probe_cots=()):
-        import numpy as _np
-
-        from .guard import (guard_variants, known_pathology,
-                    tuning_tag as _tuning_tag)
+        from .guard import guard_variants, tuning_tag as _tuning_tag
 
         f0 = op.forward_input_fields[0]
         arr0 = state[in_names[0]]
@@ -751,13 +749,29 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
         key = (spatial, str(arr0.dtype))
         if key not in cache:
             interp = interpret if interpret is not None else not _on_tpu()
-            if interp:
-                cache[key] = build(spatial, arr0.dtype, interp)
-            else:
-                def build_probed():
-                    from .guard import aot_probe
+            # 3D domains default to the plane-blocked two-phase kernel
+            # (ops/plane_adjoint.py): chain halo = k·reach PLANES instead
+            # of k·reach·n1 flattened rows, so large 3D (384³-class)
+            # compiles where the flattened kernel crashed Mosaic (the
+            # round-3 flat_chain_vjp_3d pre-seed is gone because the
+            # direct kernel compiles), and periodic wrap works in all
+            # three dims
+            use_plane = (nd == 3 and not probes)
 
-                    fn = build(spatial, arr0.dtype, interp)
+            def build_plane(vmem=None):
+                from .plane_adjoint import make_plane_chain_vjp_fn
+
+                fn3 = make_plane_chain_vjp_fn(
+                    op, k, carry_map, spatial, arr0.dtype, interp,
+                    periodic, tile_planes=tile_rows,
+                    vmem_limit_bytes=vmem or vmem_limit_bytes)
+                return lambda s, c, p=(): fn3(s, c)
+
+            if interp:
+                cache[key] = (build_plane() if use_plane
+                              else build(spatial, arr0.dtype, interp))
+            else:
+                def probed(builder):
                     # force the Mosaic compile NOW (AOT, abstract args):
                     # under an outer jit the in-trace call only TRACES the
                     # pallas_call, the guard would record a bogus success,
@@ -765,30 +779,37 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                     # uncaught (same escape compose() plugs in
                     # time_chain.py); aot_probe keeps the executable so
                     # the first real call doesn't recompile
-                    abstract = jax.tree.map(
-                        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
-                        (dict(state), dict(cot_state), tuple(probe_cots)))
-                    probed = aot_probe(lambda s, c, p: fn(s, c, p),
-                                       *abstract)
-                    return lambda s, c, p: probed(s, dict(c), tuple(p))
+                    def b():
+                        from .guard import aot_probe
 
-                variants = [
-                    ("fused_two_phase", build_probed),
-                    ("sequential_recompute",
-                     lambda: build_sequential_fallback(interp)),
-                ]
-                if nd >= 3:
-                    reason = known_pathology(
-                        "flat_chain_vjp_3d",
-                        cells=int(_np.prod(spatial, dtype=_np.int64)))
-                    if reason:
-                        import logging
-                        logging.getLogger(
-                            "pystencils_autodiff_tpu.guard").warning(
-                            "compile guard: %s — using the sequential-"
-                            "recompute adjoint for %s at %s", reason,
-                            op.op_name, spatial)
-                        variants.reverse()
+                        fn = builder()
+                        abstract = jax.tree.map(
+                            lambda a: jax.ShapeDtypeStruct(a.shape,
+                                                           a.dtype),
+                            (dict(state), dict(cot_state),
+                             tuple(probe_cots)))
+                        pr = aot_probe(lambda s, c, p: fn(s, c, p),
+                                       *abstract)
+                        return lambda s, c, p: pr(s, dict(c), tuple(p))
+                    return b
+
+                variants = []
+                if use_plane:
+                    variants.append(("plane_two_phase",
+                                     probed(build_plane)))
+                    variants.append((
+                        "plane_two_phase_vmem/2",
+                        probed(lambda: build_plane(
+                            vmem_limit_bytes // 2))))
+                if not (periodic and nd != 2):
+                    # the flattened kernel's periodic wrap is 2D-only;
+                    # bounded domains of any rank keep it as a fallback
+                    variants.append((
+                        "fused_two_phase",
+                        probed(lambda: build(spatial, arr0.dtype,
+                                             interp))))
+                variants.append(("sequential_recompute",
+                                 lambda: build_sequential_fallback(interp)))
                 name, fn, result = guard_variants(
                     variants, state, cot_state, probe_cots,
                     signature=f"chain_vjp|{op.op_name}|{spatial}|"

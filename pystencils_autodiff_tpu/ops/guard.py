@@ -140,13 +140,11 @@ def known_pathology(kind: str, **facts) -> Optional[str]:
     relay; return a reason string when the variant should be skipped
     without trying."""
     cells = facts.get("cells", 0)
-    if kind == "flat_chain_vjp_3d" and cells >= 300 ** 3:
-        # two-phase fused adjoint chains in the flattened-row geometry
-        # crash the remote Mosaic compiler at 384³ (HTTP 500, BENCH_NOTES
-        # round-2 note (c)); the plane-split forward + sequential backward
-        # is the working route
-        return ("3D two-phase adjoint chain at >=300^3 cells crashes the "
-                "remote Mosaic compiler (recorded round 2)")
+    # (the round-2/3 "flat_chain_vjp_3d" pre-seed is GONE: 3D two-phase
+    # adjoint chains now default to the plane-blocked kernel
+    # (ops/plane_adjoint.py), whose halo is k·reach planes instead of
+    # k·reach·n1 flattened rows — the flattened variant is a later rung
+    # on the ladder and its crashes are registry-recorded per shape)
     if kind == "plane_twin_chain_3d" and cells >= 300 ** 3 \
             and facts.get("k", 0) >= 4:
         # plane-blocked twin chains compile fine at k=2/384^3 but k=4

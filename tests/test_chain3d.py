@@ -88,12 +88,51 @@ def test_diffusion3d_chain_fused_bwd_grad():
     np.testing.assert_allclose(g_fused, g_seq, rtol=1e-11, atol=1e-11)
 
 
-def test_periodic_3d_raises():
-    # diffusion3d is nonlinear in (u, kappa): no twin-chain path, and the
-    # two-phase periodic kernel is 2D-only
+def test_periodic_3d_nonlinear_two_phase():
+    """Periodic 3D NONLINEAR fused value+gradient chains run through the
+    plane-blocked two-phase kernel (round-3 this raised: the flattened
+    kernel's periodic wrap is 2D-only)."""
     op = diffusion3d_op(dt=0.05, dtype="float64")
+    k = 2
+    chain = fused_chain_vjp(op, k, CARRY, periodic=True, interpret=True)
+    state = _state()
+    cots = {n: jax.random.normal(jax.random.PRNGKey(7 + i), SHAPE,
+                                 jnp.float64)
+            for i, n in enumerate(state)}
+    new_state, cot0 = chain(state, cots)
+
+    step = make_time_stepper(op, CARRY, lowering="jnp", periodic=True)
+
+    def run(st):
+        for _ in range(k):
+            st = step(st)
+        return {n: st[n] for n in ("u", "kappa")}
+
+    ref_state, pull = jax.vjp(run, state)
+    (ref_cot,) = pull(cots)
+    for n in state:
+        np.testing.assert_allclose(new_state[n], ref_state[n],
+                                   rtol=RTOL, atol=ATOL,
+                                   err_msg=f"state {n}")
+        np.testing.assert_allclose(cot0[n], ref_cot[n],
+                                   rtol=1e-11, atol=1e-11,
+                                   err_msg=f"cot {n}")
+
+
+def test_periodic_4d_still_raises():
+    # 4D+ periodic nonlinear ops have neither kernel (flattened wrap is
+    # 2D-only, the plane kernel is 3D-only)
+    import sympy as sp
+
+    from pystencils_autodiff_tpu import Assignment, AutoDiffOp, Field
+
+    u = Field("u", 4, dtype="float64")
+    out = Field("u_next", 4, dtype="float64")
+    rhs = u.center + 0.1 * (u.neighbor(0, 1) * u.center - u.neighbor(3, -1))
+    op = AutoDiffOp([Assignment(out.center, rhs)], op_name="nl4d")
     with pytest.raises(ValueError, match="2D"):
-        fused_chain_vjp(op, 2, CARRY, periodic=True, interpret=True)
+        fused_chain_vjp(op, 2, {"u": "u_next"}, periodic=True,
+                        interpret=True)
 
 
 def test_aniso27_periodic_3d_linear_twin_chain():
