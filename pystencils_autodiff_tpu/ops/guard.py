@@ -163,7 +163,8 @@ def known_pathology(kind: str, **facts) -> Optional[str]:
         # sequential-recompute backward
         return ("two-phase adjoint of a >=9-plane stage chain with k>=4 "
                 "at >=2048^2 cells exceeds the remote Mosaic compiler "
-                "(recorded round 3; use k=2 chains for a fused backward)")
+                "(recorded round 3; the segmented fused backward — "
+                "checkpointed k/2-deep two-phase kernels — is preferred)")
     return None
 
 

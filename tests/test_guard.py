@@ -325,3 +325,59 @@ def test_stage_vjp_wide_pathology_seeded():
                                cells=2048 * 2048)  # narrow chains fine
     assert not known_pathology("stage_vjp_wide", planes=10, k=4,
                                cells=1024 * 1024)  # small domains fine
+
+
+def test_stage_vjp_segmented_fallback(guard_cache, monkeypatch):
+    """When the monolithic k-deep two-phase TU fails at every VMEM budget,
+    the guard falls through to the SEGMENTED fused backward (checkpointed
+    kk-deep two-phase kernels) before sequential — the round-4 fix for
+    wide chains whose one-TU adjoint exceeds the Mosaic compiler."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pystencils_autodiff_tpu.ops import pallas_kernel, stage_adjoint
+    from pystencils_autodiff_tpu.ops import stage_chain as sc
+
+    monkeypatch.setattr(pallas_kernel, "_on_tpu", lambda: True)
+    real_make = sc._make_stage_chain_kernel
+
+    def fwd_interp(progs, carries, state_fields, state_names, kk, spatial,
+                   dtype, interp, periodic, **kw):
+        return real_make(progs, carries, state_fields, state_names, kk,
+                         spatial, dtype, True, periodic, **kw)
+
+    monkeypatch.setattr(sc, "_make_stage_chain_kernel", fwd_interp)
+
+    real_vjp = stage_adjoint.fused_stage_chain_vjp
+    K = 2
+
+    def fake_vjp(stages, kk, periodic=False, interpret=None,
+                 tile_rows=None, vmem_limit_bytes=100 * 1024 * 1024,
+                 shard=None, bcs=None, extra_state=None):
+        if kk == K:  # the monolithic TU "exceeds the compiler"
+            def g(state, cots, bases=None):
+                raise RuntimeError("remote compiler HTTP 500")
+            return g
+        return real_vjp(stages, kk, periodic=periodic, interpret=True,
+                        tile_rows=tile_rows,
+                        vmem_limit_bytes=vmem_limit_bytes, shard=shard,
+                        bcs=bcs, extra_state=extra_state)
+
+    monkeypatch.setattr(stage_adjoint, "fused_stage_chain_vjp", fake_vjp)
+    op = _heat_op()
+    chain = sc.fused_stage_chain([(op, {"u": "u_next"})], K,
+                                 fused_bwd=True)
+    u0 = jax.random.normal(jax.random.PRNGKey(2), (32, 32), jnp.float64)
+    g = jax.grad(lambda a: jnp.sum(jnp.sin(chain({"u": a})["u"])))(u0)
+    reg = json.loads(guard_cache.read_text())
+    assert any(k.endswith("|stage_vjp") and v == "crash"
+               for k, v in reg.items())
+    assert any(k.endswith("stage_vjp_seg_k1") and isinstance(v, float)
+               for k, v in reg.items()), reg
+    ref_chain = sc.fused_stage_chain([(op, {"u": "u_next"})], K,
+                                     interpret=True)
+    g_ref = jax.grad(lambda a: jnp.sum(
+        jnp.sin(ref_chain({"u": a})["u"])))(u0)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-12, atol=1e-12)
