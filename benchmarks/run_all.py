@@ -151,24 +151,47 @@ def main():
     bench_chain("1 heat chain k=8 fwd+adj (headline)", hop, {"u": "u_next"},
                 {"u": x2}, k=8, n_arrays=4)
 
+    # config 1b: plain 3D Laplacian — the north star names it explicitly
+    # ("2D/3D Laplacian ... forward+adjoint at >=80% of HBM STREAM")
+    from pystencils_autodiff_tpu.models import heat_step3d_op, laplacian3d_op
+    x3 = jax.random.normal(key, (n3, n3, n3), dtype)
+    op = laplacian3d_op()
+    f = op.jax_function(lowering=lowering)
+    bench("1b lap3d fwd", lambda a: f(a), x3, 2)
+    bench("1b lap3d fwd+adj", lambda a: jax.grad(
+        lambda b: jnp.sum(f(b) * b))(a), x3, 4)
+    h3 = heat_step3d_op(dt=0.1)
+    # linear + periodic -> twin chains over the plane-blocked geometry;
+    # bounded -> the plane-blocked two-phase kernel (rolling state)
+    bench_chain("1b heat3d chain k=2 fwd+adj (periodic twin)", h3,
+                {"u": "u_next"}, {"u": x3}, k=2, n_arrays=4,
+                periodic=True, calls=2)
+    bench_chain("1b heat3d chain k=2 fwd+adj (bounded two-phase)", h3,
+                {"u": "u_next"}, {"u": x3}, k=2, n_arrays=4,
+                periodic=False, calls=2)
+
     # config 2: 3D variable-kappa diffusion
     op = diffusion3d_op()
     f = op.jax_function(lowering=lowering)
-    x3 = jax.random.normal(key, (n3, n3, n3), dtype)
     k3 = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (n3, n3, n3), dtype) ** 2
     bench("2 diff3d fwd", lambda a: f(kappa=k3, u=a), x3, 3)
     bench("2 diff3d fwd+adj", lambda a: jax.grad(
         lambda b: jnp.sum(f(kappa=k3, u=b) * b))(a), x3, 6)
-    # 3D chains: the flattened-row halo grows with the plane size
-    # (k*(n1+1) rows/side), so chain at 256^3 — the 384^3 chain module
-    # crashes the remote compiler and would be ~75% redundant compute
-    # anyway (plane-blocked "2.5D" chains are the structural fix, ROADMAP)
+    # 3D two-phase chains ride the plane-blocked geometry (round 4:
+    # halo = k·reach planes, so 384³ compiles where the flattened-row
+    # kernel crashed the remote Mosaic compiler); 256³ row kept for
+    # session-over-session comparison
     nc = min(n3, 256)
     xc = x3[:nc, :nc, :nc]
     kc = k3[:nc, :nc, :nc]
     bench_chain("2 diff3d chain k=2 fwd+adj (256^3)", diffusion3d_op(dt=0.05),
                 {"u": "u_next"}, {"u": xc, "kappa": kc}, k=2, n_arrays=6,
                 periodic=False, calls=2)
+    if n3 > nc:
+        bench_chain(f"2 diff3d chain k=2 fwd+adj ({n3}^3 plane two-phase)",
+                    diffusion3d_op(dt=0.05), {"u": "u_next"},
+                    {"u": x3, "kappa": k3}, k=2, n_arrays=6,
+                    periodic=False, calls=2)
 
     # config 3: wave step (the FWI kernel)
     op = wave_step_op()

@@ -5,7 +5,8 @@ from .advection import upwind1_op, weno5_op
 from .burgers import burgers2d_op
 from .diffusion import diffusion3d_op, sharded_diffusion3d
 from .elastic import anisotropic27_op, elastic_stress_op, elastic_velocity_op
-from .heat import heat_step_op, laplacian_op
+from .heat import (heat_step3d_op, heat_step_op, laplacian3d_op,
+                   laplacian_op)
 from .lbm import (D2Q9_VELOCITIES, D2Q9_WEIGHTS, D3Q19_VELOCITIES,
                   D3Q19_WEIGHTS, bgk_op, d2q9_bgk_op, d3q19_bgk_op,
                   macroscopic)
@@ -16,6 +17,8 @@ from .wave import fwi_gradient, wave_simulate, wave_step_op
 
 __all__ = [
     "laplacian_op",
+    "laplacian3d_op",
+    "heat_step3d_op",
     "d2q9_bgk_op",
     "macroscopic",
     "D2Q9_VELOCITIES",

@@ -13,7 +13,8 @@ from ..field import Field
 
 from ._memo import memoize_model
 
-__all__ = ["laplacian_op", "heat_step_op"]
+__all__ = ["laplacian_op", "heat_step_op", "laplacian3d_op",
+           "heat_step3d_op"]
 
 
 @memoize_model
@@ -40,3 +41,28 @@ def heat_step_op(dt: float = 0.1, kappa_field: bool = False,
     else:
         rhs = u[0, 0] + dt * lap
     return AutoDiffOp([Assignment(out.center, rhs)], op_name="heat_step2d")
+
+
+@memoize_model
+def laplacian3d_op(dtype="float32") -> AutoDiffOp:
+    """y = ∇²x (7-point, unit grid spacing) — the BASELINE north star's
+    "3D Laplacian" (forward + adjoint at ≥80% of HBM STREAM)."""
+    x = Field("x", 3, dtype=dtype)
+    y = Field("y", 3, dtype=dtype)
+    lap = sum(x.neighbor(d, 1) + x.neighbor(d, -1) for d in range(3)) \
+        - 6 * x.center
+    return AutoDiffOp([Assignment(y.center, lap)], op_name="laplacian3d")
+
+
+@memoize_model
+def heat_step3d_op(dt: float = 0.1, dtype="float32") -> AutoDiffOp:
+    """u' = u + dt·∇²u (3D explicit Euler, 7-point) — the carried form of
+    the 3D Laplacian for fused chains.  Linear with constant
+    coefficients: periodic chains take the twin-chain fast path, bounded
+    chains the plane-blocked two-phase kernel with rolling state."""
+    u = Field("u", 3, dtype=dtype)
+    out = Field("u_next", 3, dtype=dtype)
+    lap = sum(u.neighbor(d, 1) + u.neighbor(d, -1) for d in range(3)) \
+        - 6 * u.center
+    return AutoDiffOp([Assignment(out.center, u.center + dt * lap)],
+                      op_name="heat_step3d")
