@@ -246,10 +246,14 @@ def sec_cavity():
             continue
         # value+gradient in ONE kernel: the two-phase adjoint with fused
         # BC transposes (round-3 session 2) vs sequential-recompute bwd.
-        # The fused-bwd row uses k=2: the 9-plane two-phase kernel at
-        # k=4/2048^2 is a recorded Mosaic pathology (guard pre-seed
-        # stage_vjp_wide; k=2 compiles in 79 s and runs)
-        for fb, kg in ((False, k), (True, 2)):
+        # The monolithic 9-plane two-phase TU at k=4/2048^2 is a recorded
+        # Mosaic pathology (guard pre-seed stage_vjp_wide); since round 4
+        # the guard routes that straight to the SEGMENTED fused backward
+        # (two checkpointed k=2 two-phase kernels), so the k=4 row is
+        # live again — the k=2-vs-k=4 comparison is an interleaved A/B
+        # (paired deltas; sub-ms dispatch jitter is common-mode).
+        fused_fns = {}
+        for fb, kg in ((False, k), (True, 2), (True, 4)):
             try:
                 ch_g = fused_stage_chain(
                     [(op, {"f": "f_out"})], kg, fused_bwd=fb,
@@ -269,10 +273,24 @@ def sec_cavity():
                 print(f"cavity {layout} {n}^2 value+u_lid-grad "
                       f"({'fused' if fb else 'seq'} bwd, k={kg}): "
                       f"{t_g*1e3:.3f} ms/step "
-                      f"({n*n/t_g/1e9:.2f} GLUPS)")
+                      f"({n*n/t_g/1e9:.2f} GLUPS)", flush=True)
+                if fb:
+                    fused_fns[kg] = vjp_step
             except Exception as e:
-                print(f"cavity grad ({'fused' if fb else 'seq'}): FAILED "
-                      f"{type(e).__name__}: {str(e)[:160]}")
+                print(f"cavity grad ({'fused' if fb else 'seq'}, k={kg}): "
+                      f"FAILED {type(e).__name__}: {str(e)[:160]}",
+                      flush=True)
+        if len(fused_fns) == 2:
+            from pystencils_autodiff_tpu.utils import ab_timed
+
+            k_lo, k_hi = sorted(fused_fns)
+            a = chain_calls(fused_fns[k_lo], 4)
+            b = chain_calls(fused_fns[k_hi], 4)
+            ta, tb, d = ab_timed(a, b, (f0, lid))
+            # per-STEP: a runs 4·k_lo steps per call, b runs 4·k_hi
+            print(f"cavity fused-bwd A/B k={k_lo} vs k={k_hi}: "
+                  f"{ta/4/k_lo*1e3:.3f} vs {tb/4/k_hi*1e3:.3f} ms/step "
+                  f"(paired delta {d*1e3:+.2f} ms/call)", flush=True)
 
 
 def sec_d3q19():

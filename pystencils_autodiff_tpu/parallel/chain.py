@@ -229,16 +229,25 @@ class ShardedChain:
         self._interp = interpret
         self._seq_lowering = seq_lowering or ("pallas" if _on_tpu() else "jnp")
         self._kernel_cache: Dict[tuple, object] = {}
-        self._seq_steps: List[object] = []
+        self._seq_steps: Dict[tuple, List[object]] = {}
 
+        self._chain_cache: Dict[tuple, object] = {}
+
+    def _get_chain(self, true_global):
+        """The custom_vjp chain closure with the TRUE global extents baked
+        in (masks test them, so pad cells of an uneven domain count as
+        global ghost in both directions)."""
+        if true_global in self._chain_cache:
+            return self._chain_cache[true_global]
         names = self.input_names
 
         @jax.custom_vjp
         def chain(state):
-            return self._fused(state)
+            return self._fused(state, true_global)
 
         def fwd_rule(state):
-            return self._fused(state), {n: state[n] for n in names}
+            return self._fused(state, true_global), {n: state[n]
+                                                     for n in names}
 
         def bwd_rule(saved, cot):
             if self._twin is not None:
@@ -256,22 +265,54 @@ class ShardedChain:
             if self._fused_bwd:
                 specs = {n: self.partition_spec(self.state_fields[n])
                          for n in names}
-                grads = jax.shard_map(self._local_pull, mesh=self.mesh,
-                                      in_specs=(specs, specs),
-                                      out_specs=specs,
-                                      check_vma=False)(saved, cot)
+                grads = jax.shard_map(
+                    lambda sv, ct: self._local_pull(sv, ct, true_global),
+                    mesh=self.mesh, in_specs=(specs, specs),
+                    out_specs=specs, check_vma=False)(saved, cot)
                 return (grads,)
-            _, pull = jax.vjp(self._sequential, self._cast(saved))
+            _, pull = jax.vjp(
+                lambda st: self._sequential(st, true_global),
+                self._cast(saved))
             (grads,) = pull(self._cast(cot))
             return (grads,)
 
         chain.defvjp(fwd_rule, bwd_rule)
-        self._chain = chain
+        self._chain_cache[true_global] = chain
+        return chain
 
     # -- public API ----------------------------------------------------------
 
     def __call__(self, state: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
-        return self._chain({n: state[n] for n in self.input_names})
+        state = {n: state[n] for n in self.input_names}
+        a0 = state[self.input_names[0]]
+        true_global = tuple(a0.shape[: self.ndim])
+        pads = {}
+        for d, ax in self.dim_axes.items():
+            nsh = self.mesh.shape[ax]
+            rem = true_global[d] % nsh
+            if rem:
+                pads[d] = nsh - rem
+        if pads and self.periodic:
+            raise ValueError(
+                f"periodic sharded dims must divide the mesh evenly "
+                f"(global {true_global}, mesh {dict(self.mesh.shape)}): "
+                f"pad-and-mask would break the wrap seam")
+        if pads:
+            # pad to shard_map divisibility; pads are edge copies (finite
+            # under nonlinear stages), masked as global ghost by the
+            # TRUE-extent tests inside the kernels, sliced off below —
+            # bit-exact incl. gradients (tests/test_sharded_chain.py)
+            state = {
+                n: jnp.pad(v, [(0, pads.get(d, 0)) if d < self.ndim
+                               else (0, 0) for d in range(v.ndim)],
+                           mode="edge")
+                for n, v in state.items()}
+        out = self._get_chain(true_global)(state)
+        if pads:
+            out = {n: v[tuple(slice(0, true_global[d]) if d in pads
+                              else slice(None) for d in range(v.ndim))]
+                   for n, v in out.items()}
+        return out
 
     def partition_spec(self, field) -> PartitionSpec:
         entries = [self.dim_axes.get(d) for d in range(self.ndim)]
@@ -284,15 +325,16 @@ class ShardedChain:
 
     # -- fused forward -------------------------------------------------------
 
-    def _fused(self, state):
+    def _fused(self, state, true_global):
         specs = {n: self.partition_spec(self.state_fields[n])
                  for n in self.input_names}
-        out = jax.shard_map(self._local_fn, mesh=self.mesh,
-                            in_specs=(specs,), out_specs=specs,
-                            check_vma=False)(state)
+        out = jax.shard_map(
+            lambda st: self._local_fn(st, true_global), mesh=self.mesh,
+            in_specs=(specs,), out_specs=specs,
+            check_vma=False)(state)
         return out
 
-    def _local_fn(self, local_state):
+    def _local_fn(self, local_state, true_global):
         names = self.input_names
         a0 = local_state[names[0]]
         local_spatial = tuple(a0.shape[: self.ndim])
@@ -331,13 +373,12 @@ class ShardedChain:
         dtype = self._dtype or a0.dtype
         # local_spatial is part of the key: the fused-backward path builds
         # kernels for the SAME ext extent with a different halo depth and
-        # a different baked global extent — (ext, local) is injective
-        key = (ext_spatial, local_spatial, str(dtype))
+        # a different baked global extent — (ext, local) is injective;
+        # true_global: uneven domains run padded with masks testing the
+        # TRUE extents (pad cells count as global ghost)
+        key = (ext_spatial, local_spatial, true_global, str(dtype))
         if key not in self._kernel_cache:
-            global_spatial = tuple(
-                s * self.mesh.shape[self.dim_axes[d]] if d in self.dim_axes
-                else s for d, s in enumerate(local_spatial))
-            shard = ShardSpec(global_spatial=global_spatial,
+            shard = ShardSpec(global_spatial=true_global,
                               sharded_dims=tuple(sorted(self.dim_axes)))
             self._kernel_cache[key] = _make_stage_chain_kernel(
                 self.progs, self.carries, self.state_fields,
@@ -357,7 +398,7 @@ class ShardedChain:
 
     # -- fused comm-avoiding backward ----------------------------------------
 
-    def _local_pull(self, st_loc, cot_loc):
+    def _local_pull(self, st_loc, cot_loc, true_global):
         """Per-shard pullback: ONE deep halo exchange (k·(reach_f+reach_b)
         per side), then the fused two-phase adjoint kernel on the extended
         block; jax's vjp of the exchange+slice composition supplies the
@@ -391,11 +432,8 @@ class ShardedChain:
         bases = jnp.stack([jnp.asarray(b, jnp.int32) for b in bases])
 
         dtype = self._dtype or a0.dtype
-        key = (ext_spatial, local_spatial, str(dtype))
-        global_spatial = tuple(
-            s * self.mesh.shape[self.dim_axes[d]] if d in self.dim_axes
-            else s for d, s in enumerate(local_spatial))
-        shard = ShardSpec(global_spatial=global_spatial,
+        key = (ext_spatial, local_spatial, true_global, str(dtype))
+        shard = ShardSpec(global_spatial=true_global,
                           sharded_dims=tuple(sorted(self.dim_axes)))
         if key not in self._kernel_cache:
             self._kernel_cache[key] = _make_stage_chain_kernel(
@@ -458,22 +496,24 @@ class ShardedChain:
             return tree
         return jax.tree.map(lambda v: v.astype(self._dtype), tree)
 
-    def _sequential(self, state):
+    def _sequential(self, state, true_global):
         from ..ops.chain_bc import apply_bc_sequential
 
-        if not self._seq_steps:
+        if true_global not in self._seq_steps:
             kwargs = ({"interpret": self._interpret}
                       if (self._interpret is not None
                           and self._seq_lowering == "pallas") else {})
-            self._seq_steps.extend(
+            self._seq_steps[true_global] = [
                 stage_stepper(op, carry,
-                              fn=ShardedStencil(op, self.mesh, self.dim_axes,
-                                                periodic=self.periodic,
-                                                lowering=self._seq_lowering,
-                                                **kwargs))
-                for op, carry in self.stages)
+                              fn=ShardedStencil(
+                                  op, self.mesh, self.dim_axes,
+                                  periodic=self.periodic,
+                                  lowering=self._seq_lowering,
+                                  mask_global_spatial=true_global,
+                                  **kwargs))
+                for op, carry in self.stages]
         for _ in range(self.k):
-            for j, step in enumerate(self._seq_steps):
+            for j, step in enumerate(self._seq_steps[true_global]):
                 for bc in self.bcs.get(j, ()):
                     state = apply_bc_sequential(state, bc,
                                                 self.progs[j].ghost,

@@ -1,7 +1,7 @@
 from .autotune import (TuneResult, autotune_chain,
                        autotune_stage_chain)
-from .benchmark import (fetch_timed, roofline_gbps, rtt_baseline,
-                        slope_timed)
+from .benchmark import (ab_timed, fetch_timed, roofline_gbps,
+                        rtt_baseline, slope_timed)
 from .config import LoweringConfig, log_lowering_decision
 from .profiling import KernelStats, timed_region, trace
 
@@ -9,6 +9,7 @@ __all__ = [
     "autotune_chain",
     "autotune_stage_chain",
     "TuneResult",
+    "ab_timed",
     "fetch_timed",
     "slope_timed",
     "rtt_baseline",

@@ -14,7 +14,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fetch_timed", "rtt_baseline", "roofline_gbps", "slope_timed"]
+__all__ = ["ab_timed", "fetch_timed", "rtt_baseline", "roofline_gbps",
+           "slope_timed"]
 
 # v5e (TPU v5 lite) HBM STREAM-class bandwidth, GB/s
 V5E_HBM_GBPS = 819.0
@@ -56,6 +57,46 @@ def slope_timed(make_fn: Callable[[int], Callable], x, n1: int, n2: int,
     t1 = fetch_timed(f1, x, repeats=repeats)
     t2 = fetch_timed(f2, x, repeats=repeats)
     return (t2 - t1) / (n2 - n1)
+
+
+def ab_timed(fn_a: Callable, fn_b: Callable, *args, repeats: int = 9):
+    """Interleaved A/B timing: alternate the two callables within ONE
+    measurement block and report medians plus the median PAIRED delta.
+
+    Sub-millisecond kernels on the relay are dispatch-jitter-bound —
+    the same binary measured 0.200–0.604 ms/step across separate runs
+    (BENCH_NOTES round-3 session 4), so back-to-back ``fetch_timed``
+    calls of two variants cannot distinguish a real 1.5× regression
+    from luck.  Interleaving pairs each A sample with an adjacent B
+    sample taken under the same instantaneous relay conditions; the
+    paired delta cancels the common-mode jitter (this by-hand protocol
+    settled both the round-3 "forward-chain regression" — artifact —
+    and the shift-cache gate question; now it is the harness's job:
+    VERDICT round-3 next #8).
+
+    Returns ``(t_a, t_b, delta)`` in seconds: medians of the per-round
+    A and B times and of the per-round ``t_b − t_a``.  ``delta`` (not
+    ``t_b − t_a`` of the medians) is the regression verdict; its sign
+    is stable when ``|delta|`` exceeds the per-round spread.
+    """
+    _force(fn_a(*args))  # warmup/compile both before the block
+    _force(fn_b(*args))
+    ta, tb, deltas = [], [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _force(fn_a(*args))
+        t1 = time.perf_counter()
+        _force(fn_b(*args))
+        t2 = time.perf_counter()
+        ta.append(t1 - t0)
+        tb.append(t2 - t1)
+        deltas.append((t2 - t1) - (t1 - t0))
+
+    def med(v):
+        s = sorted(v)
+        return s[len(s) // 2]
+
+    return med(ta), med(tb), med(deltas)
 
 
 def rtt_baseline(repeats: int = 5) -> float:

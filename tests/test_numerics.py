@@ -61,3 +61,29 @@ def test_pairwise_beats_left_fold_on_f32():
 
 def test_threshold_constant_sane():
     assert 4 <= _PAIRWISE_ADD_MIN_TERMS <= 16
+
+
+def test_ab_timed_paired_protocol():
+    """ab_timed interleaves the two callables and returns medians plus a
+    paired delta whose sign survives common-mode jitter (VERDICT round-3
+    next #8 — the by-hand sub-ms protocol, productized)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from pystencils_autodiff_tpu.utils import ab_timed
+
+    x = jnp.ones((64, 64), jnp.float32)
+    fast = jax.jit(lambda a: a + 1)
+
+    def slow(a):
+        _time.sleep(0.003)  # deterministic extra cost on top of dispatch
+        return fast(a)
+
+    t_a, t_b, delta = ab_timed(fast, slow, x, repeats=5)
+    assert t_b > t_a
+    assert 0.002 < delta < 0.2
+    # symmetric call: delta flips sign
+    _, _, d2 = ab_timed(slow, fast, x, repeats=5)
+    assert d2 < 0
