@@ -65,20 +65,40 @@ def main():
     on_tpu = dev.platform == "tpu"
     if on_tpu:
         n = 8192          # 256 MB per array — far above 128 MB VMEM
-        # k=4 beats k=8 here: the chain kernel is VPU-bound (rotates+adds)
-        # past k≈4, so deeper fusion only adds halo-overlap compute while
-        # HBM savings have already flattened (round-3 sweep, BENCH_NOTES)
-        k = 4             # fused chain depth (both directions blocked)
         calls = 8         # logical steps = k * calls
         interpret = False
     else:
         n = 512
-        k = 4
         calls = 4
         interpret = True
 
     dtype = jnp.float32
     op = heat_step_op(dt=0.1)
+    key = jax.random.PRNGKey(0)
+    u = jax.random.normal(key, (n, n), dtype=dtype)
+    cu = jnp.ones((n, n), dtype)
+
+    # measured-best chain depth: the on-device autotune sweep picks k (and
+    # per-k tile, consulted automatically by the builder); first run pays
+    # the sweep, later runs hit the persistent cache.  Round-3 sweeps
+    # found k=4 (the chain turns VPU-bound past k≈4 while HBM savings
+    # have flattened) — that stays the fallback if the sweep fails.
+    k = 4
+    if on_tpu:
+        try:
+            from pystencils_autodiff_tpu.utils import autotune_chain
+
+            res = autotune_chain(op, {"u": "u_next"}, {"u": u},
+                                 k_candidates=(2, 4, 8), vjp=True,
+                                 periodic=True, calls=4, repeats=2)
+            k = int(res.best["k"])
+            print(f"# autotune: k={k}"
+                  f"{' (cache hit)' if res.cached else ' (swept)'}",
+                  file=sys.stderr)
+        except Exception as e:  # sweep failure must not sink the bench
+            print(f"# autotune sweep failed ({e!r}); fallback k={k}",
+                  file=sys.stderr)
+
     chain = fused_chain_vjp(op, k, {"u": "u_next"}, periodic=True,
                             interpret=interpret)
 
@@ -96,10 +116,6 @@ def main():
         (u, cu), _ = jax.lax.scan(body, (u, cu), None, length=calls,
                                   unroll=calls)
         return u, cu
-
-    key = jax.random.PRNGKey(0)
-    u = jax.random.normal(key, (n, n), dtype=dtype)
-    cu = jnp.ones((n, n), dtype)
 
     rtt = rtt_baseline()
     total = fetch_timed(fwd_adjoint_chain, u, cu)

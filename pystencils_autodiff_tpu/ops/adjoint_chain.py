@@ -403,9 +403,16 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
         # temporaries, hence the generous 3k+10 factor (linear: rolling
         # stages only)
         n_live = len(in_keys) * ((3 * k + 10) if bwd_reads_primal else 24) + 8
-        t = tile_rows or pick_chain_tile(rows, LO, HI,
-                                         cols * itemsize * n_live,
-                                         vmem_limit_bytes)
+        tile = tile_rows
+        if tile is None:
+            # measured-best dispatch (autotune cache; VERDICT r3 next #6)
+            from ..utils.autotune import tuned_tile
+
+            tile = tuned_tile("chain", "vjp", op.op_name, spatial, dtype,
+                              periodic, k, interp=interp)
+        t = tile or pick_chain_tile(rows, LO, HI,
+                                    cols * itemsize * n_live,
+                                    vmem_limit_bytes)
         if t is None or rows % t or t < LO + HI:
             raise ValueError(f"no viable tile for rows={rows}, "
                              f"halo={LO + HI}")
@@ -761,9 +768,15 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
             def build_plane(vmem=None):
                 from .plane_adjoint import make_plane_chain_vjp_fn
 
+                tile = tile_rows
+                if tile is None:
+                    from ..utils.autotune import tuned_tile
+
+                    tile = tuned_tile("chain", "vjp", op.op_name, spatial,
+                                      arr0.dtype, periodic, k, interp=interp)
                 fn3 = make_plane_chain_vjp_fn(
                     op, k, carry_map, spatial, arr0.dtype, interp,
-                    periodic, tile_planes=tile_rows,
+                    periodic, tile_planes=tile,
                     vmem_limit_bytes=vmem or vmem_limit_bytes)
                 return lambda s, c, p=(): fn3(s, c)
 

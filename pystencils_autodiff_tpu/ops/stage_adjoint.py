@@ -262,9 +262,16 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
             if bc.kind == "sponge" and isinstance(bc.value, str))
         n_live = (len(state_keys) * (10 if n_saved_planes else 24)
                   + 3 * n_saved_planes + 8)
-        t = tile_rows or pick_chain_tile(rows, LO, HI,
-                                         cols * itemsize * n_live,
-                                         vmem_limit_bytes)
+        tile = tile_rows
+        if tile is None and shard is None:
+            # measured-best dispatch (autotune cache; VERDICT r3 next #6)
+            from ..utils.autotune import stage_sig_of, tuned_tile
+
+            tile = tuned_tile("stages", "grad", stage_sig_of(stages, bcs),
+                              spatial, dtype, periodic, k, interp=interp)
+        t = tile or pick_chain_tile(rows, LO, HI,
+                                    cols * itemsize * n_live,
+                                    vmem_limit_bytes)
         pad_rows = 0
         if t is None or rows % t or t < LO + HI:
             if row_wrap:

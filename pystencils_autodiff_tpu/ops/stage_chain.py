@@ -604,9 +604,16 @@ def fused_stage_chain(stages: Sequence[Tuple[object, Dict[str, str]]],
     stage_sig = "+".join(p.name for p in progs)
 
     def _build_fwd(spatial, dt_, interp, kk, vmem=None):
+        tile = tile_rows
+        if tile is None:
+            # measured-best dispatch (autotune cache; VERDICT r3 next #6)
+            from ..utils.autotune import stage_sig_of, tuned_tile
+
+            tile = tuned_tile("stages", "fwd", stage_sig_of(stages, bcs),
+                              spatial, dt_, periodic, kk, interp=interp)
         return _make_stage_chain_kernel(
             progs, carries, state_fields, state_names, kk, spatial, dt_,
-            interp, periodic, tile_rows=tile_rows,
+            interp, periodic, tile_rows=tile,
             vmem_limit_bytes=vmem or vmem_limit_bytes, bcs=bcs)
 
     def fused_fwd(state):

@@ -347,6 +347,15 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
         and a reduced ``vmem`` budget makes the tile picker choose smaller
         tiles on scoped-VMEM OOMs)."""
         vmem = vmem or vmem_limit_bytes
+        tile = tile_rows
+        if tile is None:
+            # measured-best dispatch: consult the autotune cache for a
+            # tile recorded by a sweep of this exact configuration
+            from ..utils.autotune import tuned_tile
+
+            tile = tuned_tile("chain", "fwd", op.op_name, spatial,
+                              dtype or arr_dtype, periodic, kk,
+                              interp=interp)
         if prog.ndim == 3 and not probes:
             # plane-blocked ("2.5D") geometry: chain halo is k·reach
             # PLANES instead of k·reach·n1 flattened rows, and periodic
@@ -355,13 +364,13 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
 
             return make_plane_chain_kernel_fn(
                 prog, kk, carry_map, spatial, dtype or arr_dtype,
-                interp, periodic, tile_planes=tile_rows,
+                interp, periodic, tile_planes=tile,
                 vmem_limit_bytes=vmem)
         try:
             return _make_chain_kernel_fn(
                 prog, kk, carry_map, spatial,
                 dtype or arr_dtype, interp, periodic,
-                tile_rows=tile_rows, probes=probes,
+                tile_rows=tile, probes=probes,
                 vmem_limit_bytes=vmem)
         except ValueError as e:
             if not (periodic and not probes
@@ -381,7 +390,7 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
             sp, sc, sf, sn = _validate_stages([(op, full_carry)])
             return _make_stage_chain_kernel(
                 sp, sc, sf, sn, kk, spatial, dtype or arr_dtype,
-                interp, periodic, tile_rows=tile_rows,
+                interp, periodic, tile_rows=tile,
                 vmem_limit_bytes=vmem)
 
     def fused_fwd(state):

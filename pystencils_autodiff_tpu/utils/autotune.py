@@ -33,7 +33,68 @@ from typing import Callable, Dict, Optional, Sequence, Tuple
 
 logger = logging.getLogger("pystencils_autodiff_tpu.autotune")
 
-__all__ = ["autotune_chain", "autotune_stage_chain", "TuneResult"]
+__all__ = ["autotune_chain", "autotune_stage_chain", "TuneResult",
+           "best_config", "tuned_tile"]
+
+
+def _canonical_key(kind: str, direction: str, sig: str, spatial, dtype,
+                   periodic: bool, device: str, interp: bool = False) -> str:
+    """Candidate-set-independent cache key: the measured-best record every
+    later chain BUILD consults (VERDICT round-3 next #6 — 'measured-best
+    by default').  Distinct from the sweep keys, which stay keyed by the
+    candidate tuples so differently-scoped sweeps never alias.  ``interp``
+    partitions interpret-mode records from compiled ones so an
+    interpret-mode sweep on a TPU-attached host can never feed tiles to
+    real Mosaic builds (or vice versa)."""
+    return (f"best|{kind}|{direction}|{sig}|{tuple(spatial)}|{dtype}|"
+            f"periodic={periodic}|{device}|interp={bool(interp)}")
+
+
+def stage_sig_of(stages, bcs) -> str:
+    """Canonical signature of a stage sequence + normalized in-chain BCs —
+    shared by ``autotune_stage_chain`` (store) and the ``fused_stage_chain``
+    builders (consult) so winners reach default dispatch."""
+    ss = "+".join(f"{op.op_name}{sorted(carry.items())}"
+                  for op, carry in stages)
+    bc_key = (repr(sorted((j, tuple(map(repr, bl)))
+                          for j, bl in bcs.items())) if bcs else "None")
+    return f"{ss}|bc={bc_key}"
+
+
+def best_config(kind: str, direction: str, sig: str, spatial, dtype,
+                periodic: bool, interp: bool = False):
+    """The measured-best record for a chain configuration, or None.
+
+    Returns ``{"k": ..., "tile_rows": ..., "per_k": {str(k): {...}}}`` —
+    the overall winner plus the best tile per swept depth."""
+    import jax
+    import numpy as np
+
+    try:
+        device = jax.devices()[0].device_kind
+    except Exception:
+        device = "unknown"
+    return _load_cache().get(_canonical_key(kind, direction, sig, spatial,
+                                            str(np.dtype(dtype)), periodic,
+                                            device, interp))
+
+
+def tuned_tile(kind: str, direction: str, sig: str, spatial, dtype,
+               periodic: bool, k: int, interp: bool = False):
+    """Measured-best tile for a chain build at depth ``k`` (None when no
+    sweep has recorded one).  Chain builders consult this automatically
+    when the caller leaves ``tile_rows`` unset, so autotune winners reach
+    production dispatch without the user re-plumbing them."""
+    rec = best_config(kind, direction, sig, spatial, dtype, periodic, interp)
+    if not rec:
+        return None
+    per_k = rec.get("per_k", {})
+    ent = per_k.get(str(int(k)))
+    tile = ent.get("tile_rows") if ent else None
+    if tile is not None:
+        logger.info("autotune: measured-best tile=%s for %s|%s k=%d at %s "
+                    "(cache hit)", tile, kind, sig, k, tuple(spatial))
+    return tile
 
 
 def _cache_path() -> str:
@@ -153,6 +214,13 @@ def autotune_chain(op, carry_map: Dict[str, str], state,
     names = sorted(state)
     arr0 = state[names[0]]
     spatial = tuple(arr0.shape)
+    # canonical record is keyed by SPATIAL shape (what the chain builders
+    # know at build time; index dims are part of the op signature)
+    from ..ops.common import storage_spatial
+
+    fby = {f.name: f for f in op.forward_input_fields}
+    can_spatial = (storage_spatial(fby[names[0]], arr0)
+                   if names[0] in fby else tuple(arr0.shape))
     try:
         device = jax.devices()[0].device_kind
     except Exception:
@@ -172,20 +240,34 @@ def autotune_chain(op, carry_map: Dict[str, str], state,
     # candidate sets are part of the key: a winner picked from (2,4) must
     # not be served to a caller sweeping (2,...,16), and builder kwargs
     # (vmem budget, dtype override) change what was measured
-    key = (f"chain|{'vjp' if vjp else 'fwd'}|{op.op_name}|{spatial}|"
+    direction = "vjp" if vjp else "fwd"
+    key = (f"chain|{direction}|{op.op_name}|{spatial}|"
            f"{arr0.dtype}|periodic={periodic}|{device}"
            f"|k={tuple(k_candidates)}|tiles={tuple(tile_candidates)}"
            + extra)
+    # interpret= partitions the canonical record by mode (see
+    # _canonical_key); any OTHER builder kwarg changes what was measured
+    # in ways the builders can't see, so it suppresses the record
+    other_kwargs = {n: v for n, v in chain_kwargs.items()
+                    if n != "interpret"}
+    canonical = (None if other_kwargs else _canonical_key(
+        "chain", direction, op.op_name, can_spatial, str(arr0.dtype),
+        periodic, device, interp=bool(chain_kwargs.get("interpret"))))
     return _run_sweep(build, key, state, k_candidates, tile_candidates,
                       timer or _default_timer, vjp, calls, repeats,
-                      use_cache, force, "autotune_chain")
+                      use_cache, force, "autotune_chain",
+                      canonical=canonical)
 
 
 def _run_sweep(build, key: str, state, k_candidates, tile_candidates,
                timer, timer_flag: bool, calls: int, repeats: int,
-               use_cache: bool, force: bool, what: str) -> TuneResult:
+               use_cache: bool, force: bool, what: str,
+               canonical: Optional[str] = None) -> TuneResult:
     """Shared sweep engine: cache-hit shortcut, (k, tile) loop with
-    skip-on-failure, winner selection, persistence."""
+    skip-on-failure, winner selection, persistence.  ``canonical``: the
+    candidate-set-independent key that chain builds consult by default
+    (see ``best_config``); the sweep stores the winner plus the best tile
+    per depth there."""
     cache = _load_cache() if use_cache else {}
     hit = cache.get(key)
     if hit and not force:
@@ -221,6 +303,15 @@ def _run_sweep(build, key: str, state, k_candidates, tile_candidates,
     if use_cache:
         cache[key] = {"k": best_k, "tile_rows": best_tile,
                       "per_step_s": best_t}
+        if canonical:
+            per_k: Dict[str, dict] = {}
+            for (k, tile), t in table.items():
+                cur = per_k.get(str(k))
+                if cur is None or t < cur["per_step_s"]:
+                    per_k[str(k)] = {"tile_rows": tile,
+                                     "per_step_s": t}
+            cache[canonical] = {"k": best_k, "tile_rows": best_tile,
+                                "per_step_s": best_t, "per_k": per_k}
         _save_cache(cache)
     return TuneResult(best={"k": best_k, "tile_rows": best_tile},
                       per_step_s=best_t, fn=fns[(best_k, best_tile)],
@@ -321,6 +412,21 @@ def autotune_stage_chain(stages, state,
                                  tile_rows=tile, fused_bwd=fused_bwd,
                                  boundary=boundary, **chain_kwargs)
 
+    from ..ops.chain_bc import normalize_chain_bcs
+    from ..ops.common import storage_spatial
+    from ..ops.stage_chain import _validate_stages
+
+    progs0, _, sfields0, snames0 = _validate_stages(
+        [(op, dict(c)) for op, c in stages])
+    bcs0, _ = normalize_chain_bcs(
+        boundary, sfields0, {n: f.index_shape for n, f in sfields0.items()},
+        progs0[0].ndim, len(stages),
+        next(iter(sfields0.values())).dtype)
+    can_sig = stage_sig_of(stages, bcs0)
+    n0 = snames0[0]
+    can_spatial = (storage_spatial(sfields0[n0], state[n0])
+                   if n0 in state else tuple(arr0.shape))
+
     stage_sig = "+".join(
         f"{op.op_name}{sorted(carry.items())}" for op, carry in stages)
     # canonical BC part: normalize first so spec spellings that parse to
@@ -345,10 +451,18 @@ def autotune_stage_chain(stages, state,
     if chain_kwargs:
         extra = "|" + ",".join(f"{k}={chain_kwargs[k]!r}"
                                for k in sorted(chain_kwargs))
-    key = (f"stages|{'grad' if fused_bwd else 'fwd'}|{stage_sig}|{spatial}|"
+    direction = "grad" if fused_bwd else "fwd"
+    key = (f"stages|{direction}|{stage_sig}|{spatial}|"
            f"{arr0.dtype}|periodic={periodic}|bc={bc_key}|{device}"
            f"|k={tuple(k_candidates)}|tiles={tuple(tile_candidates)}"
            + extra)
+    other_kwargs = {n: v for n, v in chain_kwargs.items()
+                    if n != "interpret"}
+    canonical = (None if other_kwargs else _canonical_key(
+        "stages", direction, can_sig, can_spatial,
+        str(arr0.dtype), periodic, device,
+        interp=bool(chain_kwargs.get("interpret"))))
     return _run_sweep(build, key, state, k_candidates, tile_candidates,
                       timer or _stage_timer, fused_bwd, calls, repeats,
-                      use_cache, force, "autotune_stage_chain")
+                      use_cache, force, "autotune_stage_chain",
+                      canonical=canonical)

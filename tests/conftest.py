@@ -136,6 +136,52 @@ _THOROUGH = (
 )
 
 
+# Default-lane canaries that intentionally exceed the tier cut (one fast
+# representative per gated family) — keep in sync with tools/regen_tiers.py
+# KEEPERS.  They are exempt from the over-budget enforcement below.
+_KEEPERS = {
+    "test_fused_bwd_neumann_matches_sequential",
+    "test_fwi_gradient_end_to_end",
+    "test_random_chain_fused_bwd_with_bcs",
+}
+
+# Tier-budget enforcement (VERDICT round-3 next #7): the hardcoded
+# _THOROUGH list decays silently — renamed tests fall back into the
+# default lane, new slow tests are never caught.  Record every
+# default-lane test that exceeds the budget and report loudly at the end;
+# PYSTENCILS_ADTPU_ENFORCE_TIERS=1 (set in CI's default-lane job) turns
+# the report into a failure so the lane budget can't rot again.
+_TIER_BUDGET_S = float(os.environ.get("PYSTENCILS_ADTPU_TIER_BUDGET_S", "5"))
+_over_budget = []
+
+
+def pytest_runtest_logreport(report):
+    if (report.when == "call"
+            and report.duration >= _TIER_BUDGET_S
+            and not os.environ.get("PYSTENCILS_ADTPU_FULL_SUITE")):
+        short = report.nodeid.split("::")[-1].split("[")[0]
+        if short not in _KEEPERS:
+            _over_budget.append((report.duration, report.nodeid))
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    if not _over_budget:
+        return
+    terminalreporter.section("tier budget", sep="=")
+    terminalreporter.write_line(
+        f"{len(_over_budget)} default-lane test(s) exceeded the "
+        f"{_TIER_BUDGET_S:.0f}s tier budget — tag them _THOROUGH (run "
+        f"tools/regen_tiers.py on fresh --durations=0 data) or add a "
+        f"KEEPERS entry:")
+    for t, nodeid in sorted(_over_budget, reverse=True):
+        terminalreporter.write_line(f"  {t:7.1f}s  {nodeid}")
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if _over_budget and os.environ.get("PYSTENCILS_ADTPU_ENFORCE_TIERS"):
+        session.exitstatus = 1
+
+
 def pytest_collection_modifyitems(config, items):
     if not os.environ.get("PYSTENCILS_ADTPU_FULL_SUITE"):
         skip_thorough = pytest.mark.skip(

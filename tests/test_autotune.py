@@ -250,6 +250,116 @@ def test_stage_chain_real_timer_with_bool_mask_and_dtype(tune_cache):
     assert res2.per_step_s > 0
 
 
+# ---- measured-best default dispatch (VERDICT round-3 next #6) --------------
+
+def seq_timer(times):
+    """Deterministic timer yielding ``times`` in sweep order (k-major,
+    tile-minor) — lets a test make a specific (k, tile) win."""
+    it = iter(times)
+    return lambda *a: next(it)
+
+
+def test_sweep_records_canonical_best(tune_cache):
+    """A sweep persists a candidate-set-independent record (overall winner
+    + best tile per depth) that ``best_config``/``tuned_tile`` serve,
+    partitioned by interpret mode."""
+    from pystencils_autodiff_tpu.utils.autotune import best_config, tuned_tile
+
+    op = heat_step_op(dt=0.1)
+    state = _state(32)
+    autotune_chain(op, {"u": "u_next"}, state, k_candidates=(2,),
+                   tile_candidates=(8, 16), periodic=True, interpret=True,
+                   timer=seq_timer([2e-3, 1e-3]))
+    rec = best_config("chain", "fwd", op.op_name, (32, 32), jnp.float32,
+                      True, interp=True)
+    assert rec and rec["k"] == 2 and rec["tile_rows"] == 16
+    assert tuned_tile("chain", "fwd", op.op_name, (32, 32), jnp.float32,
+                      True, 2, interp=True) == 16
+    # un-swept depth -> no tile; compiled-mode record stays separate
+    assert tuned_tile("chain", "fwd", op.op_name, (32, 32), jnp.float32,
+                      True, 4, interp=True) is None
+    assert best_config("chain", "fwd", op.op_name, (32, 32), jnp.float32,
+                       True, interp=False) is None
+
+
+def test_chain_builds_consult_tuned_tile(tune_cache, caplog):
+    """End-to-end measured-best dispatch: after a sweep, a PLAIN
+    ``fused_time_chain``/``fused_chain_vjp`` build (no tile_rows set)
+    picks up the recorded tile — key construction at the store site and
+    the consult site must agree exactly — and stays bit-exact."""
+    import logging
+
+    from pystencils_autodiff_tpu.ops.adjoint_chain import fused_chain_vjp
+    from pystencils_autodiff_tpu.ops.time_chain import fused_time_chain
+
+    op = heat_step_op(dt=0.1)
+    state = _state(32)
+    cots = {"u": jnp.ones_like(state["u"])}
+    ref_f = fused_time_chain(op, 2, {"u": "u_next"}, periodic=True,
+                             interpret=True)(dict(state))
+    ref_b = fused_chain_vjp(op, 2, {"u": "u_next"}, periodic=True,
+                            interpret=True)(dict(state), dict(cots))
+
+    autotune_chain(op, {"u": "u_next"}, state, k_candidates=(2,),
+                   tile_candidates=(16,), periodic=True, interpret=True,
+                   timer=seq_timer([1e-3]))
+    autotune_chain(op, {"u": "u_next"}, state, k_candidates=(2,),
+                   tile_candidates=(16,), vjp=True, periodic=True,
+                   interpret=True, timer=seq_timer([1e-3]))
+
+    with caplog.at_level(logging.INFO,
+                         logger="pystencils_autodiff_tpu.autotune"):
+        out_f = fused_time_chain(op, 2, {"u": "u_next"}, periodic=True,
+                                 interpret=True)(dict(state))
+        out_b = fused_chain_vjp(op, 2, {"u": "u_next"}, periodic=True,
+                                interpret=True)(dict(state), dict(cots))
+    hits = [r.getMessage() for r in caplog.records
+            if "measured-best tile" in r.getMessage()]
+    assert len(hits) >= 2, f"expected fwd+vjp cache hits, got {hits}"
+    assert jnp.array_equal(out_f["u"], ref_f["u"])
+    assert jnp.array_equal(out_b[0]["u"], ref_b[0]["u"])
+    assert jnp.array_equal(out_b[1]["u"], ref_b[1]["u"])
+
+
+def test_stage_chain_builds_consult_tuned_tile(tune_cache, caplog):
+    """Same end-to-end guarantee for heterogeneous stage chains, both
+    directions (forward kernel and the two-phase fused backward)."""
+    import logging
+
+    from pystencils_autodiff_tpu.ops.stage_chain import fused_stage_chain
+
+    op = heat_step_op(dt=0.1)
+    state = _state(32)
+    stages = [(op, {"u": "u_next"})]
+
+    def run(chain):
+        val, pull = jax.vjp(lambda a: chain({"u": a})["u"], state["u"])
+        return val, pull(jnp.ones_like(val))[0]
+
+    ref_v, ref_g = run(fused_stage_chain(stages, 2, periodic=True,
+                                         fused_bwd=True, interpret=True))
+
+    from pystencils_autodiff_tpu.utils import autotune_stage_chain
+    autotune_stage_chain(stages, state, k_candidates=(2,),
+                         tile_candidates=(16,), periodic=True,
+                         interpret=True, timer=seq_timer([1e-3]))
+    autotune_stage_chain(stages, state, k_candidates=(2,),
+                         tile_candidates=(16,), fused_bwd=True,
+                         periodic=True, interpret=True,
+                         timer=seq_timer([1e-3]))
+
+    with caplog.at_level(logging.INFO,
+                         logger="pystencils_autodiff_tpu.autotune"):
+        out_v, out_g = run(fused_stage_chain(stages, 2, periodic=True,
+                                             fused_bwd=True,
+                                             interpret=True))
+    hits = [r.getMessage() for r in caplog.records
+            if "measured-best tile" in r.getMessage()]
+    assert hits, "stage-chain build did not consult the tune cache"
+    assert jnp.array_equal(out_v, ref_v)
+    assert jnp.array_equal(out_g, ref_g)
+
+
 def test_stage_chain_boundary_key_is_canonical(tune_cache):
     """Spec spellings that normalize identically share one cache entry."""
     from pystencils_autodiff_tpu.utils import autotune_stage_chain
