@@ -306,7 +306,7 @@ def _compile_dd_add(rhs: sp.Add, atoms: List[object], modules) -> Callable:
     import jax.numpy as jnp
     import numpy as np
 
-    from ..utils.dd import dd_add_dd, dd_mul, dd_to
+    from ..utils.dd import _round_barrier, dd_add_dd, dd_mul, dd_to
 
     def build(e):
         """Compile ``e`` to a plan evaluated entirely in dd pairs:
@@ -339,7 +339,9 @@ def _compile_dd_add(rhs: sp.Add, atoms: List[object], modules) -> Callable:
             if kind == "const":
                 return const_pair(item, dtype)
             if kind == "fn":
-                return (jnp.asarray(item(*vals), dtype),
+                # pin the rounded leaf: a product leaf feeding a TwoSum
+                # must not be re-contracted into the sum (utils/dd.py)
+                return (_round_barrier(jnp.asarray(item(*vals), dtype)),
                         jnp.asarray(0.0, dtype))
             if kind == "mul":
                 v = ev(item[0])

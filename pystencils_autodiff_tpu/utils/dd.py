@@ -40,20 +40,58 @@ def two_sum(a, b) -> Pair:
 
 def two_prod(a, b) -> Pair:
     """Error-free product: a*b = p + e exactly (Dekker/Veltkamp splitting —
-    exact in any IEEE round-to-nearest arithmetic, no fma required)."""
-    p = a * b
+    exact in any IEEE round-to-nearest arithmetic, no fma required).
+
+    ``p`` is barrier-pinned: downstream EFT sums like ``two_sum(c, p)``
+    assume p is a ROUNDED value; letting the compiler contract
+    ``c + a*b`` into an fma would make the pair (s, e) wrong by ~ulp."""
+    p = _round_barrier(a * b)
     return p, _dekker_prod_err(a, b, p)
+
+
+_BARRIER_BITS = {jnp.dtype(jnp.float32): jnp.uint32,
+                 jnp.dtype(jnp.float64): jnp.uint64,
+                 jnp.dtype(jnp.bfloat16): jnp.uint16,
+                 jnp.dtype(jnp.float16): jnp.uint16}
+
+
+def _round_barrier(x):
+    """Force ``x`` to be a ROUNDED value the compiler cannot re-derive.
+
+    Veltkamp splitting computes ``ca = split*a; ahi = ca - (ca - a)`` and
+    is EXACT only if both occurrences of ``ca`` are the same rounded f32.
+    Mosaic's FMA contraction may instead fuse the inner subtraction into
+    ``fma(split, a, -a)`` — the unrounded product — which corrupts the
+    split halves and costs the whole compensation (~1 ulp instead of
+    ~2^-49; measured 1.25e-7 on the round-3 hardware dd test,
+    BENCH_NOTES).  Same-width bitcast round-trips are value-exact,
+    break the mul→add pattern the contractor matches, and lower in every
+    backend INCLUDING Mosaic kernels (``lax.optimization_barrier`` does
+    not: "Unimplemented primitive in Pallas TPU lowering", probed on the
+    v5e).  Contraction in the REMAINDER of the error expression is
+    harmless because the split halves make every product exactly
+    representable."""
+    x = jnp.asarray(x)
+    bits = _BARRIER_BITS.get(jnp.dtype(x.dtype))
+    if bits is None or x.ndim == 0:
+        # 0-d: Mosaic's tpu.bitcast needs vectors.  Scalars only arise
+        # from constant·constant dd products (folded at trace time when
+        # concrete; on the scalar core otherwise) — leave them unpinned.
+        return x
+    return jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(x, bits), x.dtype)
 
 
 def _dekker_prod_err(a, b, p):
     """Error of a*b - already-rounded p, via Veltkamp splitting (exact in
-    any IEEE round-to-nearest arithmetic; no fma needed)."""
+    any IEEE round-to-nearest arithmetic; no fma needed — and immune to
+    compiler FMA contraction, see ``_round_barrier``)."""
     dt = jnp.asarray(a).dtype
     split = jnp.asarray(4097.0 if dt == jnp.float32 else 134217729.0, dt)
-    ca = split * a
+    ca = _round_barrier(split * a)
     ahi = ca - (ca - a)
     alo = a - ahi
-    cb = split * b
+    cb = _round_barrier(split * b)
     bhi = cb - (cb - b)
     blo = b - bhi
     return ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
@@ -84,7 +122,7 @@ def dd_add_dd(p: Pair, q: Pair) -> Pair:
 
 
 def dd_mul(p: Pair, q: Pair) -> Pair:
-    h = p[0] * q[0]
+    h = _round_barrier(p[0] * q[0])
     e = _dekker_prod_err(p[0], q[0], h)
     e = e + (p[0] * q[1] + p[1] * q[0])
     s, e2 = two_sum(h, e)
@@ -118,7 +156,7 @@ def dd_dot(a, b) -> Pair:
 
     def body(carry, ab):
         ai, bi = ab
-        h = ai * bi
+        h = _round_barrier(ai * bi)
         e = _dekker_prod_err(ai, bi, h)
         c = dd_add(carry, h)
         return (c[0], c[1] + e), None

@@ -158,7 +158,10 @@ _over_budget = []
 def pytest_runtest_logreport(report):
     if (report.when == "call"
             and report.duration >= _TIER_BUDGET_S
-            and not os.environ.get("PYSTENCILS_ADTPU_FULL_SUITE")):
+            and not os.environ.get("PYSTENCILS_ADTPU_FULL_SUITE")
+            # the budget calibrates the hermetic CPU lane; TPU-lane runs
+            # pay relay RTT + remote compiles per test and are not tiered
+            and not os.environ.get("PYSTENCILS_ADTPU_TPU_TESTS")):
         short = report.nodeid.split("::")[-1].split("[")[0]
         if short not in _KEEPERS:
             _over_budget.append((report.duration, report.nodeid))
