@@ -179,7 +179,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                     interpret: Optional[bool] = None,
                     tile_rows: Optional[int] = None,
                     vmem_limit_bytes: int = 100 * 1024 * 1024,
-                    probes=None):
+                    probes=None, reads: str = "slice"):
     """Build ``g(state, cot_state) -> (state_k, cot_0)`` for a 2D op:
     advances k steps AND pulls cotangents back through them, all in one
     kernel.  ``cot_state``/``cot_0`` are cotangent dicts keyed like the
@@ -271,11 +271,13 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                     fwd = fused_time_chain(op, kk, carry_map, periodic=True,
                                            interpret=interpret,
                                            tile_rows=tile_rows,
-                                           vmem_limit_bytes=vmem_limit_bytes)
+                                           vmem_limit_bytes=vmem_limit_bytes,
+                                           reads=reads)
                     cot = fused_time_chain(cot_op, kk, cot_carry,
                                            periodic=True, interpret=interpret,
                                            tile_rows=tile_rows,
-                                           vmem_limit_bytes=vmem_limit_bytes)
+                                           vmem_limit_bytes=vmem_limit_bytes,
+                                           reads=reads)
                     reps = k // kk
 
                     def fn(state, cot_state, probe_cots=()):
@@ -345,6 +347,8 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                             variants, state, cot_state,
                             signature=f"twin_chain|{op.op_name}|{spatial}|"
                                       f"{arr0.dtype}|k={k}"
+                                      + (f"|reads={reads}"
+                                         if reads != "slice" else "")
                                       + _tuning_tag(tile_rows,
                                                     vmem_limit_bytes))
                         twin_cache[key] = fn
@@ -363,6 +367,10 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
             "blocked two-phase kernel, ops/plane_adjoint.py) for "
             "nonlinear ops; linear ops of any rank take the twin-chain "
             "path, which this op did not qualify for")
+    if reads != "slice":
+        raise ValueError(
+            f"reads={reads!r} is only supported on the linear twin-chain "
+            f"path (this op routes to the two-phase kernel)")
 
     from .common import shared_lateral_offsets
 

@@ -42,7 +42,7 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                           periodic: bool,
                           tile_rows: Optional[int] = None,
                           vmem_limit_bytes: int = 100 * 1024 * 1024,
-                          probes=None):
+                          probes=None, reads: str = "slice"):
     """Forward-only fused k-step kernel over an nd spatial domain,
     flattened to (rows, cols) — leading dims merge into the row axis
     (FlatGeom); per-stage interior masks use per-dim div/mod coordinates,
@@ -94,6 +94,15 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
     from .common import lat_shifted_read, shared_lateral_offsets
     shared_lat = shared_lateral_offsets(cycle_steps)
     shared_h = shared_lateral_offsets(hoist_steps)
+
+    if reads not in ("slice", "roll"):
+        raise ValueError(f"reads={reads!r}: expected 'slice' or 'roll'")
+    roll_reads = reads == "roll"
+    if roll_reads and (hr_lo > lo1 or hr_hi > hi1):
+        # roll-mode validity band shrinks by the per-step reach; hoisted
+        # values are garbage in their own halo margin, so they must not
+        # out-reach one step (holds for face-averaged coefficients)
+        raise ValueError("reads='roll' needs hoist reach <= per-step reach")
 
     probes = list(probes or ())
     for pname, _prow in probes:
@@ -154,8 +163,51 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                 state[key] = (jnp.concatenate(parts, axis=0)
                               if len(parts) > 1 else parts[0])
 
+            text = LO + t + HI
+            inv_lat_cache: Dict[tuple, jax.Array] = {}
+            inv_row_cache: Dict[tuple, jax.Array] = {}
+
+            def make_roll_read(st_dict, lat_cache, row_cache):
+                """Roll-mode read: every access is a cyclic sublane roll
+                of the (lane-rotated, cached) FULL extended tile — no
+                per-access misaligned row slices.  Wrapped rows land
+                outside the shrinking validity band, exactly where the
+                slice-mode geometry discards rows."""
+                def read(acc):
+                    name, idx = acc.field.name, acc.index
+                    lc, rc = ((inv_lat_cache, inv_row_cache)
+                              if name in inv else (lat_cache, row_cache))
+                    oc = acc.offsets[-1]
+                    ck = (name, idx, oc)
+                    v = lc.get(ck)
+                    if v is None:
+                        v = st_dict[(name, idx)]
+                        if oc:
+                            v = _shift_lateral(v, oc, 1, False, interpret,
+                                               periodic)
+                        lc[ck] = v
+                    ro = geom.row_off(acc.offsets)
+                    if not ro:
+                        return v
+                    rk = ck + (ro,)
+                    r = rc.get(rk)
+                    if r is None:
+                        r = (jnp.roll(v, -ro, axis=0) if interpret
+                             else pltpu.roll(v, (-ro) % text, 0))
+                        rc[rk] = r
+                    return r
+                return read
+
             henv: Dict[object, jax.Array] = {}
-            if hoist_steps:
+            if hoist_steps and roll_reads:
+                EH = text
+                hread = make_roll_read(state, {}, {})
+                for st_ in hoist_steps:
+                    hv = [hread(a) if isinstance(a, Field.Access)
+                          else henv[a] for a in st_.atoms]
+                    henv[st_.target] = jnp.broadcast_to(
+                        jnp.asarray(st_.fn(*hv), dtype), (EH, cols))
+            elif hoist_steps:
                 EH = (LO + t + HI) - hr_lo - hr_hi
 
                 hl_cache: Dict[tuple, jax.Array] = {}
@@ -174,25 +226,34 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                         jnp.asarray(st_.fn(*hv), dtype), (EH, cols))
 
             for s in range(k):
-                margin_lo = LO - (s + 1) * lo1
-                ext_rows = t + margin_lo + (HI - (s + 1) * hi1)
+                if roll_reads:
+                    margin_lo = LO
+                    ext_rows = text
+                else:
+                    margin_lo = LO - (s + 1) * lo1
+                    ext_rows = t + margin_lo + (HI - (s + 1) * hi1)
                 a_s = LO - margin_lo  # low-side rows consumed so far
                 stage_out: Dict[tuple, jax.Array] = {}
                 env: Dict[object, jax.Array] = {}
 
                 lat_cache: Dict[tuple, jax.Array] = {}
 
-                def read(acc, _er=ext_rows):
-                    ck = (acc.field.name, acc.index, acc.offsets[-1])
-                    return lat_shifted_read(
-                        lat_cache, shared_lat, ck, state[ck[:2]],
-                        acc.offsets[-1], lo1 + geom.row_off(acc.offsets),
-                        _er, False, interpret, periodic)
+                if roll_reads:
+                    read = make_roll_read(state, lat_cache, {})
+                else:
+                    def read(acc, _er=ext_rows):
+                        ck = (acc.field.name, acc.index, acc.offsets[-1])
+                        return lat_shifted_read(
+                            lat_cache, shared_lat, ck, state[ck[:2]],
+                            acc.offsets[-1], lo1 + geom.row_off(acc.offsets),
+                            _er, False, interpret, periodic)
 
                 def sym(at, _er=ext_rows, _a=a_s):
                     v = env.get(at)
                     if v is not None:
                         return v
+                    if roll_reads:
+                        return henv[at]
                     return jax.lax.slice_in_dim(
                         henv[at], _a - hr_lo, _a - hr_lo + _er, axis=0)
 
@@ -227,6 +288,8 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                     src = next_src[name]
                     if (src, idx) in stage_out:
                         new_state[(name, idx)] = stage_out[(src, idx)]
+                    elif roll_reads:  # constant extent: pass through as-is
+                        new_state[(name, idx)] = state[(src, idx)]
                     else:
                         v = state[(src, idx)]
                         new_state[(name, idx)] = jax.lax.slice_in_dim(
@@ -246,7 +309,9 @@ def _make_chain_kernel_fn(program: StencilProgram, k: int,
                             jnp.where(sel, state[(pname, ())], 0), axis=0))
 
             for ref, key in zip(outs, in_keys):
-                ref[...] = state[key]
+                ref[...] = (jax.lax.slice_in_dim(state[key], LO, LO + t,
+                                                 axis=0)
+                            if roll_reads else state[key])
             for p in range(len(probes)):
                 probe_outs[p][...] = jnp.stack(probe_rows[p], axis=0)[None]
 
@@ -298,7 +363,8 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
                      periodic: bool = False, interpret: Optional[bool] = None,
                      tile_rows: Optional[int] = None, dtype=None,
                      fused_bwd: bool = False, probes=None,
-                     vmem_limit_bytes: int = 100 * 1024 * 1024):
+                     vmem_limit_bytes: int = 100 * 1024 * 1024,
+                     reads: str = "slice"):
     """``chain(state: dict) -> state`` advancing ``k`` steps in ONE kernel.
 
     Exact gradients: the backward rule recomputes the k steps with the
@@ -321,6 +387,9 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
     in_names = [f.name for f in op.forward_input_fields]
     require_row_major(op.forward_input_fields, "fused_time_chain")
     probes = list(probes or ())
+    if reads != "slice" and prog.ndim == 3 and not probes:
+        raise ValueError("reads='roll' applies to the flattened-row kernel; "
+                         "3D chains ride the plane-blocked geometry")
 
     seq_step = make_time_stepper(op, carry_map, lowering="pallas",
                                  periodic=periodic,
@@ -371,7 +440,7 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
                 prog, kk, carry_map, spatial,
                 dtype or arr_dtype, interp, periodic,
                 tile_rows=tile, probes=probes,
-                vmem_limit_bytes=vmem)
+                vmem_limit_bytes=vmem, reads=reads)
         except ValueError as e:
             if not (periodic and not probes
                     and "no viable tile" in str(e)):
@@ -471,6 +540,7 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
                     variants, {n: state[n] for n in in_names},
                     signature=f"time_chain|{op.op_name}|{spatial}|"
                               f"{arr0.dtype}|k={k}|periodic={periodic}"
+                              + (f"|reads={reads}" if reads != "slice" else "")
                               + tuning_tag(tile_rows, vmem_limit_bytes))
                 kernel_cache[key] = fn
                 return result

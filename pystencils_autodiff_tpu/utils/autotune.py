@@ -37,6 +37,12 @@ __all__ = ["autotune_chain", "autotune_stage_chain", "TuneResult",
            "best_config", "tuned_tile"]
 
 
+# bumped whenever the measurement methodology changes incompatibly, so
+# records taken under a superseded timer are never served (tv2: two-point
+# slope replaced min-of-N + RTT subtraction, which under-timed sub-ms rows)
+_TIMER_VERSION = "tv2"
+
+
 def _canonical_key(kind: str, direction: str, sig: str, spatial, dtype,
                    periodic: bool, device: str, interp: bool = False) -> str:
     """Candidate-set-independent cache key: the measured-best record every
@@ -47,7 +53,8 @@ def _canonical_key(kind: str, direction: str, sig: str, spatial, dtype,
     interpret-mode sweep on a TPU-attached host can never feed tiles to
     real Mosaic builds (or vice versa)."""
     return (f"best|{kind}|{direction}|{sig}|{tuple(spatial)}|{dtype}|"
-            f"periodic={periodic}|{device}|interp={bool(interp)}")
+            f"periodic={periodic}|{device}|interp={bool(interp)}"
+            f"|{_TIMER_VERSION}")
 
 
 def stage_sig_of(stages, bcs) -> str:
@@ -145,39 +152,50 @@ class TuneResult:
 
 def _default_timer(chain_fn, state, k: int, calls: int, repeats: int,
                    vjp: bool) -> float:
-    """Per-step seconds of ``calls`` data-dependent chain invocations,
-    fully unrolled inside one jit (bench.py methodology)."""
+    """Per-step seconds by the two-point slope over ``calls`` vs
+    ``2·calls`` data-dependent chain invocations, each fully unrolled
+    inside one jit (the bench.py / run_all.py methodology).
+
+    The earlier min-of-N + RTT-subtraction here under-timed sub-ms
+    rows whose total device work sits inside the RTT noise floor (the
+    8192² heat vjp sweep recorded 0.282 ms/step against a 0.859 ms/step
+    slope truth — 952 GB/s of implied real traffic, above the HBM
+    roofline).  The slope cancels ANY constant per-call overhead; the
+    Mosaic kernel compile is shared between the two jits, so the extra
+    cost per candidate is only the doubled XLA glue trace."""
     import jax
     import jax.numpy as jnp
 
-    from .benchmark import fetch_timed, rtt_baseline
+    from .benchmark import slope_timed
 
     names = sorted(state)
 
-    if vjp:
-        cots = {n: jnp.ones_like(state[n]) for n in names}
+    def make(nc):
+        if vjp:
+            cots = {n: jnp.ones_like(state[n]) for n in names}
 
-        @jax.jit
-        def f(st):
-            def body(carry, _):
-                new_state, cot0 = chain_fn(carry[0], carry[1])
-                return (new_state,
-                        {n: cot0.get(n, carry[1][n]) for n in names}), None
-            (st2, _), _ = jax.lax.scan(body, (st, cots), None,
-                                       length=calls, unroll=calls)
-            return st2[names[0]]
-    else:
-        @jax.jit
-        def f(st):
-            def body(carry, _):
-                return chain_fn(carry), None
-            st2, _ = jax.lax.scan(body, st, None,
-                                  length=calls, unroll=calls)
-            return st2[names[0]]
+            @jax.jit
+            def f(st):
+                def body(carry, _):
+                    new_state, cot0 = chain_fn(carry[0], carry[1])
+                    return (new_state,
+                            {n: cot0.get(n, carry[1][n])
+                             for n in names}), None
+                (st2, _), _ = jax.lax.scan(body, (st, cots), None,
+                                           length=nc, unroll=nc)
+                return st2[names[0]]
+        else:
+            @jax.jit
+            def f(st):
+                def body(carry, _):
+                    return chain_fn(carry), None
+                st2, _ = jax.lax.scan(body, st, None,
+                                      length=nc, unroll=nc)
+                return st2[names[0]]
+        return f
 
-    rtt = rtt_baseline()
-    total = fetch_timed(f, dict(state), repeats=repeats)
-    return max((total - rtt) / (k * calls), 1e-12)
+    t = slope_timed(make, dict(state), calls, 2 * calls, repeats=repeats)
+    return max(t / k, 1e-12)
 
 
 def autotune_chain(op, carry_map: Dict[str, str], state,
@@ -244,7 +262,7 @@ def autotune_chain(op, carry_map: Dict[str, str], state,
     key = (f"chain|{direction}|{op.op_name}|{spatial}|"
            f"{arr0.dtype}|periodic={periodic}|{device}"
            f"|k={tuple(k_candidates)}|tiles={tuple(tile_candidates)}"
-           + extra)
+           f"|{_TIMER_VERSION}" + extra)
     # interpret= partitions the canonical record by mode (see
     # _canonical_key); any OTHER builder kwarg changes what was measured
     # in ways the builders can't see, so it suppresses the record
@@ -455,7 +473,7 @@ def autotune_stage_chain(stages, state,
     key = (f"stages|{direction}|{stage_sig}|{spatial}|"
            f"{arr0.dtype}|periodic={periodic}|bc={bc_key}|{device}"
            f"|k={tuple(k_candidates)}|tiles={tuple(tile_candidates)}"
-           + extra)
+           f"|{_TIMER_VERSION}" + extra)
     other_kwargs = {n: v for n, v in chain_kwargs.items()
                     if n != "interpret"}
     canonical = (None if other_kwargs else _canonical_key(

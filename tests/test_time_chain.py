@@ -195,3 +195,100 @@ def test_fused_bwd_chain_gradients(periodic):
     g_f = jax.grad(loss_fused)(c0)
     g_s = jax.grad(loss_seq)(c0)
     np.testing.assert_allclose(g_f, g_s, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+@pytest.mark.parametrize("k", [1, 3])
+def test_roll_reads_heat_matches_sequential(periodic, k):
+    """reads='roll': every in-kernel access is a cyclic sublane roll of
+    the full extended tile instead of a misaligned row slice (wrapped
+    rows land outside the shrinking validity band).  Values must match
+    sequential stepping; tolerance is a few ulp because XLA may fuse /
+    contract the two read graphs differently."""
+    op = heat_step_op(dt=0.1, dtype="float64")
+    chain = fused_time_chain(op, k, {"u": "u_next"}, periodic=periodic,
+                             interpret=True, tile_rows=16, reads="roll")
+    step = make_time_stepper(op, {"u": "u_next"}, periodic=periodic)
+    u0 = rand(40, (48, 32))
+    out = chain({"u": u0})["u"]
+    seq = {"u": u0}
+    for _ in range(k):
+        seq = step(seq)
+    np.testing.assert_allclose(out, seq["u"], rtol=1e-13, atol=1e-13)
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_roll_reads_wave_and_gradients(periodic):
+    """roll mode through multi-field carries + grads (recompute bwd)."""
+    op = wave_step_op(dt=0.2, dtype="float64")
+    carry = {"u_curr": "u_next", "u_prev": "u_curr"}
+    chain = fused_time_chain(op, 4, carry, periodic=periodic,
+                             interpret=True, tile_rows=16, reads="roll")
+    step = make_time_stepper(op, carry, periodic=periodic)
+    u0 = rand(41, (48, 32)) * 0.1
+    c = 1.0 + 0.1 * rand(42, (48, 32)) ** 2
+
+    def loss_fused(cv):
+        out = chain({"u_curr": u0, "u_prev": u0, "c": cv})
+        return jnp.sum(out["u_curr"] ** 2)
+
+    def loss_seq(cv):
+        s = {"u_curr": u0, "u_prev": u0, "c": cv}
+        for _ in range(4):
+            s = step(s)
+        return jnp.sum(s["u_curr"] ** 2)
+
+    np.testing.assert_allclose(loss_fused(c), loss_seq(c),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(jax.grad(loss_fused)(c),
+                               jax.grad(loss_seq)(c),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_roll_reads_hoisted_coefficients():
+    """roll mode composes with chain-invariant coefficient hoisting
+    (variable-kappa 2D diffusion: face averages hoisted once per tile)."""
+    from pystencils_autodiff_tpu import Assignment, AutoDiffOp, fields
+
+    u2, un, kap = fields("u2, un, kap", 2)
+    op = AutoDiffOp([Assignment(un[0, 0], u2[0, 0] + 0.1 * (
+        (kap[1, 0] + kap[0, 0]) * (u2[1, 0] - u2[0, 0])
+        - (kap[0, 0] + kap[-1, 0]) * (u2[0, 0] - u2[-1, 0])
+        + (kap[0, 1] + kap[0, 0]) * (u2[0, 1] - u2[0, 0])
+        - (kap[0, 0] + kap[0, -1]) * (u2[0, 0] - u2[0, -1])))],
+        op_name="vkdiff2d_rolltest", constant_fields=[kap])
+    u0 = rand(43, (48, 32))
+    kv = 1.0 + 0.1 * rand(44, (48, 32)) ** 2
+    for periodic in (False, True):
+        a = fused_time_chain(op, 4, {"u2": "un"}, periodic=periodic,
+                             interpret=True, tile_rows=16)(
+            {"u2": u0, "kap": kv})["u2"]
+        b = fused_time_chain(op, 4, {"u2": "un"}, periodic=periodic,
+                             interpret=True, tile_rows=16, reads="roll")(
+            {"u2": u0, "kap": kv})["u2"]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-13, atol=1e-13)
+
+
+def test_roll_reads_twin_vjp_matches_slice():
+    """reads='roll' threads through the linear twin-chain vjp path."""
+    from pystencils_autodiff_tpu.ops.adjoint_chain import fused_chain_vjp
+
+    op = wave_step_op(grad_c=False, dtype="float64")
+    carry = {"u_curr": "u_next", "u_prev": "u_curr"}
+    u0 = rand(45, (48, 32)) * 0.1
+    c = 2.0 + jnp.zeros((48, 32), jnp.float64)
+    st = {"u_curr": u0, "u_prev": u0 * 0.5, "c": c}
+    ct = {"u_curr": jnp.ones_like(u0), "u_prev": jnp.ones_like(u0),
+          "c": jnp.zeros_like(c)}
+    ga = fused_chain_vjp(op, 4, carry, periodic=True, interpret=True,
+                         tile_rows=16)(st, ct)
+    gb = fused_chain_vjp(op, 4, carry, periodic=True, interpret=True,
+                         tile_rows=16, reads="roll")(st, ct)
+    for n in ("u_curr", "u_prev"):
+        np.testing.assert_allclose(np.asarray(ga[0][n]),
+                                   np.asarray(gb[0][n]),
+                                   rtol=1e-13, atol=1e-13, err_msg=n)
+        np.testing.assert_allclose(np.asarray(ga[1][n]),
+                                   np.asarray(gb[1][n]),
+                                   rtol=1e-13, atol=1e-13, err_msg=n)
