@@ -125,9 +125,18 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
 
     # selective primal saving: phase 1 keeps, per stage, only the planes
     # the backward program reads as primals (nothing for linear ops —
-    # both phases then run with rolling 2-deep state)
+    # both phases then run with rolling 2-deep state).  CHAIN-INVARIANT
+    # fields (coefficients the carry never writes: diffusion's κ, wave's
+    # c) are never saved or re-sliced at all — both phases read them from
+    # the stage-independent full input block, which cut the live-VMEM set
+    # enough to matter at 384³ (the saved-κ extents alone were ~37 MB of
+    # the ~127 MB physical budget at k=2).
+    from .hoist import invariant_fields
+
+    inv = invariant_fields(in_names, out_names, carry_map)
     saved_keys = tuple(sorted({(a.field.name, a.index) for a in bwd_acc
-                               if not isinstance(a.field, AdjointField)}))
+                               if not isinstance(a.field, AdjointField)
+                               and a.field.name not in inv}))
     bwd_reads_primal = bool(saved_keys)
 
     def _fpair(a):
@@ -216,8 +225,13 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
 
             # ---- phase 1: forward recompute over k stages ----
             # stage-s input extent: E − s·(lo_f+hi_f) planes, local plane 0
-            # at global i·t − (LO − s·lo_f)
-            cur = {key: full[("s", key)] for key in in_keys}
+            # at global i·t − (LO − s·lo_f).  Invariant fields are NOT
+            # threaded through cur: every stage reads them from the
+            # stage-independent full block (offset (s+1)·lo_f folds the
+            # frame walk), with a kernel-lifetime lateral cache.
+            cur = {key: full[("s", key)] for key in in_keys
+                   if key[0] not in inv}
+            inv_lat_cache: Dict[tuple, jax.Array] = {}
             saved: List[Optional[Dict]] = []
             for s in range(k):
                 if bwd_reads_primal:
@@ -227,9 +241,16 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                 stage_out: Dict[tuple, jax.Array] = {}
                 latf_cache: Dict[tuple, jax.Array] = {}
 
-                def readf(acc, _ext=ext, _cur=cur, _c=latf_cache):
+                def readf(acc, _ext=ext, _cur=cur, _c=latf_cache, _s=s):
                     name_i = (acc.field.name, acc.index)
                     o1, o2 = acc.offsets[1], acc.offsets[2]
+                    if acc.field.name in inv:
+                        start = (_s + 1) * lo_f + acc.offsets[0]
+                        v = _lat2(inv_lat_cache, ("s",) + name_i + (o1, o2),
+                                  full[("s", name_i)], o1, o2,
+                                  False, interpret, periodic)
+                        return jax.lax.slice_in_dim(v, start, start + _ext,
+                                                    axis=0)
                     start = lo_f + acc.offsets[0]
                     if _fpair(acc) not in shared_fwd:
                         v = jax.lax.slice_in_dim(_cur[name_i], start,
@@ -267,9 +288,15 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
 
                 nxt = {}
                 for name, idx in in_keys:
+                    if name in inv:
+                        continue  # read from full at stage offsets
                     src = next_src[name]
                     if (src, idx) in stage_out:
                         nxt[(name, idx)] = stage_out[(src, idx)]
+                    elif src in inv:  # carry from an invariant source
+                        nxt[(name, idx)] = jax.lax.slice_in_dim(
+                            full[("s", (src, idx))], (s + 1) * lo_f,
+                            (s + 1) * lo_f + ext, axis=0)
                     else:
                         nxt[(name, idx)] = jax.lax.slice_in_dim(
                             cur[(src, idx)], lo_f, lo_f + ext, axis=0)
@@ -303,7 +330,7 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                     return p, a, b
 
                 def readb(acc, _er=ext, _prim=prim, _cot=cot,
-                          _po=prim_off, _p0=p0_out, _c=latb_cache):
+                          _po=prim_off, _p0=p0_out, _c=latb_cache, _r=r):
                     f = acc.field
                     o1, o2 = acc.offsets[1], acc.offsets[2]
                     if isinstance(f, AdjointField):
@@ -345,8 +372,20 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                             v = jnp.where(
                                 interior_mask(p, a, b, fwd_ghost), v, 0)
                         return v
-                    start = _po + lo_b + acc.offsets[0]
-                    if _bpair(acc) not in shared_bwd:
+                    if f.name in inv:
+                        # invariant primal: read the stage-independent
+                        # full block (local 0 of this reverse stage's
+                        # output frame sits at E-pos k·lo_f + (r+1)·lo_b)
+                        name_i = (f.name, acc.index)
+                        start = (k * lo_f + (_r + 1) * lo_b
+                                 + acc.offsets[0])
+                        v = _lat2(inv_lat_cache, ("s",) + name_i + (o1, o2),
+                                  full[("s", name_i)], o1, o2,
+                                  False, interpret, periodic)
+                        v = jax.lax.slice_in_dim(v, start, start + _er,
+                                                 axis=0)
+                    elif _bpair(acc) not in shared_bwd:
+                        start = _po + lo_b + acc.offsets[0]
                         v = jax.lax.slice_in_dim(_prim[(f.name, acc.index)],
                                                  start, start + _er, axis=0)
                         v = _shift_lateral(v, o1, 1, False, interpret,
@@ -354,6 +393,7 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                         v = _shift_lateral(v, o2, 2, False, interpret,
                                            periodic)
                     else:
+                        start = _po + lo_b + acc.offsets[0]
                         v = _lat2(_c, ("p", f.name, acc.index, o1, o2),
                                   _prim[(f.name, acc.index)], o1, o2,
                                   False, interpret, periodic)
@@ -400,8 +440,12 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
             # extent exactly t
             fin_off = LO - k * lo_f
             for j, key in enumerate(in_keys):
-                outs[j][...] = jax.lax.slice_in_dim(
-                    cur[key], fin_off, fin_off + t, axis=0)
+                if key[0] in inv:  # unchanged: the input block's own tile
+                    outs[j][...] = jax.lax.slice_in_dim(
+                        full[("s", key)], LO, LO + t, axis=0)
+                else:
+                    outs[j][...] = jax.lax.slice_in_dim(
+                        cur[key], fin_off, fin_off + t, axis=0)
             for j, key in enumerate(in_keys):
                 outs[len(in_keys) + j][...] = cot[key]
 
