@@ -582,6 +582,35 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
 
                     latb_cache: Dict[tuple, jax.Array] = {}
 
+                    # mask hoisting (same as plane_adjoint): base iotas
+                    # once per reverse stage, masks memoised per offset —
+                    # per-read iota + div/mod interior tests dominated
+                    # phase-2 cost
+                    if not periodic:
+                        r_tgt_base = (jax.lax.broadcasted_iota(
+                            jnp.int32, shape_s, 0) + row0_out)
+                        c_base = jax.lax.broadcasted_iota(
+                            jnp.int32, shape_s, 1)
+                    mask_cache: Dict[tuple, jax.Array] = {}
+
+                    def read_mask(offsets, kind):
+                        mk = (kind,) + tuple(offsets)
+                        m = mask_cache.get(mk)
+                        if m is None:
+                            rr = r_tgt_base + geom.row_off(offsets)
+                            oc = offsets[-1]
+                            cc = c_base + oc if oc else c_base
+                            if kind == "adj":
+                                m = ((rr >= 0) & (rr < rows)
+                                     & geom.interior_mask(rr, cc, fwd_ghost))
+                                xm = geom.crossing_mask(r_tgt_base, offsets)
+                                if xm is not None:
+                                    m &= xm
+                            else:
+                                m = geom.in_domain_mask(rr, cc)
+                            mask_cache[mk] = m
+                        return m
+
                     def readb(acc, _er=ext_rows, _prim=prim, _cot=cot,
                               _po=prim_off, _r0=row0_out, _c=latb_cache):
                         f = acc.field
@@ -613,18 +642,8 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                                 # forward interior, in the per-dim
                                 # coordinates of the cell being READ, and
                                 # exclude inner-flattened-dim crossings
-                                r_tgt = (jax.lax.broadcasted_iota(
-                                    jnp.int32, (_er, cols), 0) + _r0)
-                                rr = r_tgt + geom.row_off(acc.offsets)
-                                cc = (jax.lax.broadcasted_iota(
-                                    jnp.int32, (_er, cols), 1)
-                                    + acc.offsets[-1])
-                                m = ((rr >= 0) & (rr < rows)
-                                     & geom.interior_mask(rr, cc, fwd_ghost))
-                                xm = geom.crossing_mask(r_tgt, acc.offsets)
-                                if xm is not None:
-                                    m &= xm
-                                v = jnp.where(m, v, 0)
+                                v = jnp.where(read_mask(acc.offsets, "adj"),
+                                              v, 0)
                             return v
                         ck = ("p", f.name, acc.index, acc.offsets[-1])
                         v = lat_shifted_read(
@@ -635,13 +654,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                         if not periodic:
                             # sanitize OUT-OF-DOMAIN primal garbage to 1
                             # (FlatGeom.in_domain_mask docstring)
-                            rr = (jax.lax.broadcasted_iota(
-                                jnp.int32, (_er, cols), 0) + _r0
-                                + geom.row_off(acc.offsets))
-                            cc = (jax.lax.broadcasted_iota(
-                                jnp.int32, (_er, cols), 1)
-                                + acc.offsets[-1])
-                            v = jnp.where(geom.in_domain_mask(rr, cc),
+                            v = jnp.where(read_mask(acc.offsets, "prim"),
                                           v, 1)
                         return v
 

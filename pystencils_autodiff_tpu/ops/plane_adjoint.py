@@ -320,14 +320,35 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                 shape_s = (ext, n1, n2)
                 latb_cache: Dict[tuple, jax.Array] = {}
 
-                def read_coords(off, _er, _p0):
-                    p = (jax.lax.broadcasted_iota(jnp.int32, (_er, n1, n2),
-                                                  0) + _p0 + off[0])
-                    a = (jax.lax.broadcasted_iota(jnp.int32, (_er, n1, n2),
-                                                  1) + off[1])
-                    b = (jax.lax.broadcasted_iota(jnp.int32, (_er, n1, n2),
-                                                  2) + off[2])
-                    return p, a, b
+                # mask hoisting: the exact-VJP / sanitize masks depend only
+                # on the (static) access offsets, so build the three base
+                # iotas ONCE per reverse stage and memoise each offset's
+                # mask — the earlier per-read 3×iota + compares dominated
+                # phase-2 cost (measured 116 ps/cell/step at 384³ k=1,
+                # ~6× the forward chain's per-cell work)
+                if not periodic:
+                    p_base = (jax.lax.broadcasted_iota(
+                        jnp.int32, shape_s, 0) + p0_out)
+                    a_base = jax.lax.broadcasted_iota(jnp.int32, shape_s, 1)
+                    b_base = jax.lax.broadcasted_iota(jnp.int32, shape_s, 2)
+                mask_cache: Dict[tuple, jax.Array] = {}
+
+                def read_mask(off, kind):
+                    """'adj': forward-interior mask at the read cell;
+                    'prim': in-domain mask (sanitize target)."""
+                    mk = (kind,) + tuple(off)
+                    m = mask_cache.get(mk)
+                    if m is None:
+                        p = p_base + off[0]
+                        a = a_base + off[1] if off[1] else a_base
+                        b = b_base + off[2] if off[2] else b_base
+                        if kind == "adj":
+                            m = interior_mask(p, a, b, fwd_ghost)
+                        else:
+                            m = ((p >= 0) & (p < n0) & (a >= 0) & (a < n1)
+                                 & (b >= 0) & (b < n2))
+                        mask_cache[mk] = m
+                    return m
 
                 def readb(acc, _er=ext, _prim=prim, _cot=cot,
                           _po=prim_off, _p0=p0_out, _c=latb_cache, _r=r):
@@ -368,9 +389,8 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                         if not periodic:
                             # exact-VJP rule: zero the cotangent outside
                             # the forward interior, at the READ cell
-                            p, a, b = read_coords(acc.offsets, _er, _p0)
-                            v = jnp.where(
-                                interior_mask(p, a, b, fwd_ghost), v, 0)
+                            v = jnp.where(read_mask(acc.offsets, "adj"),
+                                          v, 0)
                         return v
                     if f.name in inv:
                         # invariant primal: read the stage-independent
@@ -404,10 +424,7 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                         # (masked-zero recompute zones make 1/x jacobians
                         # NaN, and 0·NaN poisons exact terms whose
                         # cotangent reads are already masked)
-                        p, a, b = read_coords(acc.offsets, _er, _p0)
-                        ok = ((p >= 0) & (p < n0) & (a >= 0) & (a < n1)
-                              & (b >= 0) & (b < n2))
-                        v = jnp.where(ok, v, 1)
+                        v = jnp.where(read_mask(acc.offsets, "prim"), v, 1)
                     return v
 
                 grads_stage: Dict[tuple, jax.Array] = {}

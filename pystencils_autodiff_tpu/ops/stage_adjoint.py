@@ -684,6 +684,44 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
 
                     latb_cache: Dict[tuple, jax.Array] = {}
 
+                    # mask hoisting (same as plane_adjoint/adjoint_chain):
+                    # base iotas once per reverse stage, masks memoised per
+                    # (kind, offsets) — per-read iota + div/mod interior
+                    # tests dominated phase-2 cost
+                    if not periodic:
+                        r_tgt_base = (jax.lax.broadcasted_iota(
+                            jnp.int32, shape_s, 0) + row0_out)
+                        c_base = jax.lax.broadcasted_iota(
+                            jnp.int32, shape_s, 1)
+                    mask_cache: Dict[tuple, jax.Array] = {}
+
+                    def read_mask(offsets, kind, ghost_j):
+                        mk = (kind,) + tuple(offsets)
+                        m = mask_cache.get(mk)
+                        if m is None:
+                            rr = r_tgt_base + geom.row_off(offsets)
+                            oc = offsets[-1]
+                            cc = c_base + oc if oc else c_base
+                            if kind == "adj":
+                                m = (rr >= 0) & (rr < rows)
+                                if shard is not None:
+                                    m &= geom.interior_mask_global(
+                                        rr, cc, ghost_j, base_vals,
+                                        shard.global_spatial)
+                                else:
+                                    m &= geom.interior_mask(rr, cc, ghost_j)
+                                xm = geom.crossing_mask(r_tgt_base, offsets)
+                                if xm is not None:
+                                    m &= xm
+                            else:
+                                m = geom.in_domain_mask(
+                                    rr, cc,
+                                    base_vals if shard is not None else None,
+                                    shard.global_spatial
+                                    if shard is not None else None)
+                            mask_cache[mk] = m
+                        return m
+
                     def readb(acc, _er=ext_rows, _prim=prim, _cot=cot,
                               _po=prim_off, _r0=row0_out, _j=j,
                               _c=latb_cache):
@@ -708,24 +746,9 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                                 lob[_j] + geom.row_off(acc.offsets), _er,
                                 not periodic, interp, periodic)
                             if not periodic:
-                                r_tgt = (jax.lax.broadcasted_iota(
-                                    jnp.int32, (_er, cols), 0) + _r0)
-                                rr = r_tgt + geom.row_off(acc.offsets)
-                                cc = (jax.lax.broadcasted_iota(
-                                    jnp.int32, (_er, cols), 1)
-                                    + acc.offsets[-1])
-                                m = (rr >= 0) & (rr < rows)
-                                if shard is not None:
-                                    m &= geom.interior_mask_global(
-                                        rr, cc, fwd.ghost, base_vals,
-                                        shard.global_spatial)
-                                else:
-                                    m &= geom.interior_mask(rr, cc,
-                                                            fwd.ghost)
-                                xm = geom.crossing_mask(r_tgt, acc.offsets)
-                                if xm is not None:
-                                    m &= xm
-                                v = jnp.where(m, v, 0)
+                                v = jnp.where(
+                                    read_mask(acc.offsets, "adj", fwd.ghost),
+                                    v, 0)
                             return v
                         ck = ("p", f.name, acc.index, acc.offsets[-1])
                         v = lat_shifted_read(
@@ -738,18 +761,9 @@ def fused_stage_chain_vjp(stages: Sequence[Tuple[object, Dict[str, str]]],
                             # (FlatGeom.in_domain_mask docstring): global
                             # bounds when sharded — edge shards' outward
                             # halos are zero-filled and equally poisonous
-                            rr = (jax.lax.broadcasted_iota(
-                                jnp.int32, (_er, cols), 0) + _r0
-                                + geom.row_off(acc.offsets))
-                            cc = (jax.lax.broadcasted_iota(
-                                jnp.int32, (_er, cols), 1)
-                                + acc.offsets[-1])
-                            ok = geom.in_domain_mask(
-                                rr, cc,
-                                base_vals if shard is not None else None,
-                                shard.global_spatial
-                                if shard is not None else None)
-                            v = jnp.where(ok, v, 1)
+                            v = jnp.where(
+                                read_mask(acc.offsets, "prim", fwd.ghost),
+                                v, 1)
                         return v
 
                     grads_stage: Dict[tuple, jax.Array] = {}
