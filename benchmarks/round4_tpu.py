@@ -45,7 +45,9 @@ def timed_per_iter(f, x, iters):
     return max(t, 1e-9)
 
 
-_R = 256  # reps per kernel: amortizes launch overhead like sec_vpu
+_R = 32  # reps per kernel: >64 chained tpu.dynamic_rotate stalls the
+         # remote Mosaic compiler for 25+ min (observed 2026-08-19);
+         # launch overhead is amortized by chaining more kernel calls
 
 
 def _ladder_kernel(per_rep, n0, n1, pad, label, base_ps=0.0):
@@ -65,13 +67,15 @@ def _ladder_kernel(per_rep, n0, n1, pad, label, base_ps=0.0):
         out_shape=jax.ShapeDtypeStruct((n0, n1), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
     x = jnp.full((n0 + pad, n1), 0.5, jnp.float32)
     # chain over a same-shape carry: feed acc back through a kept pad tail
     g = jax.jit(lambda xx: jnp.concatenate(
         [f(xx), jax.lax.slice_in_dim(xx, n0, n0 + pad, axis=0)], axis=0)
         if pad else f(xx))
-    t = timed_per_iter(g, x, 32) / _R
+    t = timed_per_iter(g, x, 192) / _R
     per = t / (n0 * n1) * 1e12
     extra = f" (raw {per:.3f})" if base_ps else ""
     print(f"prim {label}: {per - base_ps:.3f} ps/elem{extra}", flush=True)
