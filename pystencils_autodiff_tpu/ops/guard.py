@@ -96,16 +96,56 @@ _DEFAULT_BUDGET_S = float(os.environ.get("PYSTENCILS_ADTPU_COMPILE_BUDGET",
 # Mosaic pathologies — persisting them as "crash" poisoned the default
 # route of a healthy kernel (observed 2026-08-18: one "response body
 # closed" during a benchmark recorded the 256³ diff3d two-phase chain as
-# crashed and every later run silently took the sequential fallback)
+# crashed and every later run silently took the sequential fallback).
+# The congestion-class 5xx markers were added round 5: under compile-queue
+# congestion (a queued Mosaic compile sat 217 s before a 2.8 s compile of
+# the same module, BENCH_NOTES round-4 session 3) the relay returns
+# gateway-style 5xx errors that are load, not shape, and must not be
+# recorded as crashes.  A bare HTTP 500 stays crash-class — genuine Mosaic
+# pathologies surface as INTERNAL 500s — but crash records now expire
+# (``_GUARD_TTL_S``), so even a mis-filed 500 self-heals via re-probe.
 _TRANSIENT_MARKERS = ("response body closed", "read body",
                       "connection reset", "connection refused",
                       "broken pipe", "failed to connect", "socket closed",
-                      "deadline exceeded", "unavailable")
+                      "deadline exceeded", "unavailable",
+                      "http/1.1 502", "http/1.1 503", "http/1.1 504",
+                      " 502 ", " 503 ", " 504 ",
+                      "bad gateway", "service unavailable",
+                      "gateway timeout", "too many requests",
+                      "overloaded", "try again later")
 
 
 def _is_transient(exc: BaseException) -> bool:
     s = str(exc).lower()
     return any(m in s for m in _TRANSIENT_MARKERS)
+
+
+# Bad (crash/timeout) registry records expire: a recorded pathology older
+# than the TTL is RE-PROBED instead of skipped (one congested relay
+# session twice poisoned a healthy kernel's default route permanently —
+# round-3 "scrubbed by hand", round-4 diff3d 384³ plane_two_phase).  A
+# genuine Mosaic pathology re-records itself at the cost of one bounded
+# (``budget_s``) build per TTL window.  Legacy bare-string records carry
+# no timestamp and are always treated as stale.
+_GUARD_TTL_S = float(os.environ.get("PYSTENCILS_ADTPU_GUARD_TTL_S",
+                                    str(48 * 3600)))
+
+
+def _bad_status(entry):
+    """``(status, when)`` of a registry entry when it records a failure
+    (status in {'crash', 'timeout'}), else ``(None, None)``.  Handles the
+    round-5 dict records, legacy bare strings, and ok-records (floats)."""
+    if isinstance(entry, dict):
+        st = entry.get("status")
+        return (st, entry.get("when")) if st in ("crash", "timeout") \
+            else (None, None)
+    if entry in ("crash", "timeout"):  # legacy, pre-round-5
+        return entry, None
+    return None, None
+
+
+def _is_stale(when) -> bool:
+    return when is None or (time.time() - when) > _GUARD_TTL_S
 
 
 def _cache_path() -> str:
@@ -226,10 +266,21 @@ class CompileGuard:
         picked = []
         for name, build in order:
             sig = f"{signature}|{name}"
-            if self._registry.get(sig) in ("timeout", "crash"):
-                self._warn(f"compile guard: skipping {name} "
-                           f"({self._registry.get(sig)} recorded for {sig})")
-                deferred.append((name, build))
+            status, when = _bad_status(self._registry.get(sig))
+            if status:
+                if _is_stale(when):
+                    # expired (or legacy untimestamped) record: re-probe —
+                    # the build below is budget-bounded, so the worst case
+                    # is one abandoned compile per TTL window
+                    age = ("untimestamped" if when is None else
+                           f"{(time.time() - when) / 3600:.0f}h old")
+                    self._warn(f"compile guard: stale {status} record for "
+                               f"{sig} ({age}); re-probing")
+                    picked.append((name, build))
+                else:
+                    self._warn(f"compile guard: skipping {name} "
+                               f"({status} recorded for {sig})")
+                    deferred.append((name, build))
                 continue
             picked.append((name, build))
         # known-bad variants still run LAST if everything else failed
@@ -244,7 +295,9 @@ class CompileGuard:
                 if timed_out:
                     # over-budget compile: abandon it (the worker thread
                     # keeps running; its result is discarded) and move on
-                    self._registry[sig] = "timeout"
+                    self._registry[sig] = {"status": "timeout",
+                                           "when": time.time(),
+                                           "budget_s": self.budget_s}
                     _save_registry(self._registry)
                     self._warn(
                         f"compile guard: {name} exceeded the "
@@ -277,7 +330,12 @@ class CompileGuard:
                                    f"({type(exc).__name__}: {exc}); "
                                    f"falling back (not recorded)")
                     else:  # crash (e.g. remote compiler HTTP 500)
-                        self._registry[sig] = "crash"
+                        # record WHAT failed and WHEN: undated bare "crash"
+                        # strings were unauditable (VERDICT round-4 weak #2)
+                        self._registry[sig] = {
+                            "status": "crash", "when": time.time(),
+                            "error": f"{type(exc).__name__}: "
+                                     f"{str(exc)[:500]}"}
                         _save_registry(self._registry)
                         self._warn(f"compile guard: {name} failed for "
                                    f"{sig} ({type(exc).__name__}: {exc}); "

@@ -40,7 +40,12 @@ def test_crash_falls_back_with_warning(guard_cache, caplog):
     assert name == "sequential" and result == 42
     assert any("falling back" in r.message for r in caplog.records)
     reg = json.loads(guard_cache.read_text())
-    assert reg["t1|fused"] == "crash"
+    rec = reg["t1|fused"]
+    # round-5 structured record: status + timestamp + error text, so a
+    # recorded pathology is auditable and expirable (VERDICT r4 weak #2)
+    assert rec["status"] == "crash"
+    assert rec["when"] > 0
+    assert "HTTP 500" in rec["error"]
 
 
 def test_recorded_offender_skipped_next_time(guard_cache):
@@ -141,7 +146,8 @@ def test_stage_chain_fwd_guard_routes_vmem(guard_cache, monkeypatch, caplog):
         out = chain({"u": u0})["u"]
     assert any("falling back" in r.message for r in caplog.records)
     reg = json.loads(guard_cache.read_text())
-    assert any(k.endswith("chain_k2") and v == "crash"
+    assert any(k.endswith("chain_k2")
+               and isinstance(v, dict) and v["status"] == "crash"
                for k, v in reg.items())
     # the fallback is the same math: compare against interpret chain
     ref = sc.fused_stage_chain([(op, {"u": "u_next"})], 2,
@@ -191,7 +197,8 @@ def test_stage_chain_bwd_guard_routes_vmem(guard_cache, monkeypatch):
     u0 = jax.random.normal(jax.random.PRNGKey(1), (32, 32), jnp.float64)
     g = jax.grad(lambda a: jnp.sum(jnp.sin(chain({"u": a})["u"])))(u0)
     reg = json.loads(guard_cache.read_text())
-    assert any(k.endswith("stage_vjp") and v == "crash"
+    assert any(k.endswith("stage_vjp")
+               and isinstance(v, dict) and v["status"] == "crash"
                for k, v in reg.items())
     ref_chain = sc.fused_stage_chain([(op, {"u": "u_next"})], 2,
                                      interpret=True)
@@ -302,12 +309,96 @@ def test_over_budget_build_is_abandoned(guard_cache):
     assert name == "fallback" and result == 6
     assert wall < 5.0  # bounded by the budget, not the compile
     reg = json.loads(guard_cache.read_text())
-    assert reg.get("ab1|deep") == "timeout"
+    assert reg["ab1|deep"]["status"] == "timeout"
     # and a later guard instance skips the offender outright
     name2, _, result2 = guard_variants(
         [("deep", hung_build), ("fallback", quick)], 1,
         signature="ab1", budget_s=0.3)
     assert name2 == "fallback" and result2 == 2
+
+
+def test_stale_crash_record_is_reprobed(guard_cache, caplog):
+    """A crash record older than the TTL is re-probed, not skipped — one
+    congested relay session must not disable a healthy kernel's default
+    route forever (round-4 diff3d 384³ plane_two_phase poisoning).  Legacy
+    bare-string records (no timestamp) count as stale."""
+    import time as _time
+
+    guard_cache.write_text(json.dumps({
+        # expired structured record
+        "st1|fused": {"status": "crash", "when": _time.time() - 10 * 86400,
+                      "error": "RuntimeError: remote compiler HTTP 500"},
+        # legacy pre-round-5 record
+        "st2|fused": "crash",
+    }))
+
+    def good():
+        return lambda x: x * 2
+
+    with caplog.at_level(logging.WARNING,
+                         logger="pystencils_autodiff_tpu.guard"):
+        name1, _, r1 = guard_variants(
+            [("fused", good), ("sequential", good)], 3, signature="st1")
+        name2, _, r2 = guard_variants(
+            [("fused", good), ("sequential", good)], 4, signature="st2")
+    assert name1 == "fused" and r1 == 6
+    assert name2 == "fused" and r2 == 8
+    assert sum("re-probing" in r.message for r in caplog.records) == 2
+    # the successful re-probe replaces the stale record with an ok-record
+    reg = json.loads(guard_cache.read_text())
+    assert isinstance(reg["st1|fused"], float)
+    assert isinstance(reg["st2|fused"], float)
+
+
+def test_fresh_crash_record_still_skipped(guard_cache):
+    """Records inside the TTL keep their skip-first semantics."""
+    import time as _time
+
+    guard_cache.write_text(json.dumps({
+        "fr1|fused": {"status": "crash", "when": _time.time(),
+                      "error": "RuntimeError: mosaic failed"}}))
+    order = []
+
+    def make(name):
+        def build():
+            def fn(x):
+                order.append(name)
+                return x
+            return fn
+        return build
+
+    name, _, _ = guard_variants(
+        [("fused", make("fused")), ("sequential", make("sequential"))],
+        1, signature="fr1")
+    assert name == "sequential" and order == ["sequential"]
+
+
+def test_congestion_5xx_is_transient(guard_cache, monkeypatch):
+    """Gateway-class 5xx from the congested compile relay (BENCH_NOTES
+    round-4 session 3: queued compiles, bursty 5xx) retries then falls
+    back WITHOUT a persistent crash record."""
+    import pystencils_autodiff_tpu.ops.guard as guard_mod
+
+    monkeypatch.setattr(guard_mod.time, "sleep", lambda s: None)
+
+    for msg in ("HTTP/1.1 503 Service Unavailable",
+                "remote_compile: 502 Bad Gateway",
+                "compile queue overloaded, try again later"):
+        def flaky(m=msg):
+            def fn(x):
+                raise RuntimeError(m)
+            return fn
+
+        def good():
+            return lambda x: x * 2
+
+        name, _, result = guard_variants(
+            [("fused", flaky), ("sequential", good)], 21,
+            signature=f"cg|{msg[:12]}")
+        assert name == "sequential" and result == 42
+    reg = json.loads(guard_cache.read_text()) if guard_cache.exists() else {}
+    assert not any(isinstance(v, dict) and v.get("status") == "crash"
+                   for v in reg.values()), reg
 
 
 def test_stage_vjp_wide_pathology_seeded():
@@ -371,7 +462,8 @@ def test_stage_vjp_segmented_fallback(guard_cache, monkeypatch):
     u0 = jax.random.normal(jax.random.PRNGKey(2), (32, 32), jnp.float64)
     g = jax.grad(lambda a: jnp.sum(jnp.sin(chain({"u": a})["u"])))(u0)
     reg = json.loads(guard_cache.read_text())
-    assert any(k.endswith("|stage_vjp") and v == "crash"
+    assert any(k.endswith("|stage_vjp")
+               and isinstance(v, dict) and v["status"] == "crash"
                for k, v in reg.items())
     assert any(k.endswith("stage_vjp_seg_k1") and isinstance(v, float)
                for k, v in reg.items()), reg
