@@ -53,8 +53,7 @@ def main():
 
     from pystencils_autodiff_tpu.models import (
         anisotropic27_op, diffusion3d_op, laplacian_op, wave_step_op)
-    from pystencils_autodiff_tpu.utils import (
-        fetch_timed, roofline_gbps, rtt_baseline)
+    from pystencils_autodiff_tpu.utils import roofline_gbps, slope_timed
 
     on_tpu = jax.devices()[0].platform == "tpu"
     small = args.small or not on_tpu
@@ -67,14 +66,18 @@ def main():
     iters = 2 if small else min(args.iters, 10)
     dtype = jnp.float32
     lowering = "pallas" if on_tpu else "jnp"
-    rtt = rtt_baseline()
     peak = roofline_gbps()
 
     rows = []
 
     def bench(name, f, x, n_arrays):
+        # two-point slope over chain length — RTT subtraction published
+        # physically impossible rows (lap3d fwd 1222 GB/s = 1.49x the
+        # roofline, BENCH_NOTES r4s3) because 3.7 ms of device work sits
+        # inside relay jitter; the slope cancels every per-call constant
+        # and auto-escalates call counts when the difference underflows
         try:
-            t = (fetch_timed(chain(f, iters), x) - rtt) / iters
+            t = slope_timed(lambda n: chain(f, n), x, iters, 3 * iters)
         except Exception as e:  # keep the table going past one bad config
             print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:120]}",
                   file=sys.stderr)
@@ -123,10 +126,11 @@ def main():
             # dispatch, fetch) cancels in the difference — rtt-subtraction
             # biases rows whose total compute is near the RTT noise floor
             # (min-of-N picks the luckiest RTT: the 256³ diff3d chain row
-            # once read 0.55 ms/step against a 1.24 ms device truth)
-            t1 = fetch_timed(make(calls), dict(state))
-            t2 = fetch_timed(make(2 * calls), dict(state))
-            t = max(t2 - t1, 1e-9) / (k * calls)
+            # once read 0.55 ms/step against a 1.24 ms device truth).
+            # slope_timed auto-escalates call counts when the difference
+            # underflows the jitter floor (the heat3d twin row once
+            # printed 0.000 from t2<t1 within jitter)
+            t = slope_timed(make, dict(state), calls, 2 * calls) / k
         except Exception as e:
             print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:140]}",
                   file=sys.stderr)
@@ -252,9 +256,7 @@ def main():
                     return st2[names[0]], ct2[names[0]]
                 return g
 
-            t1 = fetch_timed(make(calls), dict(state))
-            t2 = fetch_timed(make(2 * calls), dict(state))
-            t = max(t2 - t1, 1e-9) / (k * calls)
+            t = slope_timed(make, dict(state), calls, 2 * calls) / k
         except Exception as e:
             print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:140]}",
                   file=sys.stderr)

