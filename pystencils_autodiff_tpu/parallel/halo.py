@@ -51,16 +51,27 @@ def exchange_dim(local: jax.Array, dim: int, axis_name: str,
     if lo:
         # my left halo = left neighbour's last `lo` interior rows
         src = _take(local, dim, local.shape[dim] - lo, lo)
-        recv = lax.ppermute(src, axis_name, _shift_perm(n, +1, periodic))
+        recv = _route(src, axis_name, n, +1, periodic)
         parts.append(recv)
     parts.append(local)
     if hi:
         src = _take(local, dim, 0, hi)
-        recv = lax.ppermute(src, axis_name, _shift_perm(n, -1, periodic))
+        recv = _route(src, axis_name, n, -1, periodic)
         parts.append(recv)
     if len(parts) == 1:
         return local
     return jnp.concatenate(parts, axis=dim)
+
+
+def _route(src: jax.Array, axis_name: str, n: int, direction: int,
+           periodic: bool) -> jax.Array:
+    """Transport an edge slice one mesh step; on a size-1 axis the
+    collective is elided (periodic wrap = the shard's own opposite edge,
+    non-periodic = zeros, matching ppermute's no-source semantics) —
+    part of shaving the trivial-mesh plumbing cost (VERDICT r4 next #7)."""
+    if n == 1:
+        return src if periodic else jnp.zeros_like(src)
+    return lax.ppermute(src, axis_name, _shift_perm(n, direction, periodic))
 
 
 def _take(arr: jax.Array, dim: int, start: int, size: int) -> jax.Array:
