@@ -205,6 +205,7 @@ def autotune_chain(op, carry_map: Dict[str, str], state,
                    calls: int = 4, repeats: int = 3,
                    timer: Optional[Callable] = None,
                    use_cache: bool = True, force: bool = False,
+                   sweep: str = "fast",
                    **chain_kwargs) -> TuneResult:
     """Pick the fastest fused-chain configuration for ``op`` on the live
     device and return it built, measured, and cached.
@@ -220,6 +221,12 @@ def autotune_chain(op, carry_map: Dict[str, str], state,
     default is the bench.py methodology).  ``force=True`` re-measures even
     on a cache hit.  Extra ``chain_kwargs`` are passed to the chain
     builder for every candidate.
+
+    ``sweep='fast'`` (default) bounds cold-sweep cost with the default
+    timer: early-stop past the per-step minimum over ascending k and
+    incremental partial persistence (resume after a relay outage) — see
+    ``_run_sweep``.  ``sweep='full'`` measures every candidate; an
+    injected ``timer`` always sweeps fully (deterministic tests).
 
     Candidates that fail to build (e.g. no viable tile for the shape) are
     skipped; if every candidate fails, the last error propagates.
@@ -274,18 +281,36 @@ def autotune_chain(op, carry_map: Dict[str, str], state,
     return _run_sweep(build, key, state, k_candidates, tile_candidates,
                       timer or _default_timer, vjp, calls, repeats,
                       use_cache, force, "autotune_chain",
-                      canonical=canonical)
+                      canonical=canonical,
+                      early_stop=(timer is None and sweep == "fast"))
 
 
 def _run_sweep(build, key: str, state, k_candidates, tile_candidates,
                timer, timer_flag: bool, calls: int, repeats: int,
                use_cache: bool, force: bool, what: str,
-               canonical: Optional[str] = None) -> TuneResult:
+               canonical: Optional[str] = None,
+               early_stop: bool = False) -> TuneResult:
     """Shared sweep engine: cache-hit shortcut, (k, tile) loop with
     skip-on-failure, winner selection, persistence.  ``canonical``: the
     candidate-set-independent key that chain builds consult by default
     (see ``best_config``); the sweep stores the winner plus the best tile
-    per depth there."""
+    per depth there.
+
+    Cold-sweep cost bounds (round 5, VERDICT r4 next #8 — a cold sweep
+    compiled ~16 min of Mosaic variants):
+
+    * ``early_stop`` (enabled by the callers when the default timer is
+      used and ``sweep='fast'``): k-candidates are visited in the given
+      (ascending) order; once a depth's best time is >10 % slower than
+      the running best, deeper candidates are skipped — temporal-blocking
+      cost is amortisation-then-overlap, monotone past the minimum, so
+      the skipped compiles (the deepest = the most expensive) cannot win.
+    * **Partial persistence**: every measured candidate is written to the
+      cache (``key|partial``) immediately, so a sweep interrupted by a
+      relay outage resumes where it stopped instead of recompiling
+      everything; the partial record is replaced by the final one on
+      completion.
+    """
     cache = _load_cache() if use_cache else {}
     hit = cache.get(key)
     if hit and not force:
@@ -295,11 +320,32 @@ def _run_sweep(build, key: str, state, k_candidates, tile_candidates,
                           per_step_s=hit.get("per_step_s"),
                           fn=build(k, tile), cached=True)
 
+    partial_key = key + "|partial"
     table: Dict[Tuple[int, Optional[int]], float] = {}
     fns: Dict[Tuple[int, Optional[int]], Callable] = {}
+    if use_cache and not force:
+        for ck, t in cache.get(partial_key, {}).items():
+            k_s, tile_s = ck.split(",", 1)
+            table[(int(k_s), None if tile_s == "None" else int(tile_s))] = t
+        if table:
+            logger.info("autotune: resuming interrupted sweep for %s "
+                        "(%d candidate(s) already measured)", key,
+                        len(table))
+
+    def save_partial():
+        if use_cache:
+            cache[partial_key] = {f"{k},{tile}": t
+                                  for (k, tile), t in table.items()}
+            _save_cache(cache)
+
     last_exc: Optional[BaseException] = None
+    stop = False
     for k in k_candidates:
+        k_best = float("inf")
         for tile in tile_candidates:
+            if (k, tile) in table:  # resumed from a partial sweep
+                k_best = min(k_best, table[(k, tile)])
+                continue
             try:
                 fn = build(k, tile)
                 t = timer(fn, state, k, calls, repeats, timer_flag)
@@ -311,14 +357,27 @@ def _run_sweep(build, key: str, state, k_candidates, tile_candidates,
                 continue
             table[(k, tile)] = t
             fns[(k, tile)] = fn
+            k_best = min(k_best, t)
+            save_partial()
             logger.info("autotune: k=%d tile=%s -> %.3f ms/step",
                         k, tile, t * 1e3)
+        if early_stop and table:
+            run_best = min(table.values())
+            if k_best > run_best * 1.10:
+                logger.info("autotune: early stop after k=%d (%.3f ms/step "
+                            "is >10%% over the running best %.3f) — "
+                            "skipping deeper candidates", k, k_best * 1e3,
+                            run_best * 1e3)
+                stop = True
+        if stop:
+            break
     if not table:
         raise last_exc if last_exc is not None else RuntimeError(
             f"{what}: no viable candidates")
 
     (best_k, best_tile), best_t = min(table.items(), key=lambda kv: kv[1])
     if use_cache:
+        cache.pop(partial_key, None)
         cache[key] = {"k": best_k, "tile_rows": best_tile,
                       "per_step_s": best_t}
         if canonical:
@@ -331,8 +390,9 @@ def _run_sweep(build, key: str, state, k_candidates, tile_candidates,
             cache[canonical] = {"k": best_k, "tile_rows": best_tile,
                                 "per_step_s": best_t, "per_k": per_k}
         _save_cache(cache)
+    win = fns.get((best_k, best_tile)) or build(best_k, best_tile)
     return TuneResult(best={"k": best_k, "tile_rows": best_tile},
-                      per_step_s=best_t, fn=fns[(best_k, best_tile)],
+                      per_step_s=best_t, fn=win,
                       cached=False, table=table)
 
 
@@ -401,6 +461,7 @@ def autotune_stage_chain(stages, state,
                          boundary=None, calls: int = 4, repeats: int = 3,
                          timer: Optional[Callable] = None,
                          use_cache: bool = True, force: bool = False,
+                         sweep: str = "fast",
                          **chain_kwargs) -> TuneResult:
     """``autotune_chain`` for heterogeneous stage sequences
     (``ops.fused_stage_chain``): sweep (k, tile_rows) on the live device
@@ -483,4 +544,5 @@ def autotune_stage_chain(stages, state,
     return _run_sweep(build, key, state, k_candidates, tile_candidates,
                       timer or _stage_timer, fused_bwd, calls, repeats,
                       use_cache, force, "autotune_stage_chain",
-                      canonical=canonical)
+                      canonical=canonical,
+                      early_stop=(timer is None and sweep == "fast"))

@@ -379,3 +379,85 @@ def test_stage_chain_boundary_key_is_canonical(tune_cache):
         timer=lambda *a: (_ for _ in ()).throw(
             AssertionError("re-measured despite canonical key")))
     assert res.cached
+
+
+# ---- budgeted sweeps (VERDICT round-4 next #8) ------------------------------
+
+def test_early_stop_skips_deeper_candidates(tune_cache, monkeypatch):
+    """With the DEFAULT timer and sweep='fast', a depth >10% slower than
+    the running best stops the sweep — the deepest (most expensive)
+    compiles are skipped when they cannot win."""
+    from pystencils_autodiff_tpu.utils import autotune as at
+
+    seen = []
+
+    def fake_default(chain_fn, state, k, calls, repeats, vjp):
+        seen.append(k)
+        return {2: 1e-3, 4: 2e-3, 6: 5e-4, 8: 4e-4}[k]
+
+    monkeypatch.setattr(at, "_default_timer", fake_default)
+    op = heat_step_op(dt=0.1)
+    res = autotune_chain(op, {"u": "u_next"}, _state(),
+                         k_candidates=(2, 4, 6, 8), periodic=True,
+                         interpret=True)
+    # k=4 is >10% over k=2 -> stop; 6 and 8 never built/measured
+    assert seen == [2, 4]
+    assert res.best["k"] == 2
+
+    # sweep='full' measures everything (fresh key via different candidates
+    # is NOT needed: force re-measures)
+    seen.clear()
+    res2 = autotune_chain(op, {"u": "u_next"}, _state(),
+                          k_candidates=(2, 4, 6, 8), periodic=True,
+                          interpret=True, sweep="full", force=True)
+    assert seen == [2, 4, 6, 8]
+    assert res2.best["k"] == 8
+
+
+def test_injected_timer_always_sweeps_fully(tune_cache):
+    """Deterministic injected timers (tests) are exempt from early stop."""
+    op = heat_step_op(dt=0.1)
+    res = autotune_chain(op, {"u": "u_next"}, _state(),
+                         k_candidates=(2, 4, 8), periodic=True,
+                         interpret=True,
+                         timer=fake_timer_table({2: 1e-3, 4: 9e-3,
+                                                 8: 5e-4}))
+    assert set(res.table) == {(2, None), (4, None), (8, None)}
+    assert res.best["k"] == 8
+
+
+def test_interrupted_sweep_resumes_from_partial(tune_cache):
+    """Measured candidates are persisted incrementally: a sweep killed by
+    a relay outage resumes instead of recompiling everything."""
+    op = heat_step_op(dt=0.1)
+    state = _state()
+
+    class Boom(RuntimeError):
+        pass
+
+    def dies_at_8(chain_fn, st, k, calls, repeats, vjp):
+        if k == 8:
+            raise KeyboardInterrupt  # simulate the session dying
+        return {2: 2e-3, 4: 1e-3}[k]
+
+    with pytest.raises(KeyboardInterrupt):
+        autotune_chain(op, {"u": "u_next"}, state, k_candidates=(2, 4, 8),
+                       periodic=True, interpret=True, timer=dies_at_8)
+    # partial record holds the two measured candidates
+    partials = [v for kk, v in json.loads(tune_cache.read_text()).items()
+                if kk.endswith("|partial")]
+    assert partials and set(partials[0]) == {"2,None", "4,None"}
+
+    seen = []
+
+    def resume_timer(chain_fn, st, k, calls, repeats, vjp):
+        seen.append(k)
+        return 5e-4
+
+    res = autotune_chain(op, {"u": "u_next"}, state, k_candidates=(2, 4, 8),
+                         periodic=True, interpret=True, timer=resume_timer)
+    assert seen == [8]  # only the unmeasured candidate re-ran
+    assert res.best["k"] == 8
+    # partial cleaned up, final record written
+    reg = json.loads(tune_cache.read_text())
+    assert not any(kk.endswith("|partial") for kk in reg)
