@@ -263,19 +263,25 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
 
             cot_op, cot_carry, name_of, coeff_reads = twin
 
-            def build_twin(kk):
+            def build_twin(kk, tile=None):
                 """Twin chains of depth kk applied k//kk times — the same
                 per-step arithmetic in every variant, so falling back to a
-                shallower chain changes speed, never values."""
+                shallower chain changes speed, never values.  ``tile``: a
+                measured-best tile from the vjp autotune record (the sweep
+                times fused_chain_vjp end-to-end, i.e. THIS twin, so its
+                per-k winners belong to the twin pair, not the inner
+                chains' own fwd records — VERDICT r4 next #8 dispatch)."""
+                tr = tile if tile is not None else tile_rows
+
                 def build():
                     fwd = fused_time_chain(op, kk, carry_map, periodic=True,
                                            interpret=interpret,
-                                           tile_rows=tile_rows,
+                                           tile_rows=tr,
                                            vmem_limit_bytes=vmem_limit_bytes,
                                            reads=reads)
                     cot = fused_time_chain(cot_op, kk, cot_carry,
                                            periodic=True, interpret=interpret,
-                                           tile_rows=tile_rows,
+                                           tile_rows=tr,
                                            vmem_limit_bytes=vmem_limit_bytes,
                                            reads=reads)
                     reps = k // kk
@@ -319,17 +325,31 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                 if key not in twin_cache:
                     interp = (interpret if interpret is not None
                               else not _on_tpu())
+
+                    def tw_tile(kk):
+                        # measured-best dispatch: the vjp sweeps time this
+                        # twin end-to-end, so their per-k tiles route here
+                        if tile_rows is not None:
+                            return tile_rows
+                        from ..utils.autotune import tuned_tile
+
+                        return tuned_tile("chain", "vjp", op.op_name,
+                                          spatial, arr0.dtype, True, kk,
+                                          interp=interp)
+
                     if interp:
-                        twin_cache[key] = build_twin(k)()
+                        twin_cache[key] = build_twin(k, tw_tile(k))()
                     else:
                         seen_kk = {k}
-                        variants = [(f"twin_chain_k{k}", build_twin(k))]
+                        variants = [(f"twin_chain_k{k}",
+                                     build_twin(k, tw_tile(k)))]
                         for kk in (k // 2, 1):
                             if 0 < kk < k and k % kk == 0 \
                                     and kk not in seen_kk:
                                 seen_kk.add(kk)
                                 variants.append((f"twin_chain_k{kk}",
-                                                 build_twin(kk)))
+                                                 build_twin(kk,
+                                                            tw_tile(kk))))
                         if nd >= 3:
                             reason = known_pathology(
                                 "plane_twin_chain_3d", k=k,
