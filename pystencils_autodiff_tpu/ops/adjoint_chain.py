@@ -263,26 +263,31 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
 
             cot_op, cot_carry, name_of, coeff_reads = twin
 
-            def build_twin(kk, tile=None):
+            def build_twin(kk, tile=None, vmem=None):
                 """Twin chains of depth kk applied k//kk times — the same
                 per-step arithmetic in every variant, so falling back to a
                 shallower chain changes speed, never values.  ``tile``: a
                 measured-best tile from the vjp autotune record (the sweep
                 times fused_chain_vjp end-to-end, i.e. THIS twin, so its
                 per-k winners belong to the twin pair, not the inner
-                chains' own fwd records — VERDICT r4 next #8 dispatch)."""
+                chains' own fwd records — VERDICT r4 next #8 dispatch).
+                ``vmem``: reduced budget rung — the tile picker then
+                chooses smaller tiles, the fix for Mosaic crashes whose
+                cause is the block footprint (tried BEFORE halving the
+                chain depth; VERDICT r4 next #5a)."""
                 tr = tile if tile is not None else tile_rows
+                vb = vmem or vmem_limit_bytes
 
                 def build():
                     fwd = fused_time_chain(op, kk, carry_map, periodic=True,
                                            interpret=interpret,
                                            tile_rows=tr,
-                                           vmem_limit_bytes=vmem_limit_bytes,
+                                           vmem_limit_bytes=vb,
                                            reads=reads)
                     cot = fused_time_chain(cot_op, kk, cot_carry,
                                            periodic=True, interpret=interpret,
                                            tile_rows=tr,
-                                           vmem_limit_bytes=vmem_limit_bytes,
+                                           vmem_limit_bytes=vb,
                                            reads=reads)
                     reps = k // kk
 
@@ -342,7 +347,10 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                     else:
                         seen_kk = {k}
                         variants = [(f"twin_chain_k{k}",
-                                     build_twin(k, tw_tile(k)))]
+                                     build_twin(k, tw_tile(k))),
+                                    (f"twin_chain_k{k}_vmem/2",
+                                     build_twin(k, tw_tile(k),
+                                                vmem_limit_bytes // 2))]
                         for kk in (k // 2, 1):
                             if 0 < kk < k and k % kk == 0 \
                                     and kk not in seen_kk:
