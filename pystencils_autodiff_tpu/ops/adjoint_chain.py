@@ -829,6 +829,74 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                     vmem_limit_bytes=vmem or vmem_limit_bytes)
                 return lambda s, c, p=(): fn3(s, c)
 
+            # lateral chunking: the plane kernel's VMEM windows scale with
+            # the FULL plane area (n1·n2), so fat planes (384²+, several
+            # state/cot pairs + halo strips, all double-buffered) OOM the
+            # scoped-VMEM budget at the minimum viable tile (measured
+            # round 5: diff3d 384³ k=2 needs ~113 MB of windows at t=8).
+            # Splitting dim 1 into B chunks shrinks every window ~B× for
+            # ~2·H1/(n1/B) redundant traffic; each chunk runs the SAME
+            # plane kernel with a ShardSpec whose base offsets make all
+            # masks test global coordinates — exactly the sharded-chain
+            # machinery, reused single-device.
+            r1f = max([0] + [abs(a.offsets[1]) for s_ in fwd_prog.steps
+                             for a in s_.atoms
+                             if isinstance(a, Field.Access)])
+            r1b = max([0] + [abs(a.offsets[1]) for s_ in bwd_prog.steps
+                             for a in s_.atoms
+                             if isinstance(a, Field.Access)])
+            H1 = k * (r1f + r1b)
+            scalar_fields = all(not f.index_shape
+                                for f in op.forward_input_fields)
+
+            def build_plane_chunked(B, vmem=None):
+                from .flatten import ShardSpec
+                from .plane_adjoint import make_plane_chain_vjp_fn
+
+                n0_, n1_, n2_ = spatial
+                if not scalar_fields or n1_ % B or n1_ // B < max(H1, 1):
+                    raise ValueError(
+                        f"lateral chunking B={B} needs scalar fields and "
+                        f"n1 divisible with chunk >= halo {H1}")
+                c = n1_ // B
+                ext1 = c + 2 * H1
+                kern = make_plane_chain_vjp_fn(
+                    op, k, carry_map, (n0_, ext1, n2_), arr0.dtype,
+                    interp, periodic, tile_planes=tile_rows,
+                    vmem_limit_bytes=vmem or vmem_limit_bytes,
+                    shard=ShardSpec(global_spatial=spatial,
+                                    sharded_dims=(1,)))
+
+                def pad1(a, zero):
+                    if H1 == 0:
+                        return a
+                    mode = ("wrap" if periodic
+                            else "constant" if zero else "edge")
+                    return jnp.pad(a, ((0, 0), (H1, H1), (0, 0)), mode=mode)
+
+                def fnB(state, cots, probe_cots=()):
+                    sp = {n: pad1(state[n].astype(arr0.dtype), False)
+                          for n in in_names}
+                    cp = {n: pad1(cots[n].astype(arr0.dtype), True)
+                          for n in in_names}
+                    s_parts, c_parts = [], []
+                    for b in range(B):
+                        cut = lambda d: {n: jax.lax.slice_in_dim(
+                            d[n], b * c, b * c + ext1, axis=1)
+                            for n in in_names}
+                        bases = jnp.array([0, b * c - H1, 0], jnp.int32)
+                        st_b, ct_b = kern(cut(sp), cut(cp), bases)
+                        core = lambda d: {n: jax.lax.slice_in_dim(
+                            d[n], H1, H1 + c, axis=1) for n in in_names}
+                        s_parts.append(core(st_b))
+                        c_parts.append(core(ct_b))
+                    stitch = lambda parts: {
+                        n: jnp.concatenate([p[n] for p in parts], axis=1)
+                        for n in in_names}
+                    return stitch(s_parts), stitch(c_parts)
+
+                return fnB
+
             if interp:
                 cache[key] = (build_plane() if use_plane
                               else build(spatial, arr0.dtype, interp))
@@ -863,6 +931,14 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                         "plane_two_phase_vmem/2",
                         probed(lambda: build_plane(
                             vmem_limit_bytes // 2))))
+                    if scalar_fields:
+                        n1_ = spatial[1]
+                        for B in (2, 4):
+                            if n1_ % B == 0 and n1_ // B >= max(H1, 1):
+                                variants.append((
+                                    f"plane_two_phase_lat/{B}",
+                                    probed(lambda B=B:
+                                           build_plane_chunked(B))))
                 if not (periodic and nd != 2):
                     # the flattened kernel's periodic wrap is 2D-only;
                     # bounded domains of any rank keep it as a fallback

@@ -56,24 +56,28 @@ from .plane_chain import pick_plane_tile, plane_reach
 __all__ = ["make_plane_chain_vjp_fn"]
 
 
-def _lat2(cache, key, full, o1, o2, zero_fill, interp, periodic):
+def _lat2(cache, key, full, o1, o2, zero_fill, interp, wrap1, wrap2=None):
     """Two-level cached lateral shift of a full (E, n1, n2) volume: the
     axis-1 rotate is shared across axis-2 offsets (a 27-point operand
     needs 3 + 9 rotates instead of 27×2).  Shifting before the plane
     slice is bit-exact — the rotates act on axes the slice never touches.
     ``full`` may be a zero-arg callable (multi-carrier cotangent sum),
-    evaluated only on a cache miss."""
+    evaluated only on a cache miss.  ``wrap1``/``wrap2``: per-axis
+    circular wrap (a sharded dim must not wrap locally — its periodic
+    neighbour data arrived via the ppermute exchange)."""
     from .pallas_kernel import _shift_lateral
 
+    if wrap2 is None:
+        wrap2 = wrap1
     v = cache.get(key)
     if v is None:
         k1 = key[:-1]
         v1 = cache.get(k1)
         if v1 is None:
             v1 = _shift_lateral(full() if callable(full) else full,
-                                o1, 1, zero_fill, interp, periodic)
+                                o1, 1, zero_fill, interp, wrap1)
             cache[k1] = v1
-        v = _shift_lateral(v1, o2, 2, zero_fill, interp, periodic)
+        v = _shift_lateral(v1, o2, 2, zero_fill, interp, wrap2)
         cache[key] = v
     return v
 
@@ -82,11 +86,19 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                             spatial, dtype, interpret: bool,
                             periodic: bool,
                             tile_planes: Optional[int] = None,
-                            vmem_limit_bytes: int = 100 * 1024 * 1024):
+                            vmem_limit_bytes: int = 100 * 1024 * 1024,
+                            shard=None):
     """Build ``g(state, cots) -> (state_k, cot_0)`` for a 3D op: advances
     k steps AND pulls the state cotangents back through them, in one
     plane-blocked kernel.  Same contract as the flattened
-    ``fused_chain_vjp`` kernel (which routes 3D domains here)."""
+    ``fused_chain_vjp`` kernel (which routes 3D domains here).
+
+    ``shard`` (an ``ops.flatten.ShardSpec``, parallel.ShardedChain fused
+    backward): ``spatial`` is then the halo-EXTENDED local block, the fn
+    takes base-offset scalars as a third argument, plane halo strips are
+    bounded-style even for globally periodic domains, sharded lateral
+    dims never wrap locally, and every interior/exact-VJP/sanitize mask
+    tests GLOBAL coordinates (VERDICT round-4 next #6)."""
     from .pallas_kernel import _shift_lateral
 
     fwd_prog = forward_program(op)
@@ -95,6 +107,15 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
         raise ValueError("plane-blocked adjoint chains are for 3D domains")
     n0, n1, n2 = (int(s) for s in spatial)
     fwd_ghost = fwd_prog.ghost
+    sharded_dims = set(shard.sharded_dims) if shard is not None else set()
+    if 2 in sharded_dims:
+        raise ValueError("the lane dim (2) cannot be sharded")
+    # per-dim wrap: only a dim the shard decomposes loses its local wrap
+    # (its periodic neighbour data arrived via the exchanged halo); whole
+    # dims keep wrapping exactly like the unsharded kernel
+    plane_wrap = periodic and 0 not in sharded_dims
+    wrap1 = periodic and 1 not in sharded_dims
+    wrap2 = periodic
 
     in_names = [f.name for f in op.forward_input_fields]
     fields_by_name = {f.name: f for f in op.forward_input_fields}
@@ -170,7 +191,7 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
     all_in = ([("s", key) for key in in_keys]
               + [("c", key) for key in in_keys])
 
-    def fn(state, cots):
+    def fn(state, cots, bases=None):
         arrays, ups, downs = [], [], []
         for kind, (name, idx) in all_in:
             is_cot = kind == "c"
@@ -180,7 +201,7 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
             arrays.append(vol)
             xr = vol.reshape((nb, t, n1, n2))
             if LO:
-                if periodic:
+                if plane_wrap:
                     ups.append(jnp.roll(xr[:, t - LO:], 1, axis=0))
                 else:
                     first = (jnp.zeros((1, LO, n1, n2), dtype) if is_cot
@@ -188,7 +209,7 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                                                    (1, LO, n1, n2)))
                     ups.append(jnp.concatenate([first, xr[:-1, t - LO:]], 0))
             if HI:
-                if periodic:
+                if plane_wrap:
                     downs.append(jnp.roll(xr[:, :HI], -1, axis=0))
                 else:
                     last = (jnp.zeros((1, HI, n1, n2), dtype) if is_cot
@@ -197,12 +218,22 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                     downs.append(jnp.concatenate([xr[1:, :HI], last], 0))
         n_in = len(all_in)
         n_up, n_dn = len(ups), len(downs)
+        scalar_ins = []
+        if shard is not None:
+            if bases is None:
+                raise ValueError("sharded plane adjoint kernel needs base "
+                                 "offsets")
+            scalar_ins.append(jnp.asarray(bases, jnp.int32))
 
         def kernel(*refs):
             xs = refs[:n_in]
             up_refs = refs[n_in:n_in + n_up]
             dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
-            outs = refs[n_in + n_up + n_dn:]
+            rest = refs[n_in + n_up + n_dn:]
+            if shard is not None:
+                bases_ref, rest = rest[0], rest[1:]
+                base_vals = [bases_ref[d] for d in range(3)]
+            outs = rest
             tile_i = pl.program_id(0)
 
             full: Dict[tuple, jax.Array] = {}
@@ -216,12 +247,19 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                 full[(kind, key)] = (jnp.concatenate(parts, axis=0)
                                      if len(parts) > 1 else parts[0])
 
+            # GLOBAL extents: masks in sharded mode test global
+            # coordinates (ids are built with the base offsets below)
+            if shard is not None:
+                G0, G1, G2 = shard.global_spatial
+            else:
+                G0, G1, G2 = n0, n1, n2
+
             def interior_mask(p_ids, a_ids, b_ids, ghost):
                 (g0l, g0h), (g1l, g1h), (g2l, g2h) = ghost
-                return ((p_ids >= 0) & (p_ids < n0)
-                        & (p_ids >= g0l) & (p_ids < n0 - g0h)
-                        & (a_ids >= g1l) & (a_ids < n1 - g1h)
-                        & (b_ids >= g2l) & (b_ids < n2 - g2h))
+                return ((p_ids >= 0) & (p_ids < G0)
+                        & (p_ids >= g0l) & (p_ids < G0 - g0h)
+                        & (a_ids >= g1l) & (a_ids < G1 - g1h)
+                        & (b_ids >= g2l) & (b_ids < G2 - g2h))
 
             # ---- phase 1: forward recompute over k stages ----
             # stage-s input extent: E − s·(lo_f+hi_f) planes, local plane 0
@@ -278,10 +316,15 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                 if not periodic:
                     # sequential semantics: zero the global ghost frame
                     base = tile_i * t - (LO - (s + 1) * lo_f)
+                    if shard is not None:
+                        base = base + base_vals[0]
                     p_ids = (jax.lax.broadcasted_iota(jnp.int32, shape_s, 0)
                              + base)
                     a_ids = jax.lax.broadcasted_iota(jnp.int32, shape_s, 1)
                     b_ids = jax.lax.broadcasted_iota(jnp.int32, shape_s, 2)
+                    if shard is not None:
+                        a_ids = a_ids + base_vals[1]
+                        b_ids = b_ids + base_vals[2]
                     m = interior_mask(p_ids, a_ids, b_ids, fwd_ghost)
                     stage_out = {key_: jnp.where(m, v, 0)
                                  for key_, v in stage_out.items()}
@@ -327,10 +370,15 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                 # phase-2 cost (measured 116 ps/cell/step at 384³ k=1,
                 # ~6× the forward chain's per-cell work)
                 if not periodic:
+                    p0g = (p0_out + base_vals[0] if shard is not None
+                           else p0_out)
                     p_base = (jax.lax.broadcasted_iota(
-                        jnp.int32, shape_s, 0) + p0_out)
+                        jnp.int32, shape_s, 0) + p0g)
                     a_base = jax.lax.broadcasted_iota(jnp.int32, shape_s, 1)
                     b_base = jax.lax.broadcasted_iota(jnp.int32, shape_s, 2)
+                    if shard is not None:
+                        a_base = a_base + base_vals[1]
+                        b_base = b_base + base_vals[2]
                 mask_cache: Dict[tuple, jax.Array] = {}
 
                 def read_mask(off, kind):
@@ -345,8 +393,8 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                         if kind == "adj":
                             m = interior_mask(p, a, b, fwd_ghost)
                         else:
-                            m = ((p >= 0) & (p < n0) & (a >= 0) & (a < n1)
-                                 & (b >= 0) & (b < n2))
+                            m = ((p >= 0) & (p < G0) & (a >= 0) & (a < G1)
+                                 & (b >= 0) & (b < G2))
                         mask_cache[mk] = m
                     return m
 
@@ -473,18 +521,20 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
             return pl.BlockSpec((1,) + shape[1:], lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
 
+        scalar_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)
+                        for _ in scalar_ins]
         result = pl.pallas_call(
             kernel,
             grid=(nb,),
             out_shape=tuple(jax.ShapeDtypeStruct((n0, n1, n2), dtype)
                             for _ in range(2 * len(in_keys))),
             in_specs=[vol_spec] * n_in + [strip_spec(u.shape) for u in ups]
-            + [strip_spec(d.shape) for d in downs],
+            + [strip_spec(d.shape) for d in downs] + scalar_specs,
             out_specs=tuple(vol_spec for _ in range(2 * len(in_keys))),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=scoped_vmem(vmem_limit_bytes)),
-        )(*arrays, *ups, *downs)
+        )(*arrays, *ups, *downs, *scalar_ins)
 
         def restack(vols_flat, base):
             out, pos = {}, base

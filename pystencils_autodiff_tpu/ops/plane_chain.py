@@ -58,12 +58,15 @@ def pick_plane_tile(n0: int, LO: int, HI: int, plane_bytes_live: int,
     return None
 
 
-def _lat_shifted(cache, state, acc, interpret, periodic):
+def _lat_shifted(cache, state, acc, interpret, wrap1, wrap2):
     """Laterally shifted full state volume for an access, cached two-level
     so axis-1 shifts are shared across axis-2 offsets: a 27-point operand
     needs 3 axis-1 + 9 axis-2 rotates instead of 27×2.  Shifting before
     the plane slice is bit-exact (the rotate acts on axes the slice never
-    touches)."""
+    touches).  ``wrap1``/``wrap2``: per-axis circular wrap — a SHARDED
+    dim must not wrap locally (its periodic neighbour data arrived via
+    the ppermute exchange; the non-wrapped edge band stays inside the
+    shrinking halo margin, same validity cone as the flattened kernel)."""
     from .pallas_kernel import _shift_lateral
 
     name, idx = acc.field.name, acc.index
@@ -75,9 +78,9 @@ def _lat_shifted(cache, state, acc, interpret, periodic):
         v1 = cache.get(k1)
         if v1 is None:
             v1 = _shift_lateral(state[(name, idx)], o1, 1, False,
-                                interpret, periodic)
+                                interpret, wrap1)
             cache[k1] = v1
-        v = _shift_lateral(v1, o2, 2, False, interpret, periodic)
+        v = _shift_lateral(v1, o2, 2, False, interpret, wrap2)
         cache[k2] = v
     return v
 
@@ -87,13 +90,33 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
                                spatial, dtype, interpret: bool,
                                periodic: bool,
                                tile_planes: Optional[int] = None,
-                               vmem_limit_bytes: int = 100 * 1024 * 1024):
-    """Forward-only fused k-step kernel over a 3D domain, tiled in planes."""
+                               vmem_limit_bytes: int = 100 * 1024 * 1024,
+                               shard=None):
+    """Forward-only fused k-step kernel over a 3D domain, tiled in planes.
+
+    ``shard`` (an ``ops.flatten.ShardSpec``, parallel.ShardedChain): the
+    3D sharded fused chain then rides the plane geometry instead of the
+    flattened kernel — ``spatial`` is the halo-EXTENDED local block,
+    plane halo strips are bounded-style even for globally periodic
+    domains (the wrap arrived via the exchange), sharded lateral dims
+    never wrap locally, and interior masks test GLOBAL coordinates via
+    the ``bases`` scalars the returned fn takes as a second argument
+    (VERDICT round-4 next #6: the plane-blocked sharded 3D chain)."""
     from .pallas_kernel import _shift_lateral
 
     if program.ndim != 3:
         raise ValueError("plane chains are for 3D domains")
     n0, n1, n2 = spatial
+    # per-dim wrap: only a dim the shard decomposes loses its local wrap
+    # (its periodic neighbour data arrived via the exchanged halo — the
+    # non-wrapped edge band stays inside the shrinking margin); whole
+    # dims keep wrapping exactly like the unsharded kernel
+    sharded_dims = set(shard.sharded_dims) if shard is not None else set()
+    if 2 in sharded_dims:
+        raise ValueError("the lane dim (2) cannot be sharded")
+    plane_wrap = periodic and 0 not in sharded_dims
+    wrap1 = periodic and 1 not in sharded_dims
+    wrap2 = periodic
     ghost = program.ghost
     all_acc = [at for s in program.steps for at in s.atoms
                if isinstance(at, Field.Access)]
@@ -134,7 +157,7 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
                          f"halo={LO + HI} planes")
     nb = n0 // t
 
-    def fn(inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    def fn(inputs: Dict[str, jax.Array], bases=None) -> Dict[str, jax.Array]:
         arrays, ups, downs = [], [], []
         for name, idx in in_keys:
             f = fields_by_name[name]
@@ -143,25 +166,35 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
             arrays.append(vol)
             xr = vol.reshape((nb, t, n1, n2))
             if LO:
-                if periodic:
+                if plane_wrap:
                     ups.append(jnp.roll(xr[:, t - LO:], 1, axis=0))
                 else:
                     first = jnp.broadcast_to(xr[:1, :1], (1, LO, n1, n2))
                     ups.append(jnp.concatenate([first, xr[:-1, t - LO:]], 0))
             if HI:
-                if periodic:
+                if plane_wrap:
                     downs.append(jnp.roll(xr[:, :HI], -1, axis=0))
                 else:
                     last = jnp.broadcast_to(xr[-1:, -1:], (1, HI, n1, n2))
                     downs.append(jnp.concatenate([xr[1:, :HI], last], 0))
         n_in = len(in_keys)
         n_up, n_dn = len(ups), len(downs)
+        scalar_ins = []
+        if shard is not None:
+            if bases is None:
+                raise ValueError("sharded plane chain kernel needs base "
+                                 "offsets")
+            scalar_ins.append(jnp.asarray(bases, jnp.int32))
 
         def kernel(*refs):
             xs = refs[:n_in]
             up_refs = refs[n_in:n_in + n_up]
             dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
-            outs = refs[n_in + n_up + n_dn:]
+            rest = refs[n_in + n_up + n_dn:]
+            if shard is not None:
+                bases_ref, rest = rest[0], rest[1:]
+                base_vals = [bases_ref[d] for d in range(3)]
+            outs = rest
             i = pl.program_id(0)
 
             state: Dict[tuple, jax.Array] = {}
@@ -193,11 +226,11 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
                         v = jax.lax.slice_in_dim(v, start, start + EH,
                                                  axis=0)
                         v = _shift_lateral(v, acc.offsets[1], 1, False,
-                                           interpret, periodic)
+                                           interpret, wrap1)
                         return _shift_lateral(v, acc.offsets[2], 2, False,
-                                              interpret, periodic)
+                                              interpret, wrap2)
                     v = _lat_shifted(hl_cache, state, acc, interpret,
-                                     periodic)
+                                     wrap1, wrap2)
                     return jax.lax.slice_in_dim(v, start, start + EH, axis=0)
 
                 for st_ in hoist_steps:
@@ -222,11 +255,11 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
                         v = jax.lax.slice_in_dim(v, start, start + _ext,
                                                  axis=0)
                         v = _shift_lateral(v, acc.offsets[1], 1, False,
-                                           interpret, periodic)
+                                           interpret, wrap1)
                         return _shift_lateral(v, acc.offsets[2], 2, False,
-                                              interpret, periodic)
+                                              interpret, wrap2)
                     v = _lat_shifted(lat_cache, state, acc, interpret,
-                                     periodic)
+                                     wrap1, wrap2)
                     return jax.lax.slice_in_dim(v, start, start + _ext,
                                                 axis=0)
 
@@ -251,15 +284,24 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
 
                 if not periodic:
                     # sequential semantics: zero the global ghost frame
+                    # (sharded: GLOBAL coordinates via the base scalars —
+                    # an interior shard's halo is live early-step data)
                     base = i * t - margin_lo
                     p_ids = (jax.lax.broadcasted_iota(jnp.int32, shape_s, 0)
                              + base)
                     a_ids = jax.lax.broadcasted_iota(jnp.int32, shape_s, 1)
                     b_ids = jax.lax.broadcasted_iota(jnp.int32, shape_s, 2)
+                    if shard is not None:
+                        p_ids = p_ids + base_vals[0]
+                        a_ids = a_ids + base_vals[1]
+                        b_ids = b_ids + base_vals[2]
+                        g0, g1, g2 = shard.global_spatial
+                    else:
+                        g0, g1, g2 = n0, n1, n2
                     (g0l, g0h), (g1l, g1h), (g2l, g2h) = ghost
-                    m = ((p_ids >= g0l) & (p_ids < n0 - g0h)
-                         & (a_ids >= g1l) & (a_ids < n1 - g1h)
-                         & (b_ids >= g2l) & (b_ids < n2 - g2h))
+                    m = ((p_ids >= g0l) & (p_ids < g0 - g0h)
+                         & (a_ids >= g1l) & (a_ids < g1 - g1h)
+                         & (b_ids >= g2l) & (b_ids < g2 - g2h))
                     stage_out = {key_: jnp.where(m, v, 0)
                                  for key_, v in stage_out.items()}
 
@@ -284,18 +326,20 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
             return pl.BlockSpec((1,) + shape[1:], lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
 
+        scalar_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)
+                        for _ in scalar_ins]
         result = pl.pallas_call(
             kernel,
             grid=(nb,),
             out_shape=tuple(jax.ShapeDtypeStruct((n0, n1, n2), dtype)
                             for _ in in_keys),
             in_specs=[vol_spec] * n_in + [strip_spec(u.shape) for u in ups]
-            + [strip_spec(d.shape) for d in downs],
+            + [strip_spec(d.shape) for d in downs] + scalar_specs,
             out_specs=tuple(vol_spec for _ in in_keys),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=scoped_vmem(vmem_limit_bytes)),
-        )(*arrays, *ups, *downs)
+        )(*arrays, *ups, *downs, *scalar_ins)
         if not isinstance(result, (tuple, list)):
             result = (result,)
 
