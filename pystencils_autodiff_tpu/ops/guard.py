@@ -184,15 +184,12 @@ def known_pathology(kind: str, **facts) -> Optional[str]:
     # adjoint chains now default to the plane-blocked kernel
     # (ops/plane_adjoint.py), whose halo is k·reach planes instead of
     # k·reach·n1 flattened rows — the flattened variant is a later rung
-    # on the ladder and its crashes are registry-recorded per shape)
-    if kind == "plane_twin_chain_3d" and cells >= 300 ** 3 \
-            and facts.get("k", 0) >= 4:
-        # plane-blocked twin chains compile fine at k=2/384^3 but k=4
-        # crashes the remote Mosaic compiler (HTTP 500, measured round 3
-        # on the aniso27 27-point operand); two k/2 chains are the exact
-        # same per-step arithmetic
-        return ("3D plane-blocked chain with k>=4 at >=300^3 cells crashes "
-                "the remote Mosaic compiler (recorded round 3)")
+    # on the ladder and its crashes are registry-recorded per shape.
+    # The round-3 "plane_twin_chain_3d" pre-seed (k>=4 at >=300^3 crashes
+    # Mosaic) is ALSO gone: a round-5 fresh AOT probe of the 27-point
+    # twin at k=4/384^3 compiles in 92 s — the recorded HTTP 500 was a
+    # relay-era artifact; per-shape registry records with TTL re-probe
+    # now own that class of failure)
     if kind == "stage_vjp_wide" and facts.get("planes", 0) >= 9 \
             and facts.get("k", 0) >= 4 and cells >= 2048 * 2048:
         # the two-phase adjoint of a WIDE stage chain (LBM-class, >=9
