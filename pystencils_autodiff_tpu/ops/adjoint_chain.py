@@ -931,7 +931,13 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                         "plane_two_phase_vmem/2",
                         probed(lambda: build_plane(
                             vmem_limit_bytes // 2))))
-                    if scalar_fields:
+                    # measured round 5 (diff3d 384³): the chunk plumbing
+                    # (pad + per-chunk operand copies + stitch) is a fixed
+                    # ~13 ms/call — at k=2 the chunked route ran 9.06
+                    # ms/step against sequential-recompute's 5.29, while
+                    # the per-call cost amortises k× for deeper chains —
+                    # so only offer it where it can win
+                    if scalar_fields and k >= 4:
                         n1_ = spatial[1]
                         for B in (2, 4):
                             if n1_ % B == 0 and n1_ // B >= max(H1, 1):
