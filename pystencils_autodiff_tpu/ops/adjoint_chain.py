@@ -19,7 +19,7 @@ verified bit-exact against sequential ``jax.vjp``.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -427,18 +427,29 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
         LO = k * lo_f + k * lo_b
         HI = k * hi_f + k * hi_b
         itemsize = jnp.dtype(dtype).itemsize
-        # Linear ops (backward program reads only adjoint fields — e.g. the
-        # Laplacian/heat/wave family with constant coefficients) never touch
-        # the recomputed stage states in phase 2, so those stay rolling
-        # (2 live planes) instead of stored (k+1 planes): both phases are
-        # then pure forward chains and big tiles fit.
-        bwd_reads_primal = any(not isinstance(a.field, AdjointField)
-                               for a in bwd_acc)
-        # live planes: (k+1) stored stage states + current/next cotangent
+        # Selective primal saving + chain-invariant input-block reads
+        # (round 5 — the plane kernel got this in round 4): phase 1 keeps,
+        # per stage, only the planes the backward program reads as
+        # primals; CHAIN-INVARIANT fields (coefficients the carry never
+        # writes — wave's c, diffusion's κ) are never threaded, saved, or
+        # re-sliced — both phases read them from the stage-independent
+        # full block through a kernel-lifetime lateral cache.  For the
+        # wave two-phase this cuts the stored live set from 3(k+1) planes
+        # (u_curr, u_prev, c per stage) to k (u_curr only), so the tile
+        # picker can choose ~3× larger tiles.
+        from .hoist import invariant_fields
+
+        inv = invariant_fields(in_names, out_names, carry_map)
+        saved_keys = tuple(sorted({(a.field.name, a.index) for a in bwd_acc
+                                   if not isinstance(a.field, AdjointField)
+                                   and a.field.name not in inv}))
+        bwd_reads_primal = bool(saved_keys)
+        # live planes: per-stage saved primals + current/next cotangent
         # sets + pipeline double-buffers; Mosaic roughly doubles again for
-        # temporaries, hence the generous 3k+10 factor (linear: rolling
-        # stages only)
-        n_live = len(in_keys) * ((3 * k + 10) if bwd_reads_primal else 24) + 8
+        # temporaries (linear ops: rolling stages only, both phases pure
+        # forward chains)
+        n_live = (len(in_keys) * (10 if bwd_reads_primal else 24)
+                  + 3 * k * len(saved_keys) + 8)
         tile = tile_rows
         if tile is None:
             # measured-best dispatch (autotune cache; VERDICT r3 next #6)
@@ -507,22 +518,37 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                     full[(kind, key)] = (jnp.concatenate(parts, axis=0)
                                          if len(parts) > 1 else parts[0])
 
-                # ---- phase 1: forward recompute, keep every stage ----
+                # ---- phase 1: forward recompute over k stages ----
                 # stage s state extent: LO+t+HI − s·(lo_f+hi_f) rows,
-                # aligned so local row 0 sits at global i·t − (LO − s·lo_f)
-                # (linear ops: stages are dead to phase 2 — keep only the
-                # rolling current/last so Mosaic sees the small live set)
-                states = [dict((key, full[("s", key)]) for key in in_keys)]
+                # aligned so local row 0 sits at global i·t − (LO − s·lo_f).
+                # Only the saved_keys planes are stored per stage;
+                # invariant fields read the stage-independent full block
+                # (kernel-lifetime lateral cache); linear ops keep only
+                # the rolling current state.
+                inv_lat_cache: Dict[tuple, jax.Array] = {}
+                _ALL = type("_All", (), {"__contains__":
+                                         lambda self, x: True})()
+                cur = {key: full[("s", key)] for key in in_keys
+                       if key[0] not in inv}
+                saved: List[Optional[Dict]] = []
                 for s in range(k):
-                    cur = states[-1]
+                    if bwd_reads_primal:
+                        saved.append({kk_: cur[kk_] for kk_ in saved_keys})
                     ext_rows = (LO + t + HI) - (s + 1) * (lo_f + hi_f)
                     env: Dict[object, jax.Array] = {}
                     stage_out: Dict[str, jax.Array] = {}
 
                     latf_cache: Dict[tuple, jax.Array] = {}
 
-                    def readf(acc, _er=ext_rows, _cur=cur, _c=latf_cache):
+                    def readf(acc, _er=ext_rows, _cur=cur, _c=latf_cache,
+                              _s=s):
                         ck = (acc.field.name, acc.index, acc.offsets[-1])
+                        if acc.field.name in inv:
+                            return lat_shifted_read(
+                                inv_lat_cache, _ALL, ("s",) + ck,
+                                full[("s", ck[:2])], acc.offsets[-1],
+                                (_s + 1) * lo_f + geom.row_off(acc.offsets),
+                                _er, False, interp, periodic)
                         return lat_shifted_read(
                             _c, shared_f, ck, _cur[ck[:2]],
                             acc.offsets[-1],
@@ -557,17 +583,20 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
 
                     nxt = {}
                     for name, idx in in_keys:
+                        if name in inv:
+                            continue  # read from full at stage offsets
                         src = next_src[name]
                         if (src, idx) in stage_out:
                             nxt[(name, idx)] = stage_out[(src, idx)]
-                        else:
-                            v = cur[(src, idx)]
+                        elif src in inv:  # carry from an invariant source
                             nxt[(name, idx)] = jax.lax.slice_in_dim(
-                                v, lo_f, lo_f + ext_rows, axis=0)
-                    if bwd_reads_primal:
-                        states.append(nxt)
-                    else:
-                        states[-1] = nxt
+                                full[("s", (src, idx))], (s + 1) * lo_f,
+                                (s + 1) * lo_f + ext_rows, axis=0)
+                        else:
+                            nxt[(name, idx)] = jax.lax.slice_in_dim(
+                                cur[(src, idx)], lo_f, lo_f + ext_rows,
+                                axis=0)
+                    cur = nxt
 
                 # ---- phase 2: reverse sweep of the backward program ----
                 # cotangent extent starts at the stage-k extent and shrinks
@@ -595,7 +624,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                             inj = jnp.where(rr == prow, probe_refs[p][s], 0)
                             cot[(pname, ())] = cot[(pname, ())] + inj
                     ext_rows = ck_rows - (lo_b + hi_b)  # ck_rows updates per stage
-                    prim = states[s] if bwd_reads_primal else {}
+                    prim = saved[s] if bwd_reads_primal else {}
                     # primal state_s extent/alignment: rows consumed low
                     # side so far: s·lo_f; cot extent rows low offset:
                     # k·lo_f + r·lo_b.  Offset of cot frame within prim
@@ -640,7 +669,8 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                         return m
 
                     def readb(acc, _er=ext_rows, _prim=prim, _cot=cot,
-                              _po=prim_off, _r0=row0_out, _c=latb_cache):
+                              _po=prim_off, _r0=row0_out, _c=latb_cache,
+                              _r=r):
                         f = acc.field
                         if isinstance(f, AdjointField):
                             primal = f.corresponding_forward_field.name
@@ -674,11 +704,24 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                                               v, 0)
                             return v
                         ck = ("p", f.name, acc.index, acc.offsets[-1])
-                        v = lat_shifted_read(
-                            _c, shared_b, ck, _prim[(f.name, acc.index)],
-                            acc.offsets[-1],
-                            _po + lo_b + geom.row_off(acc.offsets), _er,
-                            False, interp, periodic)
+                        if f.name in inv:
+                            # invariant primal: the stage-independent full
+                            # block (cot-frame local 0 sits at full offset
+                            # k·lo_f + r·lo_b)
+                            v = lat_shifted_read(
+                                inv_lat_cache, _ALL, ("s",) + ck[1:],
+                                full[("s", (f.name, acc.index))],
+                                acc.offsets[-1],
+                                k * lo_f + (_r + 1) * lo_b
+                                + geom.row_off(acc.offsets), _er,
+                                False, interp, periodic)
+                        else:
+                            v = lat_shifted_read(
+                                _c, shared_b, ck,
+                                _prim[(f.name, acc.index)],
+                                acc.offsets[-1],
+                                _po + lo_b + geom.row_off(acc.offsets), _er,
+                                False, interp, periodic)
                         if not periodic:
                             # sanitize OUT-OF-DOMAIN primal garbage to 1
                             # (FlatGeom.in_domain_mask docstring)
@@ -716,9 +759,12 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                 # k·lo_f − wait: its local row0 is at global i·t − (LO−k·lo_f)
                 fin_off = LO - k * lo_f
                 for j, key in enumerate(in_keys):
-                    v = states[-1][key]
-                    outs[j][...] = jax.lax.slice_in_dim(
-                        v, fin_off, fin_off + t, axis=0)
+                    if key[0] in inv:  # unchanged: the input block's tile
+                        outs[j][...] = jax.lax.slice_in_dim(
+                            full[("s", key)], LO, LO + t, axis=0)
+                    else:
+                        outs[j][...] = jax.lax.slice_in_dim(
+                            cur[key], fin_off, fin_off + t, axis=0)
                 # cot frame: rows consumed low side: k·lo_f + k·lo_b = LO
                 for j, key in enumerate(in_keys):
                     outs[len(in_keys) + j][...] = cot[key]
