@@ -842,6 +842,16 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
 
     cache = {}
 
+    # state-linear ops whose only differentiable "nonlinearity" is an
+    # invariant coefficient (wave's velocity c) take the twin-with-
+    # accumulation kernel (ops/twin_adjoint.py): HALF the two-phase
+    # kernel's chain halo, so the VMEM-viable tile is mostly payload
+    accum_pieces = None
+    if periodic and nd == 2 and not probes:
+        from .twin_adjoint import state_coeff_twin
+
+        accum_pieces = state_coeff_twin(op, carry_map)
+
     def chain_grad(state, cot_state, probe_cots=()):
         from .guard import guard_variants, tuning_tag as _tuning_tag
 
@@ -860,20 +870,31 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
             # three dims
             use_plane = (nd == 3 and not probes)
 
+            def _tile():
+                if tile_rows is not None:
+                    return tile_rows
+                from ..utils.autotune import tuned_tile
+
+                return tuned_tile("chain", "vjp", op.op_name, spatial,
+                                  arr0.dtype, periodic, k, interp=interp)
+
             def build_plane(vmem=None):
                 from .plane_adjoint import make_plane_chain_vjp_fn
 
-                tile = tile_rows
-                if tile is None:
-                    from ..utils.autotune import tuned_tile
-
-                    tile = tuned_tile("chain", "vjp", op.op_name, spatial,
-                                      arr0.dtype, periodic, k, interp=interp)
                 fn3 = make_plane_chain_vjp_fn(
                     op, k, carry_map, spatial, arr0.dtype, interp,
-                    periodic, tile_planes=tile,
+                    periodic, tile_planes=_tile(),
                     vmem_limit_bytes=vmem or vmem_limit_bytes)
                 return lambda s, c, p=(): fn3(s, c)
+
+            def build_accum(vmem=None):
+                from .twin_adjoint import make_twin_accum_vjp_fn
+
+                fn2 = make_twin_accum_vjp_fn(
+                    op, k, carry_map, accum_pieces, spatial, arr0.dtype,
+                    interp, tile_rows=_tile(),
+                    vmem_limit_bytes=vmem or vmem_limit_bytes)
+                return lambda s, c, p=(): fn2(s, c)
 
             # lateral chunking: the plane kernel's VMEM windows scale with
             # the FULL plane area (n1·n2), so fat planes (384²+, several
@@ -944,7 +965,8 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                 return fnB
 
             if interp:
-                cache[key] = (build_plane() if use_plane
+                cache[key] = (build_accum() if accum_pieces is not None
+                              else build_plane() if use_plane
                               else build(spatial, arr0.dtype, interp))
             else:
                 def probed(builder):
@@ -970,6 +992,11 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                     return b
 
                 variants = []
+                if accum_pieces is not None:
+                    variants.append(("twin_accum", probed(build_accum)))
+                    variants.append(("twin_accum_vmem/2",
+                                     probed(lambda: build_accum(
+                                         vmem_limit_bytes // 2))))
                 if use_plane:
                     variants.append(("plane_two_phase",
                                      probed(build_plane)))

@@ -1,0 +1,567 @@
+"""Twin-with-coefficient-accumulation fused adjoint chains (round 5).
+
+For ops LINEAR in their carried state whose only "nonlinearity" is a
+differentiable CHAIN-INVARIANT coefficient field — the acoustic wave
+equation with its velocity model ``c`` (the FWI kernel, BASELINE config
+#3) — the k-step VJP splits exactly:
+
+* the STATE cotangents advance through the transposed linear op's own
+  forward chain (the twin construction, ``transposed_linear_op``), and
+* the COEFFICIENT gradient accumulates per stage,
+
+      ĉ_coeff += (∂F_s/∂coeff)ᵀ · ĉ_{s+1},
+
+  whose two factors — the stage-s primal state and the stage-(s+1)
+  cotangent — are both live inside ONE kernel that runs the forward
+  recompute (phase 1, storing only the primal planes the coefficient
+  gradient reads) and the transposed cotangent chain (phase 2),
+  evaluating the accumulation on each tile's OWNED rows.
+
+Why this beats the general two-phase kernel (``adjoint_chain.build``)
+for these ops: there, phases 1 and 2 consume row margin from ONE shared
+extent, so the chain halo is ``k·(reach_f + reach_b)`` per side and the
+8192² wave tile is mostly halo (measured ~2× redundant compute at the
+VMEM-viable tile).  Here phase 2 marches the transposed op forward on
+its OWN cotangent block: the state block needs ``k·reach_f`` halo and
+the cotangent block ``k·reach_cot`` — each HALF of the two-phase halo —
+and the accumulation needs no extra margin at all because it is only
+ever evaluated on owned rows, where every factor is in range.
+
+Bit-exactness contract: identical per-step arithmetic to sequential
+``jax.vjp`` (tests/test_twin_adjoint.py) for PERIODIC 2D domains; other
+regimes keep the two-phase kernel.
+
+Reference anchor: ``time_constant_fields`` (SURVEY.md §3.1 — gradients
+of time-constant fields accumulate across steps) is the reference's hook
+for exactly this coefficient-gradient accumulation; the reference leaves
+the time loop to the torch/TF tape (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import sympy as sp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..adjoint_field import AdjointField
+from ..field import Field
+from .common import (field_components, forward_program, lat_shifted_read,
+                     make_program, plane_view, scoped_vmem,
+                     shared_lateral_offsets)
+
+__all__ = ["state_coeff_twin", "make_twin_accum_vjp_fn"]
+
+
+class _All:
+    def __contains__(self, x):
+        return True
+
+
+_ALL = _All()
+
+
+def _reachable_subexprs(subexprs, mains):
+    """Subset of ``subexprs`` (in order) reachable from ``mains`` through
+    lhs-symbol references."""
+    needed = set()
+    for a in mains:
+        needed |= a.rhs.free_symbols
+    keep: List = []
+    for a in reversed(list(subexprs)):
+        if a.lhs in needed:
+            keep.append(a)
+            needed |= a.rhs.free_symbols
+    return list(reversed(keep))
+
+
+def state_coeff_twin(op, carry_map: Dict[str, str]):
+    """Detect the state-linear / invariant-differentiable-coefficient
+    structure and build its pieces.
+
+    Returns ``None`` when the decomposition does not apply, else a dict:
+
+    * ``cot_op``, ``cot_carry``, ``name_of``, ``plain_reads`` — the
+      transposed state-cotangent advance (like ``transposed_linear_op``,
+      but its coefficient reads may be DIFFERENTIABLE invariant fields).
+    * ``coeff_names`` — invariant differentiable fields whose gradient
+      accumulates per stage.
+    * ``grad_prog`` — StencilProgram computing the per-stage coefficient
+      contributions: reads cot fields (``cot_<m>``), primal state fields,
+      and invariant fields; writes ``gsum_<coeff>``.
+    * ``saved_names`` — primal STATE fields the grad program reads (the
+      phase-1 per-stage saving set).
+    """
+    from ..assignment import Assignment, AssignmentCollection
+    from ..assignment import StagedAssignmentCollection
+    from ..autodiff import AutoDiffOp
+    from .hoist import invariant_fields
+
+    coll = op.backward_assignments
+    if isinstance(coll, StagedAssignmentCollection):
+        return None
+    in_names = [f.name for f in op.forward_input_fields]
+    out_names = [f.name for f in op.forward_output_fields]
+    inv = invariant_fields(in_names, out_names, carry_map)
+    declared_const = {f.name for f in op.constant_fields}
+    if declared_const & (set(carry_map) | set(carry_map.values())):
+        return None
+    fwd_in = {f.name: f for f in op.forward_input_fields}
+    grad_targets = {a.lhs.field.corresponding_forward_field.name
+                    for a in coll.main_assignments}
+    coeff_names = sorted((inv & grad_targets) - declared_const)
+    if not coeff_names:
+        return None  # plain linear case: transposed_linear_op handles it
+    # plain (non-adjoint) fields the cot advance may read
+    allowed_plain = (inv | declared_const)
+
+    next_src = {n: carry_map.get(n, n) for n in in_names}
+    pass_to: Dict[str, list] = {m: [] for m in in_names}
+    feeds_output: Dict[str, list] = {o: [] for o in out_names}
+    for n, src in next_src.items():
+        if src in feeds_output:
+            feeds_output[src].append(n)
+        else:
+            pass_to[src].append(n)
+
+    def _like(name, f):
+        nf = Field(name, f.spatial_dimensions, index_shape=f.index_shape,
+                   dtype=f.dtype, layout=f.layout)
+        nf.index_major = getattr(f, "index_major", False)
+        return nf
+
+    cot_field = {m: _like(f"cot_{m}", f) for m, f in fwd_in.items()}
+    cot_out_field = {m: _like(f"cot_{m}_out", f) for m, f in fwd_in.items()}
+    gsum_field = {m: _like(f"gsum_{m}", fwd_in[m]) for m in coeff_names}
+
+    def substituted(expr, allow_state_primals):
+        mapping = {}
+        for a in expr.atoms(Field.Access):
+            if not isinstance(a.field, AdjointField):
+                if a.field.name in allowed_plain:
+                    continue
+                if allow_state_primals and a.field.name in fwd_in:
+                    continue  # grad program: stage-s primal read
+                return None
+            primal = a.field.corresponding_forward_field.name
+            carriers = feeds_output.get(primal)
+            if carriers is None:
+                mapping[a] = sp.Integer(0)
+            else:
+                mapping[a] = sum(
+                    (Field.Access(cot_field[n], a.offsets, a.index)
+                     for n in carriers), sp.Integer(0))
+        return expr.subs(mapping, simultaneous=True)
+
+    state_mains, coeff_mains = [], []
+    for a in coll.main_assignments:
+        m = a.lhs.field.corresponding_forward_field.name
+        (coeff_mains if m in coeff_names else state_mains).append(a)
+
+    # --- the transposed state-cotangent op ---------------------------------
+    sub_state = _reachable_subexprs(coll.subexpressions, state_mains)
+    subexprs = []
+    for a in sub_state:
+        rhs = substituted(a.rhs, allow_state_primals=False)
+        if rhs is None:
+            return None
+        subexprs.append(Assignment(a.lhs, rhs))
+    grads_rhs: Dict[tuple, sp.Expr] = {}
+    for a in state_mains:
+        m = a.lhs.field.corresponding_forward_field.name
+        rhs = substituted(a.rhs, allow_state_primals=False)
+        if rhs is None:
+            return None
+        grads_rhs[(m, a.lhs.index)] = rhs
+
+    diff_names = [n for n in in_names
+                  if n not in declared_const and n not in coeff_names]
+    mains = []
+    for m in diff_names:
+        f = fwd_in[m]
+        for idx in field_components(f):
+            rhs = grads_rhs.get((m, idx), sp.Integer(0))
+            for n in pass_to.get(m, ()):
+                rhs = rhs + Field.Access(cot_field[n],
+                                         (0,) * f.spatial_dimensions, idx)
+            mains.append(Assignment(
+                Field.Access(cot_out_field[m],
+                             (0,) * f.spatial_dimensions, idx), rhs))
+    new_coll = AssignmentCollection(mains, subexpressions=subexprs)
+    read_names = {f.name for f in new_coll.fields_read}
+    plain_reads = sorted(read_names & allowed_plain)
+    if read_names - allowed_plain != {cot_field[m].name for m in diff_names}:
+        return None
+    coeff_fields = [f for f in new_coll.fields_read
+                    if f.name in plain_reads]
+    cot_op = AutoDiffOp(new_coll, op_name=f"{op.op_name}_cotangent",
+                        constant_fields=coeff_fields,
+                        do_common_subexpression_elimination=False)
+    cot_carry = {cot_field[m].name: cot_out_field[m].name
+                 for m in diff_names}
+    name_of = {m: cot_field[m].name for m in diff_names}
+
+    # --- the per-stage coefficient-gradient program -------------------------
+    sub_coeff = _reachable_subexprs(coll.subexpressions, coeff_mains)
+    gsubex, gmains = [], []
+    for a in sub_coeff:
+        rhs = substituted(a.rhs, allow_state_primals=True)
+        if rhs is None:
+            return None
+        gsubex.append(Assignment(a.lhs, rhs))
+    for a in coeff_mains:
+        m = a.lhs.field.corresponding_forward_field.name
+        rhs = substituted(a.rhs, allow_state_primals=True)
+        if rhs is None:
+            return None
+        gmains.append(Assignment(
+            Field.Access(gsum_field[m],
+                         (0,) * fwd_in[m].spatial_dimensions,
+                         a.lhs.index), rhs))
+    gcoll = AssignmentCollection(gmains, subexpressions=gsubex)
+    grad_prog = make_program(
+        gcoll, input_fields=list(gcoll.fields_read),
+        output_fields=[gsum_field[m] for m in coeff_names],
+        name=f"{op.op_name}_coeff_grad")
+    saved_names = sorted({f.name for f in gcoll.fields_read}
+                         & (set(fwd_in) - inv - declared_const))
+    return {"cot_op": cot_op, "cot_carry": cot_carry, "name_of": name_of,
+            "plain_reads": plain_reads, "coeff_names": coeff_names,
+            "grad_prog": grad_prog, "saved_names": saved_names,
+            "declared_const": sorted(declared_const)}
+
+
+def make_twin_accum_vjp_fn(op, k: int, carry_map: Dict[str, str],
+                           pieces: dict, spatial, dtype, interpret: bool,
+                           tile_rows: Optional[int] = None,
+                           vmem_limit_bytes: int = 100 * 1024 * 1024):
+    """The fused kernel: phase-1 forward recompute (storing only
+    ``saved_names`` planes) + phase-2 transposed cotangent chain with
+    per-stage coefficient-gradient accumulation on owned rows.
+
+    PERIODIC flattened-2D geometry; same ``g(state, cots) ->
+    (state_k, cot_0)`` contract as the two-phase kernel.
+    """
+    from .flatten import FlatGeom, pick_chain_tile
+
+    fwd_prog = forward_program(op)
+    cot_op = pieces["cot_op"]
+    cot_prog = forward_program(cot_op)
+    grad_prog = pieces["grad_prog"]
+    name_of = pieces["name_of"]
+    coeff_names = set(pieces["coeff_names"])
+    declared_const = set(pieces["declared_const"])
+    saved_names = set(pieces["saved_names"])
+    cot_carry = pieces["cot_carry"]
+
+    nd = fwd_prog.ndim
+    if nd != 2:
+        raise ValueError("twin-accum kernels are 2D (flattened) for now")
+    geom = FlatGeom(spatial)
+    rows, cols = geom.rows, geom.cols
+
+    in_names = [f.name for f in op.forward_input_fields]
+    fields_by_name = {f.name: f for f in op.forward_input_fields}
+    in_keys = [(f.name, idx) for f in op.forward_input_fields
+               for idx in field_components(f)]
+    next_src = {n: carry_map.get(n, n) for n in in_names}
+
+    f_acc = [a for s in fwd_prog.steps for a in s.atoms
+             if isinstance(a, Field.Access)]
+    c_acc = [a for s in cot_prog.steps for a in s.atoms
+             if isinstance(a, Field.Access)]
+    lo_f, hi_f = geom.row_reach(f_acc)
+    lo_c, hi_c = geom.row_reach(c_acc)
+    # the accumulation is evaluated on owned rows only; its reads must
+    # stay inside the frames available there — cot reads within the cot
+    # chain's per-step reach, primal reads within the forward reach
+    g_cot = [a for s in grad_prog.steps for a in s.atoms
+             if isinstance(a, Field.Access)
+             and a.field.name.startswith("cot_")]
+    g_prim = [a for s in grad_prog.steps for a in s.atoms
+              if isinstance(a, Field.Access)
+              and a.field.name in saved_names]
+    glo_c, ghi_c = geom.row_reach(g_cot)
+    glo_p, ghi_p = geom.row_reach(g_prim)
+    if glo_c > lo_c or ghi_c > hi_c or glo_p > lo_f or ghi_p > hi_f:
+        raise ValueError("coefficient-gradient reach exceeds the chain "
+                         "reaches — the twin-accum decomposition does "
+                         "not apply")
+    # the state block must also cover the cot chain's coefficient reads
+    # (cot frames walk at lo_c/hi_c per step)
+    LOs, HIs = k * max(lo_f, lo_c), k * max(hi_f, hi_c)
+    LOc, HIc = k * lo_c, k * hi_c
+
+    # kernel-side cot planes are keyed by the PRIMAL input (name, idx)
+    # they are the cotangent of
+    cot_in_of = {name_of[m]: m for m in name_of}  # cot field -> primal
+
+    shared_f = shared_lateral_offsets(fwd_prog.steps)
+    shared_c = shared_lateral_offsets(cot_prog.steps)
+
+    itemsize = jnp.dtype(dtype).itemsize
+    n_saved = k * len([kk_ for kk_ in in_keys if kk_[0] in saved_names])
+    n_live = len(in_keys) * 8 + 3 * n_saved + 8
+    t = tile_rows or pick_chain_tile(rows, max(LOs, LOc), max(HIs, HIc),
+                                     cols * itemsize * n_live,
+                                     vmem_limit_bytes)
+    if t is None or rows % t or t < max(LOs + HIs, LOc + HIc, 1):
+        raise ValueError(f"no viable tile for rows={rows}, "
+                         f"halos={(LOs + HIs, LOc + HIc)}")
+    nb = rows // t
+
+    # kernel input groups: state planes (halo LOs/HIs) + cot planes
+    # (halo LOc/HIc), both periodic-wrapped tile strips
+    def fn(state, cots):
+        arrays, ups, downs = [], [], []
+
+        def add(plane, LO, HI):
+            xr = plane.reshape((nb, t, cols))
+            arrays.append(plane)
+            if LO:
+                ups.append(jnp.roll(xr[:, t - LO:], 1, axis=0))
+            if HI:
+                downs.append(jnp.roll(xr[:, :HI], -1, axis=0))
+
+        for name, idx in in_keys:
+            add(plane_view(fields_by_name[name], state[name].astype(dtype),
+                           idx).reshape((rows, cols)), LOs, HIs)
+        for name, idx in in_keys:
+            add(plane_view(fields_by_name[name], cots[name].astype(dtype),
+                           idx).reshape((rows, cols)), LOc, HIc)
+        n_in = len(arrays)
+        n_up, n_dn = len(ups), len(downs)
+
+        def kernel(*refs):
+            xs = refs[:n_in]
+            up_refs = refs[n_in:n_in + n_up]
+            dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
+            outs = refs[n_in + n_up + n_dn:]
+
+            full_s: Dict[tuple, jax.Array] = {}
+            full_c: Dict[tuple, jax.Array] = {}
+            ui = di = pos = 0
+            for group, LO, HI in ((full_s, LOs, HIs), (full_c, LOc, HIc)):
+                for key in in_keys:
+                    parts = []
+                    if LO:
+                        parts.append(up_refs[ui][0])
+                        ui += 1
+                    parts.append(xs[pos][...])
+                    pos += 1
+                    if HI:
+                        parts.append(dn_refs[di][0])
+                        di += 1
+                    group[key] = (jnp.concatenate(parts, axis=0)
+                                  if len(parts) > 1 else parts[0])
+
+            inv_cache: Dict[tuple, jax.Array] = {}
+
+            # ---- phase 1: forward chain, saving grad-program reads ----
+            cur = {key: full_s[key] for key in in_keys
+                   if not (key[0] in coeff_names
+                           or key[0] in declared_const)}
+            saved: List[Dict] = []
+            for s in range(k):
+                if saved_names:
+                    saved.append({kk_: cur[kk_] for kk_ in cur
+                                  if kk_[0] in saved_names})
+                ext = (LOs + t + HIs) - (s + 1) * (lo_f + hi_f)
+                env: Dict[object, jax.Array] = {}
+                stage_out: Dict[tuple, jax.Array] = {}
+                lat_cache: Dict[tuple, jax.Array] = {}
+
+                def readf(acc, _er=ext, _cur=cur, _c=lat_cache, _s=s):
+                    ck = (acc.field.name, acc.index, acc.offsets[-1])
+                    if ck[0] in coeff_names or ck[0] in declared_const:
+                        return lat_shifted_read(
+                            inv_cache, _ALL, ("s",) + ck,
+                            full_s[ck[:2]], acc.offsets[-1],
+                            (_s + 1) * lo_f + geom.row_off(acc.offsets),
+                            _er, False, interpret, True)
+                    return lat_shifted_read(
+                        _c, shared_f, ck, _cur[ck[:2]], acc.offsets[-1],
+                        lo_f + geom.row_off(acc.offsets), _er, False,
+                        interpret, True)
+
+                shape_s = (ext, cols)
+                for st in fwd_prog.steps:
+                    vals = [readf(a) if isinstance(a, Field.Access)
+                            else env[a] for a in st.atoms]
+                    res = jnp.broadcast_to(
+                        jnp.asarray(st.fn(*vals), dtype), shape_s)
+                    if st.is_main:
+                        stage_out[(st.target.field.name,
+                                   st.target.index)] = res
+                    else:
+                        env[st.target] = res
+
+                nxt = {}
+                for name, idx in in_keys:
+                    if name in coeff_names or name in declared_const:
+                        continue
+                    src = next_src[name]
+                    if (src, idx) in stage_out:
+                        nxt[(name, idx)] = stage_out[(src, idx)]
+                    elif src in coeff_names or src in declared_const:
+                        nxt[(name, idx)] = jax.lax.slice_in_dim(
+                            full_s[(src, idx)], (s + 1) * lo_f,
+                            (s + 1) * lo_f + ext, axis=0)
+                    else:
+                        nxt[(name, idx)] = jax.lax.slice_in_dim(
+                            cur[(src, idx)], lo_f, lo_f + ext, axis=0)
+                cur = nxt
+
+            # ---- phase 2: transposed cot chain + accumulation ----
+            # cot planes keyed by PRIMAL (m, idx); the cot op's programs
+            # read/write cot_<m>/cot_<m>_out fields
+            ct = {key: full_c[key] for key in in_keys
+                  if key[0] in name_of}
+            acc = {key: jnp.zeros((t, cols), dtype) for key in in_keys
+                   if key[0] in coeff_names}
+            for j in range(k):
+                s = k - 1 - j  # the forward stage this reverse step pairs
+                ext_c = (LOc + t + HIc) - j * (lo_c + hi_c)
+
+                # --- coefficient-gradient contribution (owned rows) ---
+                genv: Dict[object, jax.Array] = {}
+                glat: Dict[tuple, jax.Array] = {}
+
+                def readg(acc_, _j=j, _s=s, _c=glat):
+                    f = acc_.field
+                    ck = (f.name, acc_.index, acc_.offsets[-1])
+                    ro = geom.row_off(acc_.offsets)
+                    if f.name in cot_in_of:  # ĉ_{s+1} read (pre-advance)
+                        m = cot_in_of[f.name]
+                        # ct frame local 0 at global i·t − (LOc − j·lo_c)
+                        start = (LOc - _j * lo_c) + ro
+                        return lat_shifted_read(
+                            _c, (), ck, ct[(m, acc_.index)], ck[2],
+                            start, t, False, interpret, True)
+                    if f.name in coeff_names or f.name in declared_const:
+                        return lat_shifted_read(
+                            inv_cache, _ALL, ("s",) + ck,
+                            full_s[(f.name, acc_.index)], ck[2],
+                            LOs + ro, t, False, interpret, True)
+                    # stage-s primal state read: saved[s] frame local 0
+                    # sits at global i·t − (LOs − s·lo_f)
+                    sv = saved[_s][(f.name, acc_.index)]
+                    start = (LOs - _s * lo_f) + ro
+                    return lat_shifted_read(
+                        _c, (), ck, sv, ck[2],
+                        start, t, False, interpret, True)
+
+                for st in grad_prog.steps:
+                    vals = [readg(a) if isinstance(a, Field.Access)
+                            else genv[a] for a in st.atoms]
+                    res = jnp.broadcast_to(
+                        jnp.asarray(st.fn(*vals), dtype), (t, cols))
+                    if st.is_main:
+                        m = st.target.field.name[len("gsum_"):]
+                        acc[(m, st.target.index)] = (
+                            acc[(m, st.target.index)] + res)
+                    else:
+                        genv[st.target] = res
+
+                # --- advance the cotangent chain one step ---
+                ext_n = ext_c - (lo_c + hi_c)
+                cenv: Dict[object, jax.Array] = {}
+                clat: Dict[tuple, jax.Array] = {}
+                cot_out: Dict[tuple, jax.Array] = {}
+
+                def readc(acc_, _er=ext_n, _ct=ct, _c=clat, _j=j):
+                    f = acc_.field
+                    ck = (f.name, acc_.index, acc_.offsets[-1])
+                    ro = geom.row_off(acc_.offsets)
+                    if f.name in cot_in_of:
+                        m = cot_in_of[f.name]
+                        return lat_shifted_read(
+                            _c, shared_c, ck, _ct[(m, acc_.index)],
+                            ck[2], lo_c + ro, _er, False, interpret, True)
+                    # coefficient read from the STATE full block: cot
+                    # frame local 0 after this step sits at global
+                    # i·t − lo_c·(k−j−1); in full_s coordinates that is
+                    # LOs − lo_c·(k−j−1)
+                    start = LOs - lo_c * (k - _j - 1) + ro
+                    return lat_shifted_read(
+                        inv_cache, _ALL, ("s",) + ck,
+                        full_s[(f.name, acc_.index)], ck[2],
+                        start, _er, False, interpret, True)
+
+                for st in cot_prog.steps:
+                    vals = [readc(a) if isinstance(a, Field.Access)
+                            else cenv[a] for a in st.atoms]
+                    res = jnp.broadcast_to(
+                        jnp.asarray(st.fn(*vals), dtype), (ext_n, cols))
+                    if st.is_main:
+                        cot_out[(st.target.field.name,
+                                 st.target.index)] = res
+                    else:
+                        cenv[st.target] = res
+                # cot_<m> <- cot_<m>_out
+                ct = {}
+                for m in name_of:
+                    f = fields_by_name[m]
+                    for idx in field_components(f):
+                        ct[(m, idx)] = cot_out[
+                            (f"cot_{m}_out", idx)]
+
+            # ---- outputs ----
+            for jj, key in enumerate(in_keys):
+                if key[0] in coeff_names or key[0] in declared_const:
+                    outs[jj][...] = jax.lax.slice_in_dim(
+                        full_s[key], LOs, LOs + t, axis=0)
+                else:
+                    fin = LOs - k * lo_f
+                    outs[jj][...] = jax.lax.slice_in_dim(
+                        cur[key], fin, fin + t, axis=0)
+            for jj, key in enumerate(in_keys):
+                o = len(in_keys) + jj
+                if key[0] in name_of:
+                    outs[o][...] = ct[key]
+                elif key[0] in coeff_names:
+                    # identity pass-through of the incoming coefficient
+                    # cotangent + the accumulated per-stage gradient
+                    outs[o][...] = (jax.lax.slice_in_dim(
+                        full_c[key], LOc, LOc + t, axis=0) + acc[key])
+                else:  # declared-constant: identity pass-through
+                    outs[o][...] = jax.lax.slice_in_dim(
+                        full_c[key], LOc, LOc + t, axis=0)
+
+        plane = pl.BlockSpec((t, cols), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+
+        def strip_spec(shape):
+            return pl.BlockSpec((1,) + shape[1:], lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        result = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            out_shape=tuple(jax.ShapeDtypeStruct((rows, cols), dtype)
+                            for _ in range(2 * len(in_keys))),
+            in_specs=[plane] * n_in + [strip_spec(u.shape) for u in ups]
+            + [strip_spec(d.shape) for d in downs],
+            out_specs=tuple(plane for _ in range(2 * len(in_keys))),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=scoped_vmem(vmem_limit_bytes)),
+        )(*arrays, *ups, *downs)
+
+        from .common import assemble_planes
+
+        def restack(flat, base):
+            out, pos = {}, base
+            for f in op.forward_input_fields:
+                comps = field_components(f)
+                planes = [flat[pos + j] for j in range(len(comps))]
+                pos += len(comps)
+                out[f.name] = assemble_planes(f, planes, spatial)
+            return out
+
+        return restack(result, 0), restack(result, len(in_keys))
+
+    return fn

@@ -1,0 +1,144 @@
+"""Twin-with-coefficient-accumulation fused adjoint chains
+(ops/twin_adjoint.py): for state-linear ops with a differentiable
+chain-invariant coefficient (the wave/FWI kernel), the k-step VJP must
+match sequential jax.vjp bit-for-bit — state outputs, state cotangents,
+AND the accumulated coefficient gradient (round 5; the kernel halves the
+two-phase chain halo for the wave north-star row)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pystencils_autodiff_tpu import Assignment, AutoDiffOp, fields
+from pystencils_autodiff_tpu.models import wave_step_op
+from pystencils_autodiff_tpu.ops.adjoint_chain import fused_chain_vjp
+from pystencils_autodiff_tpu.ops.twin_adjoint import state_coeff_twin
+from pystencils_autodiff_tpu.timeloop import make_time_stepper
+
+RTOL, ATOL = 1e-12, 1e-12
+CARRY = {"u_curr": "u_next", "u_prev": "u_curr"}
+
+
+def _oracle(op, carry, state, cots, k, names):
+    step = make_time_stepper(op, carry, lowering="jnp", periodic=True)
+
+    def run(st):
+        for _ in range(k):
+            st = step(st)
+        return {n: st[n] for n in names}
+
+    ref_state, pull = jax.vjp(run, state)
+    (ref_cot,) = pull(cots)
+    return ref_state, ref_cot
+
+
+def _wave_state(n=32, key=0):
+    u = jax.random.normal(jax.random.PRNGKey(key), (n, n), jnp.float64)
+    c = 2.0 + 0.3 * jax.random.normal(jax.random.PRNGKey(key + 1), (n, n),
+                                      jnp.float64) ** 2
+    return {"u_curr": u, "u_prev": 0.9 * u, "c": c}
+
+
+def test_wave_detection():
+    op = wave_step_op(dt=0.01, dtype="float64")
+    pieces = state_coeff_twin(op, CARRY)
+    assert pieces is not None
+    assert pieces["coeff_names"] == ["c"]
+    assert pieces["saved_names"] == ["u_curr"]
+    assert set(pieces["name_of"]) == {"u_curr", "u_prev"}
+
+
+def test_nonlinear_state_op_rejected():
+    """Truly state-nonlinear ops must not match (they need the general
+    two-phase kernel)."""
+    u, un = fields("u, u_next", 2)
+    op = AutoDiffOp([Assignment(
+        un[0, 0], u[0, 0] ** 2 + 0.1 * (u[1, 0] + u[-1, 0]))],
+        op_name="nl2d_twinacc")
+    assert state_coeff_twin(op, {"u": "u_next"}) is None
+
+
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_wave_fused_vjp_exact(k):
+    """fused_chain_vjp for the FWI wave op (periodic) routes through the
+    twin-accum kernel in interpret mode and matches sequential jax.vjp:
+    state, wavefield cotangents, and the velocity-model gradient."""
+    op = wave_step_op(dt=0.01, dtype="float64")
+    names = ["c", "u_curr", "u_prev"]
+    state = _wave_state()
+    cots = {n: jax.random.normal(jax.random.PRNGKey(7 + i), (32, 32),
+                                 jnp.float64)
+            for i, n in enumerate(names)}
+    ch = fused_chain_vjp(op, k, CARRY, periodic=True, interpret=True)
+    st, ct = ch(dict(state), dict(cots))
+    ref_state, ref_cot = _oracle(op, CARRY, state, cots, k, names)
+    for n in names:
+        np.testing.assert_allclose(np.asarray(st[n]),
+                                   np.asarray(ref_state[n]),
+                                   rtol=RTOL, atol=ATOL, err_msg=f"state {n}")
+        np.testing.assert_allclose(np.asarray(ct[n]),
+                                   np.asarray(ref_cot[n]),
+                                   rtol=RTOL, atol=ATOL, err_msg=f"cot {n}")
+
+
+def test_wave_chain_under_grad():
+    """End-to-end: jax.grad of a loss through fused_time_chain(fused_bwd)
+    w.r.t. the velocity model equals the sequential gradient (the FWI
+    use-case)."""
+    from pystencils_autodiff_tpu.ops.time_chain import fused_time_chain
+
+    op = wave_step_op(dt=0.01, dtype="float64")
+    k = 2
+    state = _wave_state(24, key=3)
+    chain = fused_time_chain(op, k, CARRY, periodic=True, interpret=True,
+                             fused_bwd=True)
+    step = make_time_stepper(op, CARRY, lowering="jnp", periodic=True)
+
+    def loss_f(c, run):
+        st = {**state, "c": c}
+        out = run(st)
+        return jnp.sum(jnp.sin(out["u_curr"])) + jnp.sum(out["u_prev"] ** 2)
+
+    def seq_run(st):
+        for _ in range(k):
+            st = step(st)
+        return st
+
+    g_f = jax.grad(lambda c: loss_f(c, chain))(state["c"])
+    g_s = jax.grad(lambda c: loss_f(c, seq_run))(state["c"])
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_variable_coeff_diffusion_2d_exact():
+    """A second op family: 2D variable-κ diffusion (nonlinear in κ via
+    face averages is NOT required — plain center-κ form is state-linear
+    with κ invariant)."""
+    u, un, kap = fields("u, u_next, kappa", 2)
+    op = AutoDiffOp([Assignment(
+        un[0, 0], u[0, 0] + 0.1 * kap[0, 0] * (
+            u[1, 0] + u[-1, 0] + u[0, 1] + u[0, -1] - 4 * u[0, 0]))],
+        op_name="vkdiff2d_twinacc")
+    carry = {"u": "u_next"}
+    pieces = state_coeff_twin(op, carry)
+    assert pieces is not None and pieces["coeff_names"] == ["kappa"]
+    names = ["kappa", "u"]
+    k = 3
+    state = {"u": jax.random.normal(jax.random.PRNGKey(0), (24, 24),
+                                    jnp.float64),
+             "kappa": 1.0 + 0.1 * jax.random.normal(
+                 jax.random.PRNGKey(1), (24, 24), jnp.float64) ** 2}
+    cots = {n: jax.random.normal(jax.random.PRNGKey(5 + i), (24, 24),
+                                 jnp.float64)
+            for i, n in enumerate(names)}
+    ch = fused_chain_vjp(op, k, carry, periodic=True, interpret=True)
+    st, ct = ch(dict(state), dict(cots))
+    ref_state, ref_cot = _oracle(op, carry, state, cots, k, names)
+    for n in names:
+        np.testing.assert_allclose(np.asarray(st[n]),
+                                   np.asarray(ref_state[n]),
+                                   rtol=RTOL, atol=ATOL, err_msg=f"state {n}")
+        np.testing.assert_allclose(np.asarray(ct[n]),
+                                   np.asarray(ref_cot[n]),
+                                   rtol=RTOL, atol=ATOL, err_msg=f"cot {n}")
