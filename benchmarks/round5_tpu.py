@@ -59,11 +59,15 @@ def sec_sweeps():
     x2 = jax.random.normal(key, (n2, n2), jnp.float32)
     c2 = 2.0 + jnp.zeros((n2, n2), jnp.float32)
 
-    # config #3: wave two-phase (c-gradient) — the open north star
-    sweep("wave two-phase vjp 8192^2", wave_step_op(),
+    # config #3: wave value+gradient (c-gradient) — the open north star.
+    # Routed through the round-5 twin-accum kernel (halo k·r per block
+    # instead of k·2r shared); force=True because earlier sweeps measured
+    # the superseded two-phase kernel under the same key
+    sweep("wave twin-accum vjp 8192^2", wave_step_op(),
           {"u_curr": "u_next", "u_prev": "u_curr"},
           {"u_curr": x2, "u_prev": x2, "c": c2},
-          k_cands=(2, 4, 8), tile_cands=(None, 256, 512, 1024))
+          k_cands=(2, 4, 8), tile_cands=(None, 16, 32, 64, 128),
+          force=True)
 
     n3 = 384
     x3 = jax.random.normal(key, (n3, n3, n3), jnp.float32)
