@@ -318,9 +318,7 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                 return build
 
             def twin_guarded(state, cot_state, probe_cots=()):
-                import numpy as _np
-
-                from .guard import (guard_variants, known_pathology,
+                from .guard import (guard_variants,
                     tuning_tag as _tuning_tag)
 
                 f0 = op.forward_input_fields[0]
@@ -346,10 +344,13 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                         twin_cache[key] = build_twin(k, tw_tile(k))()
                     else:
                         seen_kk = {k}
+                        # the vmem/2 rung drops the autotuned tile so the
+                        # picker can choose smaller tiles under the
+                        # halved budget (review finding)
                         variants = [(f"twin_chain_k{k}",
                                      build_twin(k, tw_tile(k))),
                                     (f"twin_chain_k{k}_vmem/2",
-                                     build_twin(k, tw_tile(k),
+                                     build_twin(k, None,
                                                 vmem_limit_bytes // 2))]
                         for kk in (k // 2, 1):
                             if 0 < kk < k and k % kk == 0 \
@@ -358,19 +359,6 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                                 variants.append((f"twin_chain_k{kk}",
                                                  build_twin(kk,
                                                             tw_tile(kk))))
-                        if nd >= 3:
-                            reason = known_pathology(
-                                "plane_twin_chain_3d", k=k,
-                                cells=int(_np.prod(spatial,
-                                                   dtype=_np.int64)))
-                            if reason:
-                                import logging
-                                logging.getLogger(
-                                    "pystencils_autodiff_tpu.guard").warning(
-                                    "compile guard: %s — preferring "
-                                    "shallower twin chains for %s at %s",
-                                    reason, op.op_name, spatial)
-                                variants.append(variants.pop(0))
                         name, fn, result = guard_variants(
                             variants, state, cot_state,
                             signature=f"twin_chain|{op.op_name}|{spatial}|"
@@ -881,9 +869,14 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
             def build_plane(vmem=None):
                 from .plane_adjoint import make_plane_chain_vjp_fn
 
+                # reduced-vmem rungs drop the autotuned tile so the
+                # picker can actually choose smaller tiles (a pinned
+                # measured-best tile would defeat the rung's purpose —
+                # review finding); an explicit user tile_rows persists
                 fn3 = make_plane_chain_vjp_fn(
                     op, k, carry_map, spatial, arr0.dtype, interp,
-                    periodic, tile_planes=_tile(),
+                    periodic,
+                    tile_planes=_tile() if vmem is None else tile_rows,
                     vmem_limit_bytes=vmem or vmem_limit_bytes)
                 return lambda s, c, p=(): fn3(s, c)
 
@@ -892,7 +885,8 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
 
                 fn2 = make_twin_accum_vjp_fn(
                     op, k, carry_map, accum_pieces, spatial, arr0.dtype,
-                    interp, tile_rows=_tile(),
+                    interp,
+                    tile_rows=_tile() if vmem is None else tile_rows,
                     vmem_limit_bytes=vmem or vmem_limit_bytes)
                 return lambda s, c, p=(): fn2(s, c)
 

@@ -111,8 +111,7 @@ _TRANSIENT_MARKERS = ("response body closed", "read body",
                       "http/1.1 502", "http/1.1 503", "http/1.1 504",
                       " 502 ", " 503 ", " 504 ",
                       "bad gateway", "service unavailable",
-                      "gateway timeout", "too many requests",
-                      "overloaded", "try again later")
+                      "gateway timeout", "too many requests")
 
 
 def _is_transient(exc: BaseException) -> bool:

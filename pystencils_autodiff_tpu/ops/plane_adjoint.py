@@ -286,7 +286,7 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                         start = (_s + 1) * lo_f + acc.offsets[0]
                         v = _lat2(inv_lat_cache, ("s",) + name_i + (o1, o2),
                                   full[("s", name_i)], o1, o2,
-                                  False, interpret, periodic)
+                                  False, interpret, wrap1, wrap2)
                         return jax.lax.slice_in_dim(v, start, start + _ext,
                                                     axis=0)
                     start = lo_f + acc.offsets[0]
@@ -294,11 +294,11 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                         v = jax.lax.slice_in_dim(_cur[name_i], start,
                                                  start + _ext, axis=0)
                         v = _shift_lateral(v, o1, 1, False, interpret,
-                                           periodic)
+                                           wrap1)
                         return _shift_lateral(v, o2, 2, False, interpret,
-                                              periodic)
+                                              wrap2)
                     v = _lat2(_c, name_i + (o1, o2), _cur[name_i], o1, o2,
-                              False, interpret, periodic)
+                              False, interpret, wrap1, wrap2)
                     return jax.lax.slice_in_dim(v, start, start + _ext,
                                                 axis=0)
 
@@ -424,14 +424,14 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                             v = jax.lax.slice_in_dim(full_v(), start,
                                                      start + _er, axis=0)
                             v = _shift_lateral(v, o1, 1, zf, interpret,
-                                               periodic)
+                                               wrap1)
                             v = _shift_lateral(v, o2, 2, zf, interpret,
-                                               periodic)
+                                               wrap2)
                         else:
                             v = _lat2(_c,
                                       ("c", primal, acc.index, o1, o2),
                                       full_v, o1, o2, zf, interpret,
-                                      periodic)
+                                      wrap1, wrap2)
                             v = jax.lax.slice_in_dim(v, start, start + _er,
                                                      axis=0)
                         if not periodic:
@@ -449,7 +449,7 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                                  + acc.offsets[0])
                         v = _lat2(inv_lat_cache, ("s",) + name_i + (o1, o2),
                                   full[("s", name_i)], o1, o2,
-                                  False, interpret, periodic)
+                                  False, interpret, wrap1, wrap2)
                         v = jax.lax.slice_in_dim(v, start, start + _er,
                                                  axis=0)
                     elif _bpair(acc) not in shared_bwd:
@@ -457,14 +457,14 @@ def make_plane_chain_vjp_fn(op, k: int, carry_map: Dict[str, str],
                         v = jax.lax.slice_in_dim(_prim[(f.name, acc.index)],
                                                  start, start + _er, axis=0)
                         v = _shift_lateral(v, o1, 1, False, interpret,
-                                           periodic)
+                                           wrap1)
                         v = _shift_lateral(v, o2, 2, False, interpret,
-                                           periodic)
+                                           wrap2)
                     else:
                         start = _po + lo_b + acc.offsets[0]
                         v = _lat2(_c, ("p", f.name, acc.index, o1, o2),
                                   _prim[(f.name, acc.index)], o1, o2,
-                                  False, interpret, periodic)
+                                  False, interpret, wrap1, wrap2)
                         v = jax.lax.slice_in_dim(v, start, start + _er,
                                                  axis=0)
                     if not periodic:

@@ -476,10 +476,7 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
                 # on hardware: route Mosaic compile crashes/hangs to
                 # shallower chains (same per-step arithmetic, k//kk kernel
                 # launches) and ultimately sequential stepping
-                import numpy as _np
-
-                from .guard import (guard_variants, known_pathology,
-                                    tuning_tag)
+                from .guard import guard_variants, tuning_tag
 
                 abstract = {n: jax.ShapeDtypeStruct(state[n].shape,
                                                     state[n].dtype)
@@ -524,18 +521,6 @@ def fused_time_chain(op, k: int, carry_map: Dict[str, str],
                         seen_kk.add(kk)
                         variants.append((f"chain_k{kk}", compose(kk)))
                 variants.append(("sequential", seq_build()))
-                if prog.ndim == 3:
-                    reason = known_pathology(
-                        "plane_twin_chain_3d", k=k,
-                        cells=int(_np.prod(spatial, dtype=_np.int64)))
-                    if reason:
-                        import logging
-                        logging.getLogger(
-                            "pystencils_autodiff_tpu.guard").warning(
-                            "compile guard: %s — preferring shallower "
-                            "chains for %s at %s", reason, op.op_name,
-                            spatial)
-                        variants.append(variants.pop(0))
                 name, fn, result = guard_variants(
                     variants, {n: state[n] for n in in_names},
                     signature=f"time_chain|{op.op_name}|{spatial}|"

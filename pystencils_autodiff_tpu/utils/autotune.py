@@ -361,7 +361,10 @@ def _run_sweep(build, key: str, state, k_candidates, tile_candidates,
             save_partial()
             logger.info("autotune: k=%d tile=%s -> %.3f ms/step",
                         k, tile, t * 1e3)
-        if early_stop and table:
+        if early_stop and table and k_best < float("inf"):
+            # a depth with NO successful measurement (transient failures,
+            # no viable tile) must not count as a slow strike — stopping
+            # there would persist a truncated winner (review finding)
             run_best = min(table.values())
             if k_best > run_best * 1.10:
                 logger.info("autotune: early stop after k=%d (%.3f ms/step "

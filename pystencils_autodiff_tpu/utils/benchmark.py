@@ -76,8 +76,12 @@ def slope_timed(make_fn: Callable[[int], Callable], x, n1: int, n2: int,
         t1 = fetch_timed(f1, x, repeats=repeats)
         t2 = fetch_timed(f2, x, repeats=repeats)
         delta = t2 - t1
-        if delta >= min_delta_s or n2 >= max_calls:
-            if delta < min_delta_s:
+        # min_delta_s <= 0 disables escalation entirely (a slightly
+        # negative CPU-noise delta must not balloon interpret-mode sweeps
+        # to 128 re-traced calls — review finding); the result is still
+        # clamped positive below
+        if min_delta_s <= 0 or delta >= min_delta_s or n2 >= max_calls:
+            if 0 < min_delta_s and delta < min_delta_s:
                 import logging
                 logging.getLogger(
                     "pystencils_autodiff_tpu.benchmark").warning(

@@ -385,7 +385,7 @@ def test_congestion_5xx_is_transient(guard_cache, monkeypatch):
 
     for msg in ("HTTP/1.1 503 Service Unavailable",
                 "remote_compile: 502 Bad Gateway",
-                "compile queue overloaded, try again later"):
+                "HTTP 429 Too Many Requests"):
         def flaky(m=msg):
             def fn(x):
                 raise RuntimeError(m)
