@@ -831,11 +831,14 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
     cache = {}
 
     # state-linear ops whose only differentiable "nonlinearity" is an
-    # invariant coefficient (wave's velocity c) take the twin-with-
-    # accumulation kernel (ops/twin_adjoint.py): HALF the two-phase
-    # kernel's chain halo, so the VMEM-viable tile is mostly payload
+    # invariant coefficient (wave's velocity c, diffusion's κ) take the
+    # twin-with-accumulation kernel (ops/twin_adjoint.py): HALF the
+    # two-phase kernel's chain halo, so the VMEM-viable tile is mostly
+    # payload.  2D periodic rides the flattened kernel; 3D (periodic or
+    # bounded — the plane kernel carries the mask⊙cot view) rides the
+    # plane geometry.
     accum_pieces = None
-    if periodic and nd == 2 and not probes:
+    if not probes and ((periodic and nd == 2) or nd == 3):
         from .twin_adjoint import state_coeff_twin
 
         accum_pieces = state_coeff_twin(op, carry_map)
@@ -881,13 +884,22 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                 return lambda s, c, p=(): fn3(s, c)
 
             def build_accum(vmem=None):
-                from .twin_adjoint import make_twin_accum_vjp_fn
+                tl = _tile() if vmem is None else tile_rows
+                vb = vmem or vmem_limit_bytes
+                if nd == 3:
+                    from .twin_adjoint import make_plane_twin_accum_vjp_fn
 
-                fn2 = make_twin_accum_vjp_fn(
-                    op, k, carry_map, accum_pieces, spatial, arr0.dtype,
-                    interp,
-                    tile_rows=_tile() if vmem is None else tile_rows,
-                    vmem_limit_bytes=vmem or vmem_limit_bytes)
+                    fn2 = make_plane_twin_accum_vjp_fn(
+                        op, k, carry_map, accum_pieces, spatial,
+                        arr0.dtype, interp, periodic, tile_planes=tl,
+                        vmem_limit_bytes=vb)
+                else:
+                    from .twin_adjoint import make_twin_accum_vjp_fn
+
+                    fn2 = make_twin_accum_vjp_fn(
+                        op, k, carry_map, accum_pieces, spatial,
+                        arr0.dtype, interp, tile_rows=tl,
+                        vmem_limit_bytes=vb)
                 return lambda s, c, p=(): fn2(s, c)
 
             # lateral chunking: the plane kernel's VMEM windows scale with

@@ -134,6 +134,13 @@ def state_coeff_twin(op, carry_map: Dict[str, str]):
         return nf
 
     cot_field = {m: _like(f"cot_{m}", f) for m, f in fwd_in.items()}
+    # adjoint-MAPPED reads go through a distinct "masked cotangent" view:
+    # on bounded domains each stage's output carries F = mask∘(A·state),
+    # so (dF)ᵀĉ = Aᵀ(mask⊙ĉ) — the mask applies to reads standing for
+    # ĥat{output}, NOT to pass-through cotangent terms (u_prev ← u_curr
+    # carries the raw ĉ).  The kernel binds mcot_* to mask⊙cot (bounded)
+    # or to the plain cot planes (periodic).
+    mcot_field = {m: _like(f"mcot_{m}", f) for m, f in fwd_in.items()}
     cot_out_field = {m: _like(f"cot_{m}_out", f) for m, f in fwd_in.items()}
     gsum_field = {m: _like(f"gsum_{m}", fwd_in[m]) for m in coeff_names}
 
@@ -152,7 +159,7 @@ def state_coeff_twin(op, carry_map: Dict[str, str]):
                 mapping[a] = sp.Integer(0)
             else:
                 mapping[a] = sum(
-                    (Field.Access(cot_field[n], a.offsets, a.index)
+                    (Field.Access(mcot_field[n], a.offsets, a.index)
                      for n in carriers), sp.Integer(0))
         return expr.subs(mapping, simultaneous=True)
 
@@ -193,8 +200,13 @@ def state_coeff_twin(op, carry_map: Dict[str, str]):
     new_coll = AssignmentCollection(mains, subexpressions=subexprs)
     read_names = {f.name for f in new_coll.fields_read}
     plain_reads = sorted(read_names & allowed_plain)
-    if read_names - allowed_plain != {cot_field[m].name for m in diff_names}:
+    nonplain = read_names - allowed_plain
+    view_names = ({cot_field[m].name for m in diff_names}
+                  | {mcot_field[m].name for m in diff_names})
+    if not nonplain <= view_names:
         return None
+    if {n.split("_", 1)[1] for n in nonplain} != set(diff_names):
+        return None  # some cotangent never read: carry would be partial
     coeff_fields = [f for f in new_coll.fields_read
                     if f.name in plain_reads]
     cot_op = AutoDiffOp(new_coll, op_name=f"{op.op_name}_cotangent",
@@ -228,10 +240,15 @@ def state_coeff_twin(op, carry_map: Dict[str, str]):
         name=f"{op.op_name}_coeff_grad")
     saved_names = sorted({f.name for f in gcoll.fields_read}
                          & (set(fwd_in) - inv - declared_const))
+    # both cotangent views resolve to the primal they belong to; the
+    # kernels bind mcot_* to mask⊙cot on bounded domains
+    view_of = {cot_field[m].name: m for m in diff_names}
+    view_of.update({mcot_field[m].name: m for m in diff_names})
     return {"cot_op": cot_op, "cot_carry": cot_carry, "name_of": name_of,
             "plain_reads": plain_reads, "coeff_names": coeff_names,
             "grad_prog": grad_prog, "saved_names": saved_names,
-            "declared_const": sorted(declared_const)}
+            "declared_const": sorted(declared_const), "view_of": view_of,
+            "masked_views": {mcot_field[m].name for m in diff_names}}
 
 
 def make_twin_accum_vjp_fn(op, k: int, carry_map: Dict[str, str],
@@ -296,8 +313,9 @@ def make_twin_accum_vjp_fn(op, k: int, carry_map: Dict[str, str],
     LOc, HIc = k * lo_c, k * hi_c
 
     # kernel-side cot planes are keyed by the PRIMAL input (name, idx)
-    # they are the cotangent of
-    cot_in_of = {name_of[m]: m for m in name_of}  # cot field -> primal
+    # they are the cotangent of; cot_*/mcot_* views both resolve there
+    # (this kernel is periodic-only, where mcot ≡ cot)
+    cot_in_of = dict(pieces["view_of"])  # cot/mcot field -> primal
 
     shared_f = shared_lateral_offsets(fwd_prog.steps)
     shared_c = shared_lateral_offsets(cot_prog.steps)
@@ -560,6 +578,398 @@ def make_twin_accum_vjp_fn(op, k: int, carry_map: Dict[str, str],
                 planes = [flat[pos + j] for j in range(len(comps))]
                 pos += len(comps)
                 out[f.name] = assemble_planes(f, planes, spatial)
+            return out
+
+        return restack(result, 0), restack(result, len(in_keys))
+
+    return fn
+
+
+def make_plane_twin_accum_vjp_fn(op, k: int, carry_map: Dict[str, str],
+                                 pieces: dict, spatial, dtype,
+                                 interpret: bool, periodic: bool,
+                                 tile_planes: Optional[int] = None,
+                                 vmem_limit_bytes: int = 100 * 1024 * 1024):
+    """The plane-blocked ("2.5D") twin-accum kernel for 3D state-linear
+    ops with differentiable invariant coefficients (variable-κ diffusion:
+    BASELINE config #2).  Same decomposition as the flattened 2D kernel;
+    additionally supports BOUNDED domains: each forward stage zeroes the
+    global ghost frame and every adjoint-mapped cotangent read goes
+    through the mask⊙cot view (``mcot_*``), which is exactly
+    ``(mask∘A)ᵀ = Aᵀ∘mask`` — pass-through cotangent terms stay unmasked.
+
+    Halo: ``k·max(reach_f, reach_c)`` planes for the state block and
+    ``k·reach_c`` for the cotangent block — each half of what the
+    general two-phase plane kernel consumes, and with only the
+    grad-program's primal planes saved the VMEM windows fit where the
+    384³ two-phase OOM'd (BENCH_NOTES round 5)."""
+    from .plane_adjoint import _lat2
+    from .plane_chain import pick_plane_tile, plane_reach
+
+    fwd_prog = forward_program(op)
+    cot_op = pieces["cot_op"]
+    cot_prog = forward_program(cot_op)
+    grad_prog = pieces["grad_prog"]
+    name_of = pieces["name_of"]
+    view_of = pieces["view_of"]
+    masked_views = pieces["masked_views"]
+    coeff_names = set(pieces["coeff_names"])
+    declared_const = set(pieces["declared_const"])
+    saved_names = set(pieces["saved_names"])
+
+    if fwd_prog.ndim != 3:
+        raise ValueError("plane twin-accum kernels are for 3D domains")
+    n0, n1, n2 = (int(s) for s in spatial)
+    ghost = fwd_prog.ghost
+
+    in_names = [f.name for f in op.forward_input_fields]
+    fields_by_name = {f.name: f for f in op.forward_input_fields}
+    in_keys = [(f.name, idx) for f in op.forward_input_fields
+               for idx in field_components(f)]
+    next_src = {n: carry_map.get(n, n) for n in in_names}
+
+    f_acc = [a for s in fwd_prog.steps for a in s.atoms
+             if isinstance(a, Field.Access)]
+    c_acc = [a for s in cot_prog.steps for a in s.atoms
+             if isinstance(a, Field.Access)]
+    lo_f, hi_f = plane_reach(f_acc)
+    lo_c, hi_c = plane_reach(c_acc)
+    g_cot = [a for s in grad_prog.steps for a in s.atoms
+             if isinstance(a, Field.Access) and a.field.name in view_of]
+    g_prim = [a for s in grad_prog.steps for a in s.atoms
+              if isinstance(a, Field.Access)
+              and a.field.name in saved_names]
+    glo_c, ghi_c = plane_reach(g_cot)
+    glo_p, ghi_p = plane_reach(g_prim)
+    if glo_c > lo_c or ghi_c > hi_c or glo_p > lo_f or ghi_p > hi_f:
+        raise ValueError("coefficient-gradient reach exceeds the chain "
+                         "reaches — plane twin-accum does not apply")
+    LOs, HIs = k * max(lo_f, lo_c), k * max(hi_f, hi_c)
+    LOc, HIc = k * lo_c, k * hi_c
+
+    def _fpair(a):
+        o1, o2 = a.offsets[1], a.offsets[2]
+        return ((a.field.name, a.index, o1, o2) if (o1 or o2) else None)
+
+    shared_fwd = shared_lateral_offsets(fwd_prog.steps, key=_fpair)
+    shared_cot = shared_lateral_offsets(cot_prog.steps, key=_fpair)
+
+    itemsize = jnp.dtype(dtype).itemsize
+    n_saved = k * len([kk_ for kk_ in in_keys if kk_[0] in saved_names])
+    n_live = len(in_keys) * 8 + 3 * n_saved + 8
+    t = tile_planes or pick_plane_tile(n0, max(LOs, LOc), max(HIs, HIc),
+                                       n1 * n2 * itemsize * n_live,
+                                       vmem_limit_bytes)
+    if t is None or n0 % t or t < max(LOs + HIs, LOc + HIc, 1):
+        raise ValueError(f"no viable plane tile for n0={n0}, "
+                         f"halos={(LOs + HIs, LOc + HIc)}")
+    nb = n0 // t
+
+    def fn(state, cots):
+        from .pallas_kernel import _shift_lateral
+
+        arrays, ups, downs = [], [], []
+
+        def add(vol, LO, HI, zero_edges):
+            xr = vol.reshape((nb, t, n1, n2))
+            arrays.append(vol)
+            if LO:
+                if periodic:
+                    ups.append(jnp.roll(xr[:, t - LO:], 1, axis=0))
+                else:
+                    first = (jnp.zeros((1, LO, n1, n2), dtype) if zero_edges
+                             else jnp.broadcast_to(xr[:1, :1],
+                                                   (1, LO, n1, n2)))
+                    ups.append(jnp.concatenate([first, xr[:-1, t - LO:]], 0))
+            if HI:
+                if periodic:
+                    downs.append(jnp.roll(xr[:, :HI], -1, axis=0))
+                else:
+                    last = (jnp.zeros((1, HI, n1, n2), dtype) if zero_edges
+                            else jnp.broadcast_to(xr[-1:, -1:],
+                                                  (1, HI, n1, n2)))
+                    downs.append(jnp.concatenate([xr[1:, :HI], last], 0))
+
+        for name, idx in in_keys:
+            add(plane_view(fields_by_name[name], state[name].astype(dtype),
+                           idx).reshape((n0, n1, n2)), LOs, HIs, False)
+        for name, idx in in_keys:
+            add(plane_view(fields_by_name[name], cots[name].astype(dtype),
+                           idx).reshape((n0, n1, n2)), LOc, HIc, True)
+        n_in = len(arrays)
+        n_up, n_dn = len(ups), len(downs)
+
+        def kernel(*refs):
+            xs = refs[:n_in]
+            up_refs = refs[n_in:n_in + n_up]
+            dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
+            outs = refs[n_in + n_up + n_dn:]
+            tile_i = pl.program_id(0)
+
+            full_s: Dict[tuple, jax.Array] = {}
+            full_c: Dict[tuple, jax.Array] = {}
+            ui = di = pos = 0
+            for group, LO, HI in ((full_s, LOs, HIs), (full_c, LOc, HIc)):
+                for key in in_keys:
+                    parts = []
+                    if LO:
+                        parts.append(up_refs[ui][0])
+                        ui += 1
+                    parts.append(xs[pos][...])
+                    pos += 1
+                    if HI:
+                        parts.append(dn_refs[di][0])
+                        di += 1
+                    group[key] = (jnp.concatenate(parts, axis=0)
+                                  if len(parts) > 1 else parts[0])
+
+            inv_cache: Dict[tuple, jax.Array] = {}
+            (g0l, g0h), (g1l, g1h), (g2l, g2h) = ghost
+
+            def interior(base, ext):
+                shape = (ext, n1, n2)
+                p_ids = (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                         + base)
+                a_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                b_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+                return ((p_ids >= g0l) & (p_ids < n0 - g0h)
+                        & (a_ids >= g1l) & (a_ids < n1 - g1h)
+                        & (b_ids >= g2l) & (b_ids < n2 - g2h))
+
+            # ---- phase 1: forward chain, saving grad-program reads ----
+            cur = {key: full_s[key] for key in in_keys
+                   if not (key[0] in coeff_names
+                           or key[0] in declared_const)}
+            saved: List[Dict] = []
+            for s in range(k):
+                if saved_names:
+                    saved.append({kk_: cur[kk_] for kk_ in cur
+                                  if kk_[0] in saved_names})
+                ext = (LOs + t + HIs) - (s + 1) * (lo_f + hi_f)
+                env: Dict[object, jax.Array] = {}
+                stage_out: Dict[tuple, jax.Array] = {}
+                lat_cache: Dict[tuple, jax.Array] = {}
+
+                def readf(acc, _er=ext, _cur=cur, _c=lat_cache, _s=s):
+                    name_i = (acc.field.name, acc.index)
+                    o1, o2 = acc.offsets[1], acc.offsets[2]
+                    if name_i[0] in coeff_names \
+                            or name_i[0] in declared_const:
+                        start = (_s + 1) * lo_f + acc.offsets[0]
+                        v = _lat2(inv_cache, ("s",) + name_i + (o1, o2),
+                                  full_s[name_i], o1, o2, False,
+                                  interpret, periodic)
+                        return jax.lax.slice_in_dim(v, start,
+                                                    start + _er, axis=0)
+                    start = lo_f + acc.offsets[0]
+                    if _fpair(acc) not in shared_fwd:
+                        v = jax.lax.slice_in_dim(_cur[name_i], start,
+                                                 start + _er, axis=0)
+                        v = _shift_lateral(v, o1, 1, False, interpret,
+                                           periodic)
+                        return _shift_lateral(v, o2, 2, False, interpret,
+                                              periodic)
+                    v = _lat2(_c, name_i + (o1, o2), _cur[name_i], o1, o2,
+                              False, interpret, periodic)
+                    return jax.lax.slice_in_dim(v, start, start + _er,
+                                                axis=0)
+
+                shape_s = (ext, n1, n2)
+                for st in fwd_prog.steps:
+                    vals = [readf(a) if isinstance(a, Field.Access)
+                            else env[a] for a in st.atoms]
+                    res = jnp.broadcast_to(
+                        jnp.asarray(st.fn(*vals), dtype), shape_s)
+                    if st.is_main:
+                        stage_out[(st.target.field.name,
+                                   st.target.index)] = res
+                    else:
+                        env[st.target] = res
+                if not periodic:
+                    m = interior(tile_i * t - (LOs - (s + 1) * lo_f), ext)
+                    stage_out = {key_: jnp.where(m, v, 0)
+                                 for key_, v in stage_out.items()}
+
+                nxt = {}
+                for name, idx in in_keys:
+                    if name in coeff_names or name in declared_const:
+                        continue
+                    src = next_src[name]
+                    if (src, idx) in stage_out:
+                        nxt[(name, idx)] = stage_out[(src, idx)]
+                    elif src in coeff_names or src in declared_const:
+                        nxt[(name, idx)] = jax.lax.slice_in_dim(
+                            full_s[(src, idx)], (s + 1) * lo_f,
+                            (s + 1) * lo_f + ext, axis=0)
+                    else:
+                        nxt[(name, idx)] = jax.lax.slice_in_dim(
+                            cur[(src, idx)], lo_f, lo_f + ext, axis=0)
+                cur = nxt
+
+            # ---- phase 2: transposed cot chain + accumulation ----
+            ct = {key: full_c[key] for key in in_keys
+                  if key[0] in name_of}
+            acc = {key: jnp.zeros((t, n1, n2), dtype) for key in in_keys
+                   if key[0] in coeff_names}
+            for j in range(k):
+                s = k - 1 - j
+                ext_c = (LOc + t + HIc) - j * (lo_c + hi_c)
+                # masked cotangent view: (mask∘A)ᵀ = Aᵀ∘mask — built once
+                # per step at the ct frame extent
+                if periodic:
+                    mview = ct
+                else:
+                    m_j = interior(tile_i * t - (LOc - j * lo_c), ext_c)
+                    mview = {key: jnp.where(m_j, v, 0)
+                             for key, v in ct.items()}
+
+                # --- coefficient-gradient contribution (owned rows) ---
+                genv: Dict[object, jax.Array] = {}
+                glat: Dict[tuple, jax.Array] = {}
+
+                def readg(acc_, _j=j, _s=s, _c=glat, _mv=mview, _ct=ct):
+                    f = acc_.field
+                    o1, o2 = acc_.offsets[1], acc_.offsets[2]
+                    ro = acc_.offsets[0]
+                    if f.name in view_of:
+                        m = view_of[f.name]
+                        src = (_mv if f.name in masked_views else _ct)
+                        start = (LOc - _j * lo_c) + ro
+                        v = jax.lax.slice_in_dim(src[(m, acc_.index)],
+                                                 start, start + t, axis=0)
+                        v = _shift_lateral(v, o1, 1, False, interpret,
+                                           periodic)
+                        return _shift_lateral(v, o2, 2, False, interpret,
+                                              periodic)
+                    if f.name in coeff_names or f.name in declared_const:
+                        v = _lat2(inv_cache,
+                                  ("s", f.name, acc_.index, o1, o2),
+                                  full_s[(f.name, acc_.index)], o1, o2,
+                                  False, interpret, periodic)
+                        return jax.lax.slice_in_dim(v, LOs + ro,
+                                                    LOs + ro + t, axis=0)
+                    sv = saved[_s][(f.name, acc_.index)]
+                    start = (LOs - _s * lo_f) + ro
+                    v = jax.lax.slice_in_dim(sv, start, start + t, axis=0)
+                    v = _shift_lateral(v, o1, 1, False, interpret,
+                                       periodic)
+                    return _shift_lateral(v, o2, 2, False, interpret,
+                                          periodic)
+
+                for st in grad_prog.steps:
+                    vals = [readg(a) if isinstance(a, Field.Access)
+                            else genv[a] for a in st.atoms]
+                    res = jnp.broadcast_to(
+                        jnp.asarray(st.fn(*vals), dtype), (t, n1, n2))
+                    if st.is_main:
+                        m = st.target.field.name[len("gsum_"):]
+                        acc[(m, st.target.index)] = (
+                            acc[(m, st.target.index)] + res)
+                    else:
+                        genv[st.target] = res
+
+                # --- advance the cotangent chain one step ---
+                ext_n = ext_c - (lo_c + hi_c)
+                cenv: Dict[object, jax.Array] = {}
+                clat: Dict[tuple, jax.Array] = {}
+                cot_out: Dict[tuple, jax.Array] = {}
+
+                def readc(acc_, _er=ext_n, _mv=mview, _ct=ct, _c=clat,
+                          _j=j):
+                    f = acc_.field
+                    o1, o2 = acc_.offsets[1], acc_.offsets[2]
+                    ro = acc_.offsets[0]
+                    if f.name in view_of:
+                        m = view_of[f.name]
+                        src = (_mv if f.name in masked_views else _ct)
+                        start = lo_c + ro
+                        if _fpair(acc_) not in shared_cot:
+                            v = jax.lax.slice_in_dim(src[(m, acc_.index)],
+                                                     start, start + _er,
+                                                     axis=0)
+                            v = _shift_lateral(v, o1, 1, False, interpret,
+                                               periodic)
+                            return _shift_lateral(v, o2, 2, False,
+                                                  interpret, periodic)
+                        v = _lat2(_c, (f.name, acc_.index, o1, o2),
+                                  src[(m, acc_.index)], o1, o2, False,
+                                  interpret, periodic)
+                        return jax.lax.slice_in_dim(v, start, start + _er,
+                                                    axis=0)
+                    # coefficient read: new ct frame local 0 sits at
+                    # full_s offset LOs − lo_c·(k−j−1)
+                    start = LOs - lo_c * (k - _j - 1) + ro
+                    v = _lat2(inv_cache, ("s", f.name, acc_.index, o1, o2),
+                              full_s[(f.name, acc_.index)], o1, o2,
+                              False, interpret, periodic)
+                    return jax.lax.slice_in_dim(v, start, start + _er,
+                                                axis=0)
+
+                for st in cot_prog.steps:
+                    vals = [readc(a) if isinstance(a, Field.Access)
+                            else cenv[a] for a in st.atoms]
+                    res = jnp.broadcast_to(
+                        jnp.asarray(st.fn(*vals), dtype), (ext_n, n1, n2))
+                    if st.is_main:
+                        cot_out[(st.target.field.name,
+                                 st.target.index)] = res
+                    else:
+                        cenv[st.target] = res
+                ct = {}
+                for m in name_of:
+                    f = fields_by_name[m]
+                    for idx in field_components(f):
+                        ct[(m, idx)] = cot_out[(f"cot_{m}_out", idx)]
+
+            # ---- outputs ----
+            for jj, key in enumerate(in_keys):
+                if key[0] in coeff_names or key[0] in declared_const:
+                    outs[jj][...] = jax.lax.slice_in_dim(
+                        full_s[key], LOs, LOs + t, axis=0)
+                else:
+                    fin = LOs - k * lo_f
+                    outs[jj][...] = jax.lax.slice_in_dim(
+                        cur[key], fin, fin + t, axis=0)
+            for jj, key in enumerate(in_keys):
+                o = len(in_keys) + jj
+                if key[0] in name_of:
+                    outs[o][...] = ct[key]
+                elif key[0] in coeff_names:
+                    outs[o][...] = (jax.lax.slice_in_dim(
+                        full_c[key], LOc, LOc + t, axis=0) + acc[key])
+                else:
+                    outs[o][...] = jax.lax.slice_in_dim(
+                        full_c[key], LOc, LOc + t, axis=0)
+
+        vol_spec = pl.BlockSpec((t, n1, n2), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def strip_spec(shape):
+            return pl.BlockSpec((1,) + shape[1:], lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        result = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            out_shape=tuple(jax.ShapeDtypeStruct((n0, n1, n2), dtype)
+                            for _ in range(2 * len(in_keys))),
+            in_specs=[vol_spec] * n_in + [strip_spec(u.shape) for u in ups]
+            + [strip_spec(d.shape) for d in downs],
+            out_specs=tuple(vol_spec for _ in range(2 * len(in_keys))),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=scoped_vmem(vmem_limit_bytes)),
+        )(*arrays, *ups, *downs)
+
+        from .common import assemble_planes
+
+        def restack(flat, base):
+            out, pos = {}, base
+            for f in op.forward_input_fields:
+                comps = field_components(f)
+                vols = [flat[pos + j] for j in range(len(comps))]
+                pos += len(comps)
+                out[f.name] = assemble_planes(f, vols, spatial)
             return out
 
         return restack(result, 0), restack(result, len(in_keys))

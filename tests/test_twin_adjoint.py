@@ -142,3 +142,98 @@ def test_variable_coeff_diffusion_2d_exact():
         np.testing.assert_allclose(np.asarray(ct[n]),
                                    np.asarray(ref_cot[n]),
                                    rtol=RTOL, atol=ATOL, err_msg=f"cot {n}")
+
+
+# ---- 3D plane twin-accum (config #2's structure) ---------------------------
+
+@pytest.mark.parametrize("periodic", [False, True])
+@pytest.mark.parametrize("k", [1, 2])
+def test_diffusion3d_plane_twin_accum_exact(periodic, k):
+    """Variable-κ 3D diffusion — state-linear with invariant κ — routes
+    through the plane twin-accum kernel for BOTH periodic and bounded
+    domains (bounded: adjoint-mapped reads ride the mask⊙cot view) and
+    matches sequential jax.vjp exactly, κ-gradient included."""
+    from pystencils_autodiff_tpu.models import diffusion3d_op
+
+    op = diffusion3d_op(dt=0.05, dtype="float64")
+    carry = {"u": "u_next"}
+    assert state_coeff_twin(op, carry) is not None
+    names = ["kappa", "u"]
+    shape = (12, 10, 16)
+    state = {"u": jax.random.normal(jax.random.PRNGKey(0), shape,
+                                    jnp.float64),
+             "kappa": 1.0 + 0.1 * jax.random.normal(
+                 jax.random.PRNGKey(1), shape, jnp.float64) ** 2}
+    cots = {n: jax.random.normal(jax.random.PRNGKey(9 + i), shape,
+                                 jnp.float64)
+            for i, n in enumerate(names)}
+    ch = fused_chain_vjp(op, k, carry, periodic=periodic, interpret=True)
+    st, ct = ch(dict(state), dict(cots))
+
+    step = make_time_stepper(op, carry,
+                             lowering="jnp" if periodic else "pallas",
+                             periodic=periodic,
+                             **({} if periodic else {"interpret": True}))
+
+    def run(s0):
+        for _ in range(k):
+            s0 = step(s0)
+        return {n: s0[n] for n in names}
+
+    ref_state, pull = jax.vjp(run, state)
+    (ref_cot,) = pull(cots)
+    for n in names:
+        np.testing.assert_allclose(np.asarray(st[n]),
+                                   np.asarray(ref_state[n]),
+                                   rtol=RTOL, atol=ATOL, err_msg=f"state {n}")
+        np.testing.assert_allclose(np.asarray(ct[n]),
+                                   np.asarray(ref_cot[n]),
+                                   rtol=RTOL, atol=ATOL, err_msg=f"cot {n}")
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_wave3d_like_plane_twin_accum(periodic):
+    """A 3D wave-like op with pass-through carry (u_prev <- u_curr):
+    the bounded mask must hit only adjoint-mapped cotangent reads, not
+    the pass-through term — the mcot/cot view split."""
+    u, up, c, un = fields("u3, up3, c3, un3", 3)
+    lap = (u[1, 0, 0] + u[-1, 0, 0] + u[0, 1, 0] + u[0, -1, 0]
+           + u[0, 0, 1] + u[0, 0, -1] - 6 * u[0, 0, 0])
+    op = AutoDiffOp([Assignment(
+        un[0, 0, 0], 2 * u[0, 0, 0] - up[0, 0, 0]
+        + (0.01 * c[0, 0, 0]) ** 2 * lap)], op_name="wave3d_twinacc",
+        time_constant_fields=[c])
+    carry = {"u3": "un3", "up3": "u3"}
+    pieces = state_coeff_twin(op, carry)
+    assert pieces is not None and pieces["coeff_names"] == ["c3"]
+    names = ["c3", "u3", "up3"]
+    k = 2
+    shape = (12, 10, 16)
+    uv = jax.random.normal(jax.random.PRNGKey(2), shape, jnp.float64)
+    state = {"u3": uv, "up3": 0.9 * uv,
+             "c3": 2.0 + 0.3 * jax.random.normal(
+                 jax.random.PRNGKey(3), shape, jnp.float64) ** 2}
+    cots = {n: jax.random.normal(jax.random.PRNGKey(13 + i), shape,
+                                 jnp.float64)
+            for i, n in enumerate(names)}
+    ch = fused_chain_vjp(op, k, carry, periodic=periodic, interpret=True)
+    st, ct = ch(dict(state), dict(cots))
+    step = make_time_stepper(op, carry,
+                             lowering="jnp" if periodic else "pallas",
+                             periodic=periodic,
+                             **({} if periodic else {"interpret": True}))
+
+    def run(s0):
+        for _ in range(k):
+            s0 = step(s0)
+        return {n: s0[n] for n in names}
+
+    ref_state, pull = jax.vjp(run, state)
+    (ref_cot,) = pull(cots)
+    for n in names:
+        np.testing.assert_allclose(np.asarray(st[n]),
+                                   np.asarray(ref_state[n]),
+                                   rtol=RTOL, atol=ATOL, err_msg=f"state {n}")
+        np.testing.assert_allclose(np.asarray(ct[n]),
+                                   np.asarray(ref_cot[n]),
+                                   rtol=RTOL, atol=ATOL, err_msg=f"cot {n}")
