@@ -194,7 +194,8 @@ def _default_timer(chain_fn, state, k: int, calls: int, repeats: int,
                 return st2[names[0]]
         return f
 
-    t = slope_timed(make, dict(state), calls, 2 * calls, repeats=repeats)
+    t = slope_timed(make, dict(state), calls, 2 * calls, repeats=repeats,
+                    on_noise="raise")
     return max(t / k, 1e-12)
 
 

@@ -41,7 +41,7 @@ def fetch_timed(fn: Callable, *args, repeats: int = 5) -> float:
 
 def slope_timed(make_fn: Callable[[int], Callable], x, n1: int, n2: int,
                 repeats: int = 5, min_delta_s: float = None,
-                max_calls: int = 128) -> float:
+                max_calls: int = 128, on_noise: str = "warn") -> float:
     """Per-iteration time by the two-point slope method: run ``n1`` and
     ``n2 > n1`` chained iterations and return ``(T(n2) − T(n1)) / (n2−n1)``.
 
@@ -82,12 +82,19 @@ def slope_timed(make_fn: Callable[[int], Callable], x, n1: int, n2: int,
         # clamped positive below
         if min_delta_s <= 0 or delta >= min_delta_s or n2 >= max_calls:
             if 0 < min_delta_s and delta < min_delta_s:
+                msg = (f"slope_timed: difference {delta * 1e3:.3f} ms "
+                       f"below the {min_delta_s * 1e3:.1f} ms jitter "
+                       f"floor even at n2={n2} calls — result is "
+                       f"noise-limited")
+                if on_noise == "raise":
+                    # comparative consumers (autotune sweeps) must not
+                    # rank candidates on noise: a clamped near-zero slope
+                    # would WIN the sweep (observed: 3.9e-12 s/step in a
+                    # killed sweep's partial record)
+                    raise RuntimeError(msg)
                 import logging
                 logging.getLogger(
-                    "pystencils_autodiff_tpu.benchmark").warning(
-                    "slope_timed: difference %.3f ms below the %.1f ms "
-                    "jitter floor even at n2=%d calls — result is "
-                    "noise-limited", delta * 1e3, min_delta_s * 1e3, n2)
+                    "pystencils_autodiff_tpu.benchmark").warning(msg)
             return max(delta, 1e-9) / (n2 - n1)
         n1, n2 = 2 * n1, 2 * n2
 
