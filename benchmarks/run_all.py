@@ -181,10 +181,11 @@ def main():
     bench("2 diff3d fwd", lambda a: f(kappa=k3, u=a), x3, 3)
     bench("2 diff3d fwd+adj", lambda a: jax.grad(
         lambda b: jnp.sum(f(kappa=k3, u=b) * b))(a), x3, 6)
-    # 3D two-phase chains ride the plane-blocked geometry (round 4:
-    # halo = k·reach planes, so 384³ compiles where the flattened-row
-    # kernel crashed the remote Mosaic compiler); 256³ row kept for
-    # session-over-session comparison
+    # diffusion is state-linear with invariant κ, so its value+κ-gradient
+    # chains ride the plane twin-accum kernel (round 5: halo k·reach per
+    # block, κ-gradient accumulated per stage on owned planes — compiles
+    # at 384³ where the two-phase kernel OOM'd scoped VMEM); 256³ row
+    # kept for session-over-session comparison
     nc = min(n3, 256)
     xc = x3[:nc, :nc, :nc]
     kc = k3[:nc, :nc, :nc]
@@ -192,9 +193,13 @@ def main():
                 {"u": "u_next"}, {"u": xc, "kappa": kc}, k=2, n_arrays=6,
                 periodic=False, calls=2)
     if n3 > nc:
-        bench_chain(f"2 diff3d chain k=2 fwd+adj ({n3}^3 plane two-phase)",
+        bench_chain(f"2 diff3d chain k=2 fwd+adj ({n3}^3 twin-accum)",
                     diffusion3d_op(dt=0.05), {"u": "u_next"},
                     {"u": x3, "kappa": k3}, k=2, n_arrays=6,
+                    periodic=False, calls=2)
+        bench_chain(f"2 diff3d chain k=4 fwd+adj ({n3}^3 twin-accum)",
+                    diffusion3d_op(dt=0.05), {"u": "u_next"},
+                    {"u": x3, "kappa": k3}, k=4, n_arrays=6,
                     periodic=False, calls=2)
 
     # config 3: wave step (the FWI kernel)
