@@ -53,7 +53,8 @@ from .common import (field_components, forward_program, lat_shifted_read,
                      make_program, plane_view, scoped_vmem,
                      shared_lateral_offsets)
 
-__all__ = ["state_coeff_twin", "make_twin_accum_vjp_fn"]
+__all__ = ["state_coeff_twin", "make_twin_accum_vjp_fn",
+           "make_plane_twin_accum_vjp_fn"]
 
 
 class _All:
