@@ -120,6 +120,27 @@ def sec_probe():
                   f"{str(e)[:300]}", flush=True)
 
 
+def sec_sweeps_trim():
+    """Trimmed sweeps for a short session: outer-jit compiles on the
+    relay cost ~10 min per candidate at 8192², so sweep only the
+    highest-value axes (wave k=4 tiles; aniso27 twin tiles at k=2)."""
+    from pystencils_autodiff_tpu.models import anisotropic27_op, wave_step_op
+
+    key = jax.random.PRNGKey(0)
+    n2 = 8192
+    x2 = jax.random.normal(key, (n2, n2), jnp.float32)
+    c2 = 2.0 + jnp.zeros((n2, n2), jnp.float32)
+    sweep("wave twin-accum vjp k=4 tiles", wave_step_op(),
+          {"u_curr": "u_next", "u_prev": "u_curr"},
+          {"u_curr": x2, "u_prev": x2, "c": c2},
+          k_cands=(4,), tile_cands=(None, 16, 32, 64))
+    n3 = 384
+    x3 = jax.random.normal(key, (n3, n3, n3), jnp.float32)
+    sweep("aniso27 twin vjp k=2 tiles 384^3", anisotropic27_op(),
+          {"u": "y"}, {"u": x3}, k_cands=(2,),
+          tile_cands=(None, 8, 16, 32, 48))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--section", default="all")
@@ -129,6 +150,8 @@ def main():
         sec_probe()
     if args.section in ("all", "sweeps"):
         sec_sweeps()
+    if args.section == "sweeps2":
+        sec_sweeps_trim()
 
 
 if __name__ == "__main__":
