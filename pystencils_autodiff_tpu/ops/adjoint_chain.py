@@ -841,7 +841,12 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
     if not probes and ((periodic and nd == 2) or nd == 3):
         from .twin_adjoint import state_coeff_twin
 
-        accum_pieces = state_coeff_twin(op, carry_map)
+        # allow_no_coeff: bounded 3D PURE-linear ops (heat3d) take the
+        # "bounded twin" — forward + masked transposed chain with halved
+        # halos (periodic linear never reaches here; the ordinary twin
+        # fast path returns first)
+        accum_pieces = state_coeff_twin(
+            op, carry_map, allow_no_coeff=(nd == 3 and not periodic))
 
     def chain_grad(state, cot_state, probe_cots=()):
         from .guard import guard_variants, tuning_tag as _tuning_tag

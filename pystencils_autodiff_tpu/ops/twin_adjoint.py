@@ -79,9 +79,16 @@ def _reachable_subexprs(subexprs, mains):
     return list(reversed(keep))
 
 
-def state_coeff_twin(op, carry_map: Dict[str, str]):
+def state_coeff_twin(op, carry_map: Dict[str, str],
+                     allow_no_coeff: bool = False):
     """Detect the state-linear / invariant-differentiable-coefficient
     structure and build its pieces.
+
+    ``allow_no_coeff=True`` also matches PURE linear ops (no
+    differentiable coefficient at all): ``grad_prog`` is then ``None``
+    and the kernel runs as a "bounded twin" — forward chain + masked
+    transposed cotangent chain with separate (halved) halos — the
+    bounded-domain analog of the periodic twin fast path.
 
     Returns ``None`` when the decomposition does not apply, else a dict:
 
@@ -114,7 +121,7 @@ def state_coeff_twin(op, carry_map: Dict[str, str]):
     grad_targets = {a.lhs.field.corresponding_forward_field.name
                     for a in coll.main_assignments}
     coeff_names = sorted((inv & grad_targets) - declared_const)
-    if not coeff_names:
+    if not coeff_names and not allow_no_coeff:
         return None  # plain linear case: transposed_linear_op handles it
     # plain (non-adjoint) fields the cot advance may read
     allowed_plain = (inv | declared_const)
@@ -218,6 +225,15 @@ def state_coeff_twin(op, carry_map: Dict[str, str]):
     name_of = {m: cot_field[m].name for m in diff_names}
 
     # --- the per-stage coefficient-gradient program -------------------------
+    if not coeff_names:
+        view_of = {cot_field[m].name: m for m in diff_names}
+        view_of.update({mcot_field[m].name: m for m in diff_names})
+        return {"cot_op": cot_op, "cot_carry": cot_carry,
+                "name_of": name_of, "plain_reads": plain_reads,
+                "coeff_names": [], "grad_prog": None, "saved_names": [],
+                "declared_const": sorted(declared_const),
+                "view_of": view_of,
+                "masked_views": {mcot_field[m].name for m in diff_names}}
     sub_coeff = _reachable_subexprs(coll.subexpressions, coeff_mains)
     gsubex, gmains = [], []
     for a in sub_coeff:
@@ -635,9 +651,10 @@ def make_plane_twin_accum_vjp_fn(op, k: int, carry_map: Dict[str, str],
              if isinstance(a, Field.Access)]
     lo_f, hi_f = plane_reach(f_acc)
     lo_c, hi_c = plane_reach(c_acc)
-    g_cot = [a for s in grad_prog.steps for a in s.atoms
+    g_steps = grad_prog.steps if grad_prog is not None else []
+    g_cot = [a for s in g_steps for a in s.atoms
              if isinstance(a, Field.Access) and a.field.name in view_of]
-    g_prim = [a for s in grad_prog.steps for a in s.atoms
+    g_prim = [a for s in g_steps for a in s.atoms
               if isinstance(a, Field.Access)
               and a.field.name in saved_names]
     glo_c, ghi_c = plane_reach(g_cot)
@@ -857,7 +874,7 @@ def make_plane_twin_accum_vjp_fn(op, k: int, carry_map: Dict[str, str],
                     return _shift_lateral(v, o2, 2, False, interpret,
                                           periodic)
 
-                for st in grad_prog.steps:
+                for st in g_steps:
                     vals = [readg(a) if isinstance(a, Field.Access)
                             else genv[a] for a in st.atoms]
                     res = jnp.broadcast_to(

@@ -237,3 +237,42 @@ def test_wave3d_like_plane_twin_accum(periodic):
         np.testing.assert_allclose(np.asarray(ct[n]),
                                    np.asarray(ref_cot[n]),
                                    rtol=RTOL, atol=ATOL, err_msg=f"cot {n}")
+
+
+def test_heat3d_bounded_twin_exact():
+    """Pure-linear bounded 3D (no coefficient): the 'bounded twin' —
+    forward chain + masked transposed cotangent chain with separate
+    halos — must match sequential jax.vjp exactly."""
+    u, un = fields("uh3, uh3_next", 3)
+    op = AutoDiffOp([Assignment(
+        un[0, 0, 0], u[0, 0, 0] + 0.1 * (
+            u[1, 0, 0] + u[-1, 0, 0] + u[0, 1, 0] + u[0, -1, 0]
+            + u[0, 0, 1] + u[0, 0, -1] - 6 * u[0, 0, 0]))],
+        op_name="heat3d_btwin")
+    carry = {"uh3": "uh3_next"}
+    pieces = state_coeff_twin(op, carry, allow_no_coeff=True)
+    assert pieces is not None and pieces["grad_prog"] is None
+    k = 2
+    shape = (12, 10, 16)
+    state = {"uh3": jax.random.normal(jax.random.PRNGKey(0), shape,
+                                      jnp.float64)}
+    cots = {"uh3": jax.random.normal(jax.random.PRNGKey(1), shape,
+                                     jnp.float64)}
+    ch = fused_chain_vjp(op, k, carry, periodic=False, interpret=True)
+    st, ct = ch(dict(state), dict(cots))
+    step = make_time_stepper(op, carry, lowering="pallas", periodic=False,
+                             interpret=True)
+
+    def run(s0):
+        for _ in range(k):
+            s0 = step(s0)
+        return {"uh3": s0["uh3"]}
+
+    ref_state, pull = jax.vjp(run, state)
+    (ref_cot,) = pull(cots)
+    np.testing.assert_allclose(np.asarray(st["uh3"]),
+                               np.asarray(ref_state["uh3"]),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(ct["uh3"]),
+                               np.asarray(ref_cot["uh3"]),
+                               rtol=RTOL, atol=ATOL)
