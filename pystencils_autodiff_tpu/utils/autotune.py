@@ -199,6 +199,47 @@ def _default_timer(chain_fn, state, k: int, calls: int, repeats: int,
     return max(t / k, 1e-12)
 
 
+def _cheap_timer(chain_fn, state, k: int, calls: int, repeats: int,
+                 vjp: bool) -> float:
+    """Candidate-PRUNING timer: per-step seconds from a two-point slope
+    over a DYNAMIC-length ``fori_loop`` of chain calls — ONE outer XLA
+    compile per candidate instead of two fully-unrolled jits.
+
+    Measured round 5: the unrolled slope timer costs ~10 min of relay
+    round-trips per candidate at 8192² (the Mosaic kernel itself
+    compiles in 3–23 s; the outer unrolled modules dominate).  The
+    while-loop carry-copy overhead this timer picks up is common-mode
+    across candidates of the SAME op/shape, so the RANKING it produces
+    is sound; the sweep re-times only the winner with the honest
+    unrolled timer before caching (``_run_sweep``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .benchmark import fetch_timed
+
+    names = sorted(state)
+    if vjp:
+        cots = {n: jnp.ones_like(state[n]) for n in names}
+
+        @jax.jit
+        def f(st, n):
+            def body(_, carry):
+                ns, c0 = chain_fn(carry[0], carry[1])
+                return (ns, {m: c0.get(m, carry[1][m]) for m in names})
+            st2, _ = jax.lax.fori_loop(0, n, body, (st, cots))
+            return st2[names[0]]
+    else:
+        @jax.jit
+        def f(st, n):
+            return jax.lax.fori_loop(
+                0, n, lambda _, c: chain_fn(c), st)[names[0]]
+
+    n1, n2 = calls, 4 * calls
+    t1 = fetch_timed(lambda s: f(s, n1), dict(state), repeats=repeats)
+    t2 = fetch_timed(lambda s: f(s, n2), dict(state), repeats=repeats)
+    return max(t2 - t1, 1e-9) / (k * (n2 - n1))
+
+
 def autotune_chain(op, carry_map: Dict[str, str], state,
                    k_candidates: Sequence[int] = (2, 3, 4, 6, 8),
                    tile_candidates: Sequence[Optional[int]] = (None,),
@@ -279,18 +320,20 @@ def autotune_chain(op, carry_map: Dict[str, str], state,
     canonical = (None if other_kwargs else _canonical_key(
         "chain", direction, op.op_name, can_spatial, str(arr0.dtype),
         periodic, device, interp=bool(chain_kwargs.get("interpret"))))
+    fast = timer is None and sweep == "fast"
     return _run_sweep(build, key, state, k_candidates, tile_candidates,
                       timer or _default_timer, vjp, calls, repeats,
                       use_cache, force, "autotune_chain",
-                      canonical=canonical,
-                      early_stop=(timer is None and sweep == "fast"))
+                      canonical=canonical, early_stop=fast,
+                      prune_timer=_cheap_timer if fast else None)
 
 
 def _run_sweep(build, key: str, state, k_candidates, tile_candidates,
                timer, timer_flag: bool, calls: int, repeats: int,
                use_cache: bool, force: bool, what: str,
                canonical: Optional[str] = None,
-               early_stop: bool = False) -> TuneResult:
+               early_stop: bool = False,
+               prune_timer: Optional[Callable] = None) -> TuneResult:
     """Shared sweep engine: cache-hit shortcut, (k, tile) loop with
     skip-on-failure, winner selection, persistence.  ``canonical``: the
     candidate-set-independent key that chain builds consult by default
@@ -306,6 +349,11 @@ def _run_sweep(build, key: str, state, k_candidates, tile_candidates,
       the running best, deeper candidates are skipped — temporal-blocking
       cost is amortisation-then-overlap, monotone past the minimum, so
       the skipped compiles (the deepest = the most expensive) cannot win.
+    * ``prune_timer``: a cheap RANKING timer used for candidates (one
+      dynamic-length outer jit instead of two unrolled ones, ~3–4× less
+      relay compile time per candidate); the winner alone is re-timed
+      with the honest ``timer`` before being cached, so the persisted
+      ``per_step_s`` stays tv2-comparable.
     * **Partial persistence**: every measured candidate is written to the
       cache (``key|partial``) immediately, so a sweep interrupted by a
       relay outage resumes where it stopped instead of recompiling
@@ -349,7 +397,8 @@ def _run_sweep(build, key: str, state, k_candidates, tile_candidates,
                 continue
             try:
                 fn = build(k, tile)
-                t = timer(fn, state, k, calls, repeats, timer_flag)
+                t = (prune_timer or timer)(fn, state, k, calls, repeats,
+                                           timer_flag)
             except Exception as e:
                 logger.warning("autotune: candidate k=%d tile=%s failed "
                                "(%s: %s)", k, tile, type(e).__name__,
@@ -380,6 +429,18 @@ def _run_sweep(build, key: str, state, k_candidates, tile_candidates,
             f"{what}: no viable candidates")
 
     (best_k, best_tile), best_t = min(table.items(), key=lambda kv: kv[1])
+    if prune_timer is not None:
+        # the cached per_step_s must come from the HONEST timer (cheap
+        # ranking numbers carry while-loop carry-copy overhead)
+        try:
+            win = fns.get((best_k, best_tile)) or build(best_k, best_tile)
+            fns[(best_k, best_tile)] = win
+            best_t = timer(win, state, best_k, calls, repeats, timer_flag)
+            table[(best_k, best_tile)] = best_t
+        except Exception as e:
+            logger.warning("autotune: winner re-time failed (%s: %s); "
+                           "keeping the ranking-timer value",
+                           type(e).__name__, str(e)[:120])
     if use_cache:
         cache.pop(partial_key, None)
         cache[key] = {"k": best_k, "tile_rows": best_tile,

@@ -384,17 +384,24 @@ def test_stage_chain_boundary_key_is_canonical(tune_cache):
 # ---- budgeted sweeps (VERDICT round-4 next #8) ------------------------------
 
 def test_early_stop_skips_deeper_candidates(tune_cache, monkeypatch):
-    """With the DEFAULT timer and sweep='fast', a depth >10% slower than
-    the running best stops the sweep — the deepest (most expensive)
-    compiles are skipped when they cannot win."""
+    """With the DEFAULT timer and sweep='fast', candidates are ranked by
+    the cheap prune timer; a depth >10% slower than the running best
+    stops the sweep — the deepest (most expensive) compiles are skipped
+    when they cannot win — and the winner alone is re-timed with the
+    honest timer."""
     from pystencils_autodiff_tpu.utils import autotune as at
 
-    seen = []
+    seen, finalized = [], []
 
-    def fake_default(chain_fn, state, k, calls, repeats, vjp):
+    def fake_cheap(chain_fn, state, k, calls, repeats, vjp):
         seen.append(k)
         return {2: 1e-3, 4: 2e-3, 6: 5e-4, 8: 4e-4}[k]
 
+    def fake_default(chain_fn, state, k, calls, repeats, vjp):
+        finalized.append(k)
+        return {2: 3e-3, 4: 2e-3, 6: 1.5e-3, 8: 5e-4}[k]
+
+    monkeypatch.setattr(at, "_cheap_timer", fake_cheap)
     monkeypatch.setattr(at, "_default_timer", fake_default)
     op = heat_step_op(dt=0.1)
     res = autotune_chain(op, {"u": "u_next"}, _state(),
@@ -403,14 +410,17 @@ def test_early_stop_skips_deeper_candidates(tune_cache, monkeypatch):
     # k=4 is >10% over k=2 -> stop; 6 and 8 never built/measured
     assert seen == [2, 4]
     assert res.best["k"] == 2
+    # winner re-timed honestly; the cached per_step_s is the honest value
+    assert finalized == [2]
+    assert res.per_step_s == 3e-3
 
-    # sweep='full' measures everything (fresh key via different candidates
-    # is NOT needed: force re-measures)
+    # sweep='full' measures everything with the honest timer directly
     seen.clear()
+    finalized.clear()
     res2 = autotune_chain(op, {"u": "u_next"}, _state(),
                           k_candidates=(2, 4, 6, 8), periodic=True,
                           interpret=True, sweep="full", force=True)
-    assert seen == [2, 4, 6, 8]
+    assert seen == [] and finalized == [2, 4, 6, 8]
     assert res2.best["k"] == 8
 
 
