@@ -1003,11 +1003,22 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                     return b
 
                 variants = []
+                # pure-linear bounded twins (no coefficient) only beat the
+                # two-phase kernel once the halo halving matters: at k=2
+                # the two-phase measured 434 vs the twin's 378 GB/s eff on
+                # heat3d 384³, while coefficient-bearing ops need the twin
+                # at every depth (the two-phase OOMs or runs 0.5× there)
+                accum_first = accum_pieces is not None and (
+                    accum_pieces["coeff_names"] or k >= 4)
+                accum_variants = []
                 if accum_pieces is not None:
-                    variants.append(("twin_accum", probed(build_accum)))
-                    variants.append(("twin_accum_vmem/2",
-                                     probed(lambda: build_accum(
-                                         vmem_limit_bytes // 2))))
+                    accum_variants = [
+                        ("twin_accum", probed(build_accum)),
+                        ("twin_accum_vmem/2",
+                         probed(lambda: build_accum(
+                             vmem_limit_bytes // 2)))]
+                if accum_first:
+                    variants += accum_variants
                 if use_plane:
                     variants.append(("plane_two_phase",
                                      probed(build_plane)))
@@ -1036,6 +1047,8 @@ def fused_chain_vjp(op, k: int, carry_map: Dict[str, str],
                         "fused_two_phase",
                         probed(lambda: build(spatial, arr0.dtype,
                                              interp))))
+                if not accum_first:
+                    variants += accum_variants
                 variants.append(("sequential_recompute",
                                  lambda: build_sequential_fallback(interp)))
                 name, fn, result = guard_variants(
