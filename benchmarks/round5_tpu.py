@@ -36,7 +36,7 @@ def sweep(tag, op, carry, state, k_cands, tile_cands, **kw):
         res = autotune_chain(op, carry, state, k_candidates=k_cands,
                              tile_candidates=tile_cands, vjp=True,
                              periodic=kw.pop("periodic", True),
-                             calls=2, repeats=2, **kw)
+                             calls=kw.pop("calls", 2), repeats=2, **kw)
     except Exception as e:
         print(f"{tag}: sweep FAILED {type(e).__name__}: {str(e)[:160]}",
               flush=True)
@@ -141,7 +141,56 @@ def sec_sweeps_trim():
           tile_cands=(None, 8, 16, 32, 48))
 
 
+def sec_sweeps_3d():
+    """Session-4 sweeps: the three OPEN 3D configs (#1b 491, #2 276,
+    #4 219 eff).  The default ``pick_plane_tile`` lands on t=6 planes at
+    384³ (the conservative ``n_live`` estimate), i.e. a 2-plane halo on
+    a 6-plane tile — 33 % redundant compute plus 64 grid blocks of
+    per-block concat; none of these shapes ever had a hardware tile
+    sweep (sessions 1–3 truncated on outer-jit relay cost).  Candidate
+    lists are LEAN: a candidate costs ~5–7 min of relay compiles even
+    with the prune timer, so each sweep carries the two tiles the VMEM
+    arithmetic says should bracket the optimum.  The 2D headline sweep
+    runs FIRST (exact bench.py candidate sets, so the driver's
+    end-of-round run cache-hits instead of cold-sweeping — the tune
+    cache is per-container and this container started empty)."""
+    from pystencils_autodiff_tpu.models import (anisotropic27_op,
+                                                diffusion3d_op,
+                                                heat_step3d_op,
+                                                heat_step_op)
+
+    key = jax.random.PRNGKey(0)
+    n2 = 8192
+    x2 = jax.random.normal(key, (n2, n2), jnp.float32)
+    sweep("heat2d headline vjp 8192^2", heat_step_op(dt=0.1),
+          {"u": "u_next"}, {"u": x2}, k_cands=(2, 4, 8),
+          tile_cands=(None,), calls=4)
+
+    n3 = 384
+    x3 = jax.random.normal(key, (n3, n3, n3), jnp.float32)
+
+    # config #1b: heat3d periodic twin (the 3D-Laplacian north star row)
+    sweep("heat3d periodic twin vjp 384^3", heat_step3d_op(dt=0.1),
+          {"u": "u_next"}, {"u": x3},
+          k_cands=(2, 4), tile_cands=(16, 48))
+
+    # config #4: aniso27 periodic twin — tile is the untested axis
+    sweep("aniso27 twin vjp 384^3", anisotropic27_op(), {"u": "y"},
+          {"u": x3}, k_cands=(2,), tile_cands=(16, 48))
+
+    # config #2: diff3d bounded twin-accum (many live volumes: modest
+    # tiles only; k=4 OOM'd at the default tile in the r5s3 table)
+    k3 = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(1),
+                                       (n3, n3, n3), jnp.float32) ** 2
+    sweep("diff3d twin-accum vjp 384^3", diffusion3d_op(dt=0.05),
+          {"u": "u_next"}, {"u": x3, "kappa": k3},
+          k_cands=(2,), tile_cands=(8, 16), periodic=False)
+
+
 def main():
+    import logging
+
+    logging.basicConfig(level=logging.INFO)  # autotune progress lines
     ap = argparse.ArgumentParser()
     ap.add_argument("--section", default="all")
     args, _ = ap.parse_known_args()
@@ -152,6 +201,8 @@ def main():
         sec_sweeps()
     if args.section == "sweeps2":
         sec_sweeps_trim()
+    if args.section == "sweeps3d":
+        sec_sweeps_3d()
 
 
 if __name__ == "__main__":
