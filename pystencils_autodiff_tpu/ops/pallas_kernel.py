@@ -746,6 +746,55 @@ def _run_row_tiled(program: StencilProgram, inputs: Dict[str, jax.Array],
 
 
 # ---------------------------------------------------------------------------
+# Strategy D: plane-blocked single step (3D) — the k=1 degenerate chain
+# ---------------------------------------------------------------------------
+
+
+def _run_plane_single(program: StencilProgram, inputs: Dict[str, jax.Array],
+                      spatial, dtype, interpret: bool,
+                      tile_rows: Optional[int] = None,
+                      vmem_limit_bytes: int = 100 * 1024 * 1024,
+                      periodic: bool = False):
+    """Single-step plane-blocked execution for 3D programs.
+
+    The flattened blocked strategy turns a ±1 dim-0 offset into a ±n1-row
+    halo — at 384³ the strips are whole 384-row planes on a ~1536-row
+    tile, i.e. ~50 % redundant reads AND compute per block (measured:
+    diff3d fwd 390 GB/s, 0.48 of roofline).  Tiling dim 0 in planes
+    (ops/plane_chain.py with k=1) makes the halo ``reach`` PLANES on a
+    t-plane tile (~2/t redundancy), drops the div/mod interior masks for
+    native 3D iotas, and gives periodic 3D single steps a Pallas path at
+    all (they previously fell back to the XLA jnp lowering).
+
+    The "carry map" fed to the chain kernel is only output-slot naming:
+    any output↔input pairing with matching component structure is valid
+    for k=1, and ``emit_names`` restricts the written volumes to real
+    outputs so invariant operands (a coefficient field) cost no output
+    write.  Raises ``ValueError`` when no pairing or no viable plane
+    tile exists — the caller falls back to the blocked strategy."""
+    from .plane_chain import make_plane_chain_kernel_fn
+
+    carry: Dict[str, str] = {}
+    used: list = []
+    for fo in program.output_fields:
+        cand = next((fi for fi in program.input_fields
+                     if fi.name not in carry
+                     and fi.index_shape == fo.index_shape), None)
+        if cand is None:
+            raise ValueError(f"{program.name}: no input slot for output "
+                             f"{fo.name!r} (plane single-step)")
+        carry[cand.name] = fo.name
+        used.append(cand.name)
+
+    kern = make_plane_chain_kernel_fn(
+        program, 1, carry, spatial, dtype, interpret, periodic,
+        tile_planes=tile_rows, vmem_limit_bytes=vmem_limit_bytes,
+        emit_names=used)
+    res = kern(inputs)
+    return {carry[n]: res[n] for n in used}
+
+
+# ---------------------------------------------------------------------------
 # public factory
 # ---------------------------------------------------------------------------
 
@@ -778,11 +827,44 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
         out_dtype = dtype or arr0.dtype
         spatial = storage_spatial(f0, arr0)
 
+        has_index = any(f.index_shape for f in
+                        program.input_fields + program.output_fields)
+        # plane-blocked single step (strategy D): 3D forward programs
+        # without index/adjoint/accum structure ride the k=1 plane chain
+        # — halo `reach` planes instead of `reach·n1` flattened rows
+        plane_ok = (program.ndim == 3 and not full_domain
+                    and not has_index
+                    and not any(is_adjoint(f) for f in program.input_fields)
+                    and not program.accum_fields
+                    and getattr(program, "accumulate", "pairwise") != "dd"
+                    and adjoint_mask_ghost is None)
+
+        def try_plane(per: bool):
+            from ..utils.config import log_lowering_decision
+
+            try:
+                out = _run_plane_single(program, inputs, spatial, out_dtype,
+                                        interp, tile_rows=tile_rows,
+                                        periodic=per)
+            except ValueError:
+                return None
+            log_lowering_decision(program.name, strategy="plane",
+                                  spatial=spatial, dtype=str(out_dtype),
+                                  interpret=interp, periodic=per)
+            return out
+
         if periodic:
             # in-kernel wrap-around is implemented for the 2D blocked path
-            # (inner flattened dims would need huge wrap shifts in 3D+);
-            # everything else uses the roll-based jnp evaluation
+            # (inner flattened dims would need huge wrap shifts in 3D+) and
+            # for 3D via the plane-blocked single step, which wraps in all
+            # three dims; everything else uses the roll-based jnp evaluation
             rows0 = spatial[0]
+            nbytes0 = int(np.prod(spatial)) * jnp.dtype(out_dtype).itemsize
+            if (plane_ok and strategy in (None, "plane")
+                    and nbytes0 > _WHOLE_ARRAY_LIMIT_BYTES):
+                out = try_plane(True)
+                if out is not None:
+                    return out
             per_ok = (program.ndim == 2
                       and any(rows0 % tt == 0 for tt in range(8, rows0 + 1, 8))
                       and strategy in (None, "blocked"))
@@ -795,9 +877,6 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
                                 full_domain, interp, tile_rows=tile_rows,
                                 vmem_limit_bytes=100 * 1024 * 1024,
                                 debug=debug, periodic=True)
-
-        has_index = any(f.index_shape for f in
-                        program.input_fields + program.output_fields)
         rest = spatial[1:]
         aligned = (not rest or rest[-1] % 128 == 0) and (
             len(rest) < 2 or all(s % 8 == 0 for s in rest[:-1]))
@@ -812,6 +891,20 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
                                and not has_adjoint_in))
 
         strat = strategy
+        if strat == "plane" or (strat is None and plane_ok):
+            nbytes = int(np.prod(spatial)) * jnp.dtype(out_dtype).itemsize
+            total = nbytes * (len(program.input_fields)
+                              + len(program.output_fields))
+            if strat == "plane" or total > _WHOLE_ARRAY_LIMIT_BYTES:
+                out = try_plane(False)
+                if out is not None:
+                    return out
+                if strat == "plane":
+                    raise ValueError(
+                        f"{program.name}: plane strategy needs a 3D "
+                        f"scalar-field forward program with a viable "
+                        f"plane tile; got spatial={spatial}")
+                # no pairing / viable tile: fall through to auto-select
         if strat is None:
             nbytes = int(np.prod(spatial)) * jnp.dtype(out_dtype).itemsize
             total = nbytes * (len(program.input_fields) + len(program.output_fields))

@@ -91,7 +91,8 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
                                periodic: bool,
                                tile_planes: Optional[int] = None,
                                vmem_limit_bytes: int = 100 * 1024 * 1024,
-                               shard=None):
+                               shard=None,
+                               emit_names=None):
     """Forward-only fused k-step kernel over a 3D domain, tiled in planes.
 
     ``shard`` (an ``ops.flatten.ShardSpec``, parallel.ShardedChain): the
@@ -101,7 +102,13 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
     domains (the wrap arrived via the exchange), sharded lateral dims
     never wrap locally, and interior masks test GLOBAL coordinates via
     the ``bases`` scalars the returned fn takes as a second argument
-    (VERDICT round-4 next #6: the plane-blocked sharded 3D chain)."""
+    (VERDICT round-4 next #6: the plane-blocked sharded 3D chain).
+
+    ``emit_names``: input-field names whose advanced state is written
+    back to HBM (default: all).  The k=1 single-step route
+    (pallas_kernel._run_plane_single) restricts this to the fields that
+    map to real outputs, so invariant pass-through operands (a
+    coefficient field) do not cost a full extra volume write per call."""
     from .pallas_kernel import _shift_lateral
 
     if program.ndim != 3:
@@ -129,6 +136,8 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
 
     in_keys = [(f.name, idx) for f in program.input_fields
                for idx in field_components(f)]
+    emit = set(emit_names if emit_names is not None else in_names)
+    emit_keys = [ky for ky in in_keys if ky[0] in emit]
 
     # chain-invariant subexpressions (face-averaged coefficients etc.)
     # compute ONCE per tile instead of once per step (ops/hoist.py)
@@ -316,7 +325,7 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
                             v, lo1, lo1 + ext, axis=0)
                 state = new_state
 
-            for ref, key in zip(outs, in_keys):
+            for ref, key in zip(outs, emit_keys):
                 ref[...] = state[key]
 
         vol_spec = pl.BlockSpec((t, n1, n2), lambda i: (i, 0, 0),
@@ -332,10 +341,10 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
             kernel,
             grid=(nb,),
             out_shape=tuple(jax.ShapeDtypeStruct((n0, n1, n2), dtype)
-                            for _ in in_keys),
+                            for _ in emit_keys),
             in_specs=[vol_spec] * n_in + [strip_spec(u.shape) for u in ups]
             + [strip_spec(d.shape) for d in downs] + scalar_specs,
-            out_specs=tuple(vol_spec for _ in in_keys),
+            out_specs=tuple(vol_spec for _ in emit_keys),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=scoped_vmem(vmem_limit_bytes)),
@@ -346,6 +355,8 @@ def make_plane_chain_kernel_fn(program: StencilProgram, k: int,
         outputs: Dict[str, jax.Array] = {}
         pos = 0
         for f in program.input_fields:
+            if f.name not in emit:
+                continue
             comps = field_components(f)
             vols = [result[pos + j] for j in range(len(comps))]
             pos += len(comps)
