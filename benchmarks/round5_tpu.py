@@ -169,14 +169,16 @@ def sec_sweeps_3d():
     n3 = 384
     x3 = jax.random.normal(key, (n3, n3, n3), jnp.float32)
 
-    # config #1b: heat3d periodic twin (the 3D-Laplacian north star row)
+    # config #1b: heat3d periodic twin (the 3D-Laplacian north star row).
+    # tv2 prune data: t=16 compiled and ran 0.944 ms/step fwd-chain-only
+    # vs the default t=6 row's 1.846 honest — t in {8,16} brackets it
     sweep("heat3d periodic twin vjp 384^3", heat_step3d_op(dt=0.1),
           {"u": "u_next"}, {"u": x3},
-          k_cands=(2, 4), tile_cands=(16, 48))
+          k_cands=(2, 4), tile_cands=(8, 16))
 
-    # config #4: aniso27 periodic twin — tile is the untested axis
+    # config #4: aniso27 periodic twin (tv2 prune: t=8 beat t=6 by 20 %)
     sweep("aniso27 twin vjp 384^3", anisotropic27_op(), {"u": "y"},
-          {"u": x3}, k_cands=(2,), tile_cands=(16, 48))
+          {"u": x3}, k_cands=(2,), tile_cands=(8, 16))
 
     # config #2: diff3d bounded twin-accum (many live volumes: modest
     # tiles only; k=4 OOM'd at the default tile in the r5s3 table)

@@ -38,9 +38,11 @@ __all__ = ["autotune_chain", "autotune_stage_chain", "TuneResult",
 
 
 # bumped whenever the measurement methodology changes incompatibly, so
-# records taken under a superseded timer are never served (tv2: two-point
+# records taken under a superseded timer are never served (tv3: vjp
+# timers keep BOTH chains live — tv2 sweep numbers dead-coded the
+# cotangent twin for linear ops and read ~2x fast; tv2: two-point
 # slope replaced min-of-N + RTT subtraction, which under-timed sub-ms rows)
-_TIMER_VERSION = "tv2"
+_TIMER_VERSION = "tv3"
 
 
 def _canonical_key(kind: str, direction: str, sig: str, spatial, dtype,
@@ -181,9 +183,16 @@ def _default_timer(chain_fn, state, k: int, calls: int, repeats: int,
                     return (new_state,
                             {n: cot0.get(n, carry[1][n])
                              for n in names}), None
-                (st2, _), _ = jax.lax.scan(body, (st, cots), None,
-                                           length=nc, unroll=nc)
-                return st2[names[0]]
+                (st2, ct2), _ = jax.lax.scan(body, (st, cots), None,
+                                             length=nc, unroll=nc)
+                # BOTH chains must be live outputs: for linear ops the
+                # cotangent twin is a SEPARATE kernel chain whose carry
+                # feeds nothing live if only the state is returned — XLA
+                # dead-codes it and the sweep times half the work (the
+                # same trap run_all.py documents; fused two-phase /
+                # twin-accum kernels were immune because one custom call
+                # produces both outputs)
+                return st2[names[0]], ct2[names[0]]
         else:
             @jax.jit
             def f(st):
@@ -226,8 +235,11 @@ def _cheap_timer(chain_fn, state, k: int, calls: int, repeats: int,
             def body(_, carry):
                 ns, c0 = chain_fn(carry[0], carry[1])
                 return (ns, {m: c0.get(m, carry[1][m]) for m in names})
-            st2, _ = jax.lax.fori_loop(0, n, body, (st, cots))
-            return st2[names[0]]
+            st2, ct2 = jax.lax.fori_loop(0, n, body, (st, cots))
+            # both chains live (see _default_timer): the while-loop
+            # simplifier strips dead carry components, which silently
+            # halves the timed work for linear twin-chain ops
+            return st2[names[0]], ct2[names[0]]
     else:
         @jax.jit
         def f(st, n):
