@@ -794,6 +794,141 @@ def _run_plane_single(program: StencilProgram, inputs: Dict[str, jax.Array],
     return {carry[n]: res[n] for n in used}
 
 
+def _run_plane_full(program: StencilProgram, inputs: Dict[str, jax.Array],
+                    spatial, dtype, interpret: bool,
+                    tile_rows: Optional[int] = None,
+                    vmem_limit_bytes: int = 100 * 1024 * 1024,
+                    periodic: bool = False):
+    """Full-domain plane-blocked execution for 3D programs — the exact-VJP
+    backward geometry (ops/vjp.py: every cell written, adjoint reads
+    zero-extended, primal reads edge-clamped).
+
+    In plane geometry the full mode needs NO in-kernel masks at all: the
+    dim-0 halo strips ARE the exact extension (zeros for adjoint fields,
+    edge copies for primal), ``_shift_lateral``'s zero-fill/edge modes
+    are per-dim exact in dims 1/2, and there are no flattened inner-dim
+    crossings to validate.  This replaces the blocked strategy's
+    384-row-plane halo strips (~50 % redundant compute at 384³) for the
+    3D ``fwd+adj`` single-step path, and gives primal-only full-domain
+    3D programs (oracle mode) and periodic 3D backwards a Pallas path at
+    all (both previously jnp fallbacks).  Cotangent interior masking
+    happens in the make_pallas_stencil wrapper (pre-mask for non-blocked
+    strategies).  Raises ``ValueError`` when no viable plane tile exists."""
+    from .plane_chain import pick_plane_tile, plane_reach
+
+    n0, n1, n2 = spatial
+    accesses = [at for s in program.steps for at in s.atoms
+                if isinstance(at, Field.Access)]
+    lo1, hi1 = plane_reach(accesses)
+    itemsize = jnp.dtype(dtype).itemsize
+    n_in = len(program.input_fields)
+    n_out = len(program.output_fields)
+    lat_pairs = {(a.field.name, a.offsets[1], a.offsets[2])
+                 for a in accesses if a.offsets[1] or a.offsets[2]}
+    n_live = 2 * (n_in + n_out) + len(lat_pairs) + 4
+    t = tile_rows or pick_plane_tile(n0, lo1, hi1,
+                                     n1 * n2 * itemsize * n_live,
+                                     vmem_limit_bytes)
+    if t is None or n0 % t or t < max(lo1 + hi1, 1):
+        raise ValueError(f"no viable plane tile for n0={n0} (full mode)")
+    nb = n0 // t
+
+    in_names = [f.name for f in program.input_fields]
+    arrays, ups, downs = [], [], []
+    for f in program.input_fields:
+        vol = inputs[f.name].astype(dtype).reshape((n0, n1, n2))
+        arrays.append(vol)
+        xr = vol.reshape((nb, t, n1, n2))
+        zero = is_adjoint(f)
+        if lo1:
+            if periodic:
+                ups.append(jnp.roll(xr[:, t - lo1:], 1, axis=0))
+            else:
+                first = (jnp.zeros((1, lo1, n1, n2), dtype) if zero else
+                         jnp.broadcast_to(xr[:1, :1], (1, lo1, n1, n2)))
+                ups.append(jnp.concatenate([first, xr[:-1, t - lo1:]], 0))
+        if hi1:
+            if periodic:
+                downs.append(jnp.roll(xr[:, :hi1], -1, axis=0))
+            else:
+                last = (jnp.zeros((1, hi1, n1, n2), dtype) if zero else
+                        jnp.broadcast_to(xr[-1:, -1:], (1, hi1, n1, n2)))
+                downs.append(jnp.concatenate([xr[1:, :hi1], last], 0))
+    n_up, n_dn = len(ups), len(downs)
+    input_pos = {f.name: i for i, f in enumerate(program.input_fields)}
+    adj_of = {f.name: is_adjoint(f) for f in program.input_fields}
+    shape_t = (t, n1, n2)
+
+    def kernel(*refs):
+        xs = refs[:n_in]
+        up_refs = refs[n_in:n_in + n_up]
+        dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
+        outs = refs[n_in + n_up + n_dn:]
+
+        ext: Dict[str, jax.Array] = {}
+        for f in program.input_fields:
+            kk = input_pos[f.name]
+            parts = []
+            if lo1:
+                parts.append(up_refs[kk][0])
+            parts.append(xs[kk][...])
+            if hi1:
+                parts.append(dn_refs[kk][0])
+            ext[f.name] = (jnp.concatenate(parts, axis=0)
+                           if len(parts) > 1 else parts[0])
+
+        lat_cache: Dict[tuple, jax.Array] = {}
+
+        def read(acc):
+            name = acc.field.name
+            zero = adj_of[name]
+            o1, o2 = acc.offsets[1], acc.offsets[2]
+            key = (name, o1, o2)
+            v = lat_cache.get(key)
+            if v is None:
+                k1 = (name, o1)
+                v1 = lat_cache.get(k1)
+                if v1 is None:
+                    v1 = _shift_lateral(ext[name], o1, 1, zero,
+                                        interpret, periodic)
+                    lat_cache[k1] = v1
+                v = _shift_lateral(v1, o2, 2, zero, interpret, periodic)
+                lat_cache[key] = v
+            start = lo1 + acc.offsets[0]
+            return jax.lax.slice_in_dim(v, start, start + t, axis=0)
+
+        out_vals = _eval_steps(program, read, shape_t, dtype)
+        zeros_t = jnp.zeros(shape_t, dtype)
+        for f, ref in zip(program.output_fields, outs):
+            val = out_vals.get(f.name, {}).get((), zeros_t)
+            if f in program.accum_fields and f.name in input_pos:
+                val = val + xs[input_pos[f.name]][...]
+            ref[...] = val
+
+    vol_spec = pl.BlockSpec((t, n1, n2), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def strip_spec(shape):
+        return pl.BlockSpec((1,) + shape[1:], lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    result = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=tuple(jax.ShapeDtypeStruct((n0, n1, n2), dtype)
+                        for _ in program.output_fields),
+        in_specs=[vol_spec] * n_in + [strip_spec(u.shape) for u in ups]
+        + [strip_spec(d.shape) for d in downs],
+        out_specs=tuple(vol_spec for _ in program.output_fields),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=scoped_vmem(vmem_limit_bytes)),
+    )(*arrays, *ups, *downs)
+    if not isinstance(result, (tuple, list)):
+        result = (result,)
+    return dict(zip(program.output_names, result))
+
+
 # ---------------------------------------------------------------------------
 # public factory
 # ---------------------------------------------------------------------------
@@ -856,10 +991,29 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
         if periodic:
             # in-kernel wrap-around is implemented for the 2D blocked path
             # (inner flattened dims would need huge wrap shifts in 3D+) and
-            # for 3D via the plane-blocked single step, which wraps in all
-            # three dims; everything else uses the roll-based jnp evaluation
+            # for 3D via the plane-blocked single step / full-domain plane
+            # backward, which wrap in all three dims; everything else uses
+            # the roll-based jnp evaluation
             rows0 = spatial[0]
             nbytes0 = int(np.prod(spatial)) * jnp.dtype(out_dtype).itemsize
+            if (program.ndim == 3 and full_domain and not has_index
+                    and strategy is None
+                    and getattr(program, "accumulate", "pairwise") != "dd"
+                    and nbytes0 > _WHOLE_ARRAY_LIMIT_BYTES):
+                # periodic exact-VJP backward (no masks anywhere)
+                try:
+                    out = _run_plane_full(program, inputs, spatial,
+                                          out_dtype, interp,
+                                          tile_rows=tile_rows,
+                                          periodic=True)
+                    from ..utils.config import log_lowering_decision
+
+                    log_lowering_decision(program.name,
+                                          strategy="plane_full",
+                                          spatial=spatial, periodic=True)
+                    return out
+                except ValueError:
+                    pass
             if (plane_ok and strategy in (None, "plane")
                     and nbytes0 > _WHOLE_ARRAY_LIMIT_BYTES):
                 out = try_plane(True)
@@ -917,6 +1071,11 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
                 strat = "blocked"
             elif total <= _WHOLE_ARRAY_LIMIT_BYTES:
                 strat = "whole"
+            elif (program.ndim == 3 and full_domain and not has_index):
+                # exact-VJP backward (and primal-only oracle mode) in
+                # plane geometry: reach-plane halos instead of the
+                # blocked strategy's reach·n1 flattened rows
+                strat = "plane_full"
             elif blocked_ok:
                 strat = "blocked"
             elif tiled_ok:
@@ -958,6 +1117,27 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
         else:
             inputs_eff = inputs
 
+        if strat == "plane_full":
+            # inputs_eff: cotangents pre-masked above (non-blocked strategy)
+            try:
+                out = _run_plane_full(program, inputs_eff, spatial,
+                                      out_dtype, interp,
+                                      tile_rows=tile_rows)
+                log_lowering_decision(program.name, strategy="plane_full",
+                                      spatial=spatial, dtype=str(out_dtype),
+                                      interpret=interp)
+                return out
+            except ValueError:
+                # no viable plane tile: fall back (the extra pre-mask is
+                # idempotent under the blocked path's fused mask)
+                strat = ("blocked" if blocked_ok
+                         else "tiled" if tiled_ok else None)
+                if strat is None:
+                    from .jnp_ref import make_jnp_stencil
+
+                    return make_jnp_stencil(
+                        program, full_domain=full_domain, dtype=dtype,
+                        adjoint_mask_ghost=adjoint_mask_ghost)(inputs)
         if strat == "whole":
             # the whole-array kernel indexes AoS (trailing index dims);
             # normalise SoA fields at the wrapper (tiny arrays by definition)
