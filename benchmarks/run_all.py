@@ -170,6 +170,11 @@ def main():
     bench_chain("1b heat3d chain k=2 fwd+adj (periodic twin)", h3,
                 {"u": "u_next"}, {"u": x3}, k=2, n_arrays=4,
                 periodic=True, calls=2)
+    # the tuned-best depth for the 3D north-star row (round-5 final
+    # sweep: k=4 tile=16 — 809 GB/s eff honest, vs 491 at k=2/default)
+    bench_chain("1b heat3d chain k=4 fwd+adj (periodic twin)", h3,
+                {"u": "u_next"}, {"u": x3}, k=4, n_arrays=4,
+                periodic=True, calls=2)
     bench_chain("1b heat3d chain k=2 fwd+adj (bounded two-phase)", h3,
                 {"u": "u_next"}, {"u": x3}, k=2, n_arrays=4,
                 periodic=False, calls=2)

@@ -798,7 +798,8 @@ def _run_plane_full(program: StencilProgram, inputs: Dict[str, jax.Array],
                     spatial, dtype, interpret: bool,
                     tile_rows: Optional[int] = None,
                     vmem_limit_bytes: int = 100 * 1024 * 1024,
-                    periodic: bool = False):
+                    periodic: bool = False,
+                    adjoint_mask_ghost=None):
     """Full-domain plane-blocked execution for 3D programs — the exact-VJP
     backward geometry (ops/vjp.py: every cell written, adjoint reads
     zero-extended, primal reads edge-clamped).
@@ -811,9 +812,12 @@ def _run_plane_full(program: StencilProgram, inputs: Dict[str, jax.Array],
     384-row-plane halo strips (~50 % redundant compute at 384³) for the
     3D ``fwd+adj`` single-step path, and gives primal-only full-domain
     3D programs (oracle mode) and periodic 3D backwards a Pallas path at
-    all (both previously jnp fallbacks).  Cotangent interior masking
-    happens in the make_pallas_stencil wrapper (pre-mask for non-blocked
-    strategies).  Raises ``ValueError`` when no viable plane tile exists."""
+    all (both previously jnp fallbacks).  ``adjoint_mask_ghost`` fuses
+    the exact-VJP cotangent interior mask into the adjoint reads (a
+    global 3D iota test of the READ cell — equivalent to pre-masking the
+    cotangent then zero-extending, without the wrapper's extra pad+slice
+    memory pass).  Raises ``ValueError`` when no viable plane tile
+    exists."""
     from .plane_chain import pick_plane_tile, plane_reach
 
     n0, n1, n2 = spatial
@@ -859,11 +863,14 @@ def _run_plane_full(program: StencilProgram, inputs: Dict[str, jax.Array],
     adj_of = {f.name: is_adjoint(f) for f in program.input_fields}
     shape_t = (t, n1, n2)
 
+    adj_ghost = adjoint_mask_ghost if not periodic else None
+
     def kernel(*refs):
         xs = refs[:n_in]
         up_refs = refs[n_in:n_in + n_up]
         dn_refs = refs[n_in + n_up:n_in + n_up + n_dn]
         outs = refs[n_in + n_up + n_dn:]
+        i = pl.program_id(0)
 
         ext: Dict[str, jax.Array] = {}
         for f in program.input_fields:
@@ -878,6 +885,8 @@ def _run_plane_full(program: StencilProgram, inputs: Dict[str, jax.Array],
                            if len(parts) > 1 else parts[0])
 
         lat_cache: Dict[tuple, jax.Array] = {}
+        iotas = ([jax.lax.broadcasted_iota(jnp.int32, shape_t, d)
+                  for d in range(3)] if adj_ghost is not None else None)
 
         def read(acc):
             name = acc.field.name
@@ -895,7 +904,19 @@ def _run_plane_full(program: StencilProgram, inputs: Dict[str, jax.Array],
                 v = _shift_lateral(v1, o2, 2, zero, interpret, periodic)
                 lat_cache[key] = v
             start = lo1 + acc.offsets[0]
-            return jax.lax.slice_in_dim(v, start, start + t, axis=0)
+            v = jax.lax.slice_in_dim(v, start, start + t, axis=0)
+            if zero and adj_ghost is not None:
+                # fused exact-VJP cotangent interior mask: the READ cell's
+                # global coordinates must lie in the forward interior
+                p = iotas[0] + (i * t + acc.offsets[0])
+                a = iotas[1] + o1
+                b = iotas[2] + o2
+                (g0l, g0h), (g1l, g1h), (g2l, g2h) = adj_ghost
+                m = ((p >= g0l) & (p < n0 - g0h)
+                     & (a >= g1l) & (a < n1 - g1h)
+                     & (b >= g2l) & (b < n2 - g2h))
+                v = jnp.where(m, v, 0)
+            return v
 
         out_vals = _eval_steps(program, read, shape_t, dtype)
         zeros_t = jnp.zeros(shape_t, dtype)
@@ -1097,14 +1118,14 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
                               dtype=str(out_dtype), interpret=interp,
                               full_domain=full_domain, ghost=program.ghost)
 
-        if strat != "blocked" and adjoint_mask_ghost is not None:
+        def premask(src):
             # pre-mask cotangents in the wrapper (slice+pad, no scatter)
             from ..adjoint_field import AdjointField
 
-            masked = dict(inputs)
+            masked = dict(src)
             for f in program.input_fields:
                 if isinstance(f, AdjointField):
-                    arr = inputs[f.name]
+                    arr = src[f.name]
                     sl = tuple(slice(lo, s - hi) for (lo, hi), s
                                in zip(adjoint_mask_ghost, spatial))
                     sp_pads = tuple((lo, hi) for lo, hi in adjoint_mask_ghost)
@@ -1113,23 +1134,28 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
                             if getattr(f, "index_major", False)
                             else sp_pads + idx_pads)
                     masked[f.name] = jnp.pad(arr[spatial_index(f, sl)], pads)
-            inputs_eff = masked
+            return masked
+
+        # blocked and plane_full fuse the exact-VJP cotangent mask into
+        # the kernel; every other strategy gets pre-masked inputs
+        if (strat not in ("blocked", "plane_full")
+                and adjoint_mask_ghost is not None):
+            inputs_eff = premask(inputs)
         else:
             inputs_eff = inputs
 
         if strat == "plane_full":
-            # inputs_eff: cotangents pre-masked above (non-blocked strategy)
             try:
-                out = _run_plane_full(program, inputs_eff, spatial,
+                out = _run_plane_full(program, inputs, spatial,
                                       out_dtype, interp,
-                                      tile_rows=tile_rows)
+                                      tile_rows=tile_rows,
+                                      adjoint_mask_ghost=adjoint_mask_ghost)
                 log_lowering_decision(program.name, strategy="plane_full",
                                       spatial=spatial, dtype=str(out_dtype),
                                       interpret=interp)
                 return out
             except ValueError:
-                # no viable plane tile: fall back (the extra pre-mask is
-                # idempotent under the blocked path's fused mask)
+                # no viable plane tile: fall back
                 strat = ("blocked" if blocked_ok
                          else "tiled" if tiled_ok else None)
                 if strat is None:
@@ -1138,6 +1164,8 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
                     return make_jnp_stencil(
                         program, full_domain=full_domain, dtype=dtype,
                         adjoint_mask_ghost=adjoint_mask_ghost)(inputs)
+                if strat == "tiled" and adjoint_mask_ghost is not None:
+                    inputs_eff = premask(inputs)
         if strat == "whole":
             # the whole-array kernel indexes AoS (trailing index dims);
             # normalise SoA fields at the wrapper (tiny arrays by definition)
