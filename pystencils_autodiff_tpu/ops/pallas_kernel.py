@@ -835,6 +835,13 @@ def _run_plane_full(program: StencilProgram, inputs: Dict[str, jax.Array],
                                      vmem_limit_bytes)
     if t is None or n0 % t or t < max(lo1 + hi1, 1):
         raise ValueError(f"no viable plane tile for n0={n0} (full mode)")
+    if tile_rows is None and t < 2 * (lo1 + hi1):
+        # profitability floor: a tile smaller than twice the halo means
+        # ≥50 % redundant reads/rotates — many-operand backwards whose
+        # VMEM estimate only admits such tiles do better on the blocked
+        # path (which shares its halo cost across a ~1536-row tile)
+        raise ValueError(f"plane tile t={t} below profitability floor "
+                         f"for halo {lo1 + hi1}")
     nb = n0 // t
 
     in_names = [f.name for f in program.input_fields]
