@@ -994,9 +994,14 @@ def make_pallas_stencil(program: StencilProgram, full_domain: bool = False,
                         program.input_fields + program.output_fields)
         # plane-blocked single step (strategy D): 3D forward programs
         # without index/adjoint/accum structure ride the k=1 plane chain
-        # — halo `reach` planes instead of `reach·n1` flattened rows
+        # — halo `reach` planes instead of `reach·n1` flattened rows.
+        # Gated to single-operand programs: measured at 384³, lap3d fwd
+        # 411→486 and aniso27 fwd 248→307 GB/s, but the two-operand
+        # diff3d REGRESSED 390→304 (a second ext concat + lateral cache
+        # on the VMEM-limited ~6-plane tile outweighs the halo saving)
         plane_ok = (program.ndim == 3 and not full_domain
                     and not has_index
+                    and len(program.input_fields) == 1
                     and not any(is_adjoint(f) for f in program.input_fields)
                     and not program.accum_fields
                     and getattr(program, "accumulate", "pairwise") != "dd"
